@@ -1,0 +1,64 @@
+"""Table sources.
+
+The reference delegates all scans to Hive tables (SURVEY.md §2.3); here the
+scan surface is ``spark.read`` with schema-on-read parquet (columnar,
+predicate-pushdown- and column-pruning-friendly — both verified via
+``.explain`` in tests).  CSV/JSON readers are provided for parity with
+generic Hive external tables.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Dimension tables small enough to broadcast at any realistic scale factor;
+# used by operators/relational.py to pick broadcast joins explicitly.
+BROADCAST_TABLES = frozenset({"region", "nation", "supplier", "part"})
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one testdata table (parquet).
+
+    Columnar scan: Catalyst pushes filters/projections into the parquet
+    reader, so callers should filter/select *before* any UDF (SURVEY.md §4).
+    """
+    if name not in TABLES:
+        raise ValueError(f"unknown table {name!r}; expected one of {TABLES}")
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def read_csv(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    reader = spark.read.option("header", "true")
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", "true")
+    return reader.csv(path)
+
+
+def read_json(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def write_parquet(df: DataFrame, path: str, partition_by: list[str] | None = None) -> None:
+    """Sink: parquet, optionally hive-style partitioned (partition pruning)."""
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)

@@ -1,0 +1,180 @@
+"""Dictionary: built-in lexicon index + user dictionaries.
+
+User dictionary semantics mirror the reference exactly:
+
+* inline form — const ``array<string>`` of CSV rows
+  ``surface,seg tokens,readings,POS`` joined by newline
+  (KuromojiNEologdUDF.java:102-104, 230-249; CSV format evidenced at
+  KuromojiNEologdUDFTest.java:280-281);
+* URL form — HTTP(S) GET with ``Accept-Encoding: gzip``, 10 s connect /
+  60 s read timeouts, non-200 → error, stream capped at 32 MiB, strict
+  UTF-8 decode (KuromojiNEologdUDF.java:71-73, 251-304).  Unlike the
+  reference (which fetches per task, SURVEY.md §3) we fetch ONCE on the
+  driver and ship the parsed rows in the UDF closure — an intentional
+  improvement noted in SURVEY.md §3.
+
+User-dict entries override lattice segmentation for matching surfaces via a
+very low node cost (Kuromoji gives user entries winning costs), emitting the
+listed segments as separate tokens (日本経済新聞 → 日本/経済/新聞 with a
+2-row user dict → 3 tokens, KuromojiNEologdUDFTest.java:280-299).
+"""
+
+from __future__ import annotations
+
+import gzip
+import io
+import urllib.request
+from dataclasses import dataclass, field
+
+from hive_udf_neologd_spark.tokenizer.lexicon import BUILTIN_ENTRIES
+
+# Reference parity constants (KuromojiNEologdUDF.java:71-73).
+CONNECT_TIMEOUT_SEC = 10.0
+READ_TIMEOUT_SEC = 60.0
+MAX_INPUT_STREAM_SIZE = 32 * 1024 * 1024
+
+
+@dataclass(frozen=True)
+class DictEntry:
+    surface: str
+    pos: str
+    cost: int
+    base_form: str | None = None
+    norm: str | None = None
+    # User-dict segmentation: list of (segment_surface, reading) — when set,
+    # the node emits these segments as separate tokens.
+    segments: tuple | None = None
+
+    @property
+    def length(self) -> int:
+        return len(self.surface)
+
+
+class Dictionary:
+    """First-char-indexed prefix dictionary.
+
+    With the built-in lexicon (~500 entries) a per-position linear scan of
+    same-first-char entries is faster than a trie in CPython; entries are
+    checked longest-first so Viterbi sees all prefix matches.
+    """
+
+    def __init__(self, entries: list[DictEntry]):
+        self._by_first: dict[str, list[DictEntry]] = {}
+        for e in entries:
+            if not e.surface:
+                continue
+            self._by_first.setdefault(e.surface[0], []).append(e)
+        for lst in self._by_first.values():
+            lst.sort(key=lambda e: -len(e.surface))
+        self.max_len = max((e.length for e in entries), default=0)
+
+    def prefix_matches(self, text: str, pos: int) -> list[DictEntry]:
+        cands = self._by_first.get(text[pos])
+        if not cands:
+            return []
+        out = []
+        for e in cands:
+            if text.startswith(e.surface, pos):
+                out.append(e)
+        return out
+
+
+def builtin_dictionary() -> Dictionary:
+    return Dictionary(
+        [DictEntry(s, pos, cost, base, norm) for (s, pos, cost, base, norm) in BUILTIN_ENTRIES]
+    )
+
+
+class UserDictionaryError(ValueError):
+    """Raised for malformed user-dict input — the analog of the reference's
+    ``UDFArgumentException`` on parse failure (KuromojiNEologdUDF.java:243-247)."""
+
+
+@dataclass
+class UserDictionary:
+    entries: list[DictEntry] = field(default_factory=list)
+
+    @classmethod
+    def from_rows(cls, rows: list[str]) -> "UserDictionary":
+        """Parse CSV rows ``surface,seg tokens,readings,POS``.
+
+        Mirrors ``UserDictionary.open(new StringReader(StringUtils.join(...,
+        '\\n')))`` (KuromojiNEologdUDF.java:230-242): blank lines skipped,
+        malformed rows raise.
+        """
+        entries: list[DictEntry] = []
+        for raw in rows:
+            if raw is None:
+                continue
+            line = raw.strip()
+            if not line or line.startswith("#"):
+                continue
+            parts = [p.strip() for p in line.split(",")]
+            if len(parts) < 4:
+                raise UserDictionaryError(
+                    f"invalid user dictionary row (need surface,segments,readings,pos): {raw!r}"
+                )
+            surface, seg_str, reading_str, pos = parts[0], parts[1], parts[2], parts[3]
+            if not surface:
+                raise UserDictionaryError(f"empty surface in user dictionary row: {raw!r}")
+            segs = seg_str.split()
+            readings = reading_str.split()
+            if not segs:
+                raise UserDictionaryError(f"empty segmentation in user dictionary row: {raw!r}")
+            if len(readings) not in (0, len(segs)):
+                raise UserDictionaryError(
+                    f"segment/reading count mismatch in user dictionary row: {raw!r}"
+                )
+            if "".join(segs) != surface:
+                raise UserDictionaryError(
+                    f"segments do not concatenate to surface in user dictionary row: {raw!r}"
+                )
+            seg_pairs = tuple(
+                (seg, readings[i] if readings else None) for i, seg in enumerate(segs)
+            )
+            # Cost below every built-in entry so user entries always win the
+            # lattice (Kuromoji user-dict WORD_COST semantics).
+            entries.append(
+                DictEntry(surface, pos, cost=-10000, base_form=None, norm=None,
+                          segments=seg_pairs)
+            )
+        return cls(entries)
+
+
+def fetch_user_dict_url(url: str) -> list[str]:
+    """Driver-side fetch of a user-dictionary URL with reference parity:
+    gzip accept-encoding, 10 s connect (urllib: single timeout covers
+    connect+read; we take the stricter read bound), 60 s read, non-200 →
+    error, 32 MiB cap, strict UTF-8 (KuromojiNEologdUDF.java:251-304)."""
+    if not (url.startswith("http://") or url.startswith("https://")):
+        raise UserDictionaryError(f"unsupported user dictionary URL scheme: {url!r}")
+    req = urllib.request.Request(url, headers={"Accept-Encoding": "gzip"})
+    try:
+        with urllib.request.urlopen(req, timeout=READ_TIMEOUT_SEC) as resp:
+            status = getattr(resp, "status", resp.getcode())
+            if status != 200:
+                raise UserDictionaryError(
+                    f"failed to fetch user dictionary: HTTP {status} from {url!r}"
+                )
+            data = resp.read(MAX_INPUT_STREAM_SIZE + 1)
+            if len(data) > MAX_INPUT_STREAM_SIZE:
+                raise UserDictionaryError(
+                    f"user dictionary exceeds {MAX_INPUT_STREAM_SIZE} bytes: {url!r}"
+                )
+            if resp.headers.get("Content-Encoding", "").lower() == "gzip":
+                data = gzip.GzipFile(fileobj=io.BytesIO(data)).read(MAX_INPUT_STREAM_SIZE + 1)
+                if len(data) > MAX_INPUT_STREAM_SIZE:
+                    raise UserDictionaryError(
+                        f"user dictionary exceeds {MAX_INPUT_STREAM_SIZE} bytes: {url!r}"
+                    )
+    except UserDictionaryError:
+        raise
+    except Exception as exc:  # timeouts, DNS, TLS, connection errors
+        raise UserDictionaryError(f"failed to fetch user dictionary from {url!r}: {exc}") from exc
+    try:
+        text = data.decode("utf-8", errors="strict")
+    except UnicodeDecodeError as exc:
+        raise UserDictionaryError(
+            f"user dictionary at {url!r} is not valid UTF-8: {exc}"
+        ) from exc
+    return text.splitlines()

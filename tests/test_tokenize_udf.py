@@ -1,0 +1,78 @@
+"""Spark-side tests for the tokenize_ja pandas UDF (SURVEY.md §2.1 O1-O11)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from hive_udf_neologd_spark import register_udfs, tokenize_ja, tokenize_ja_version
+from hive_udf_neologd_spark.version import VERSION
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, "きゃりーぱみゅぱみゅ。"),
+            (2, "日本経済新聞。"),
+            (3, None),
+            (4, "the fast key order"),
+        ],
+        "id bigint, text string",
+    )
+
+
+def test_udf_basic_and_null(spark, docs):
+    tok = tokenize_ja()
+    rows = {r["id"]: r["toks"] for r in docs.select("id", tok("text").alias("toks")).collect()}
+    assert rows[1] == ["きゃりーぱみゅぱみゅ"]
+    assert rows[2] == ["日本経済新聞"]
+    assert rows[3] is None  # O9: null → null, not []
+    assert rows[4] == ["the", "fast", "key", "order"]
+
+
+def test_udf_return_type_is_array_of_string(spark, docs):
+    out = docs.select(tokenize_ja()("text").alias("toks"))
+    assert out.schema["toks"].dataType.simpleString() == "array<string>"
+
+
+def test_udf_with_user_dict(spark, docs):
+    tok = tokenize_ja(user_dict=["日本経済新聞,日本 経済 新聞,ニホン ケイザイ シンブン,カスタム名詞"])
+    row = docs.filter("id = 2").select(tok("text").alias("t")).first()
+    assert row["t"] == ["日本", "経済", "新聞"]
+
+
+def test_udf_construction_errors_are_plan_time(spark):
+    # Fail-at-plan-time like the reference's initialize (SURVEY.md §3).
+    with pytest.raises(ValueError):
+        tokenize_ja(mode="unsupported mode")
+    with pytest.raises(TypeError):
+        tokenize_ja(user_dict=123)
+
+
+def test_sql_registration(spark, docs):
+    register_udfs(spark)
+    docs.createOrReplaceTempView("docs_udf_test")
+    out = spark.sql(
+        "select id, tokenize_ja_neologd(text) as toks from docs_udf_test where id = 1"
+    ).first()
+    assert out["toks"] == ["きゃりーぱみゅぱみゅ"]
+    ver = spark.sql("select tokenize_ja_neologd_version() as v").first()["v"]
+    assert ver == [VERSION] and len(ver) == 1  # 0-arg → 1 element (O2)
+
+
+def test_version_introspection():
+    assert tokenize_ja_version() == [VERSION]
+
+
+def test_explode_pipeline(spark, docs):
+    # The canonical consumer: tokenize → explode → count (SURVEY.md §2.3).
+    tok = tokenize_ja()
+    out = (
+        docs.filter(F.col("text").isNotNull())
+        .select(F.explode(tok("text")).alias("token"))
+        .groupBy("token")
+        .count()
+    )
+    counts = {r["token"]: r["count"] for r in out.collect()}
+    assert counts["きゃりーぱみゅぱみゅ"] == 1 and counts["the"] == 1

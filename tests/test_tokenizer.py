@@ -1,0 +1,184 @@
+"""Tokenizer-engine unit tests mirroring the reference's JUnit suite
+(KuromojiNEologdUDFTest.java; golden inventory in FIXTURES.md §A).
+
+Token-count goldens are pinned against OUR built-in dictionary (SURVEY.md §5
+caveat); where counts match the reference exactly that is asserted too.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from hive_udf_neologd_spark.tokenizer.analyzer import JapaneseAnalyzer, Mode
+from hive_udf_neologd_spark.tokenizer.chardef import fold_width, katakana_stem
+from hive_udf_neologd_spark.tokenizer.dictionary import (
+    UserDictionary,
+    UserDictionaryError,
+)
+
+GOLDEN_SENTENCE = (
+    "10日放送の「中居正広のミになる図書館」（テレビ朝日系）で、"
+    "SMAPの中居正広が、篠原信一の過去の勘違いを明かす一幕があった。"
+)
+
+USER_DICT_ROWS = [
+    "日本経済新聞,日本 経済 新聞,ニホン ケイザイ シンブン,カスタム名詞",
+    "関西国際空港,関西 国際 空港,カンサイ コクサイ クウコウ,テスト名詞",
+]
+
+
+@pytest.fixture(scope="module")
+def analyzer():
+    return JapaneseAnalyzer()
+
+
+class TestGoldens:
+    def test_neologd_sentence_12_tokens(self, analyzer):
+        # KuromojiNEologdUDFTest.java:213-221 — exactly 12 tokens; token
+        # values per README.md:29 (incl. ミ→身 NEologd normalization and
+        # SMAP→smap lowercase fold).
+        tokens = analyzer.tokenize(GOLDEN_SENTENCE)
+        assert tokens == [
+            "10日", "放送", "中居正広の身になる図書館", "テレビ朝日", "系",
+            "smap", "中居正広", "篠原信一", "過去", "勘違い", "明かす", "一幕",
+        ]
+
+    def test_kyary_single_token(self, analyzer):
+        # KuromojiNEologdUDFTest.java:248-256 — NEologd cohesion.
+        assert analyzer.tokenize("きゃりーぱみゅぱみゅ。") == ["きゃりーぱみゅぱみゅ"]
+
+    def test_nikkei_without_user_dict(self, analyzer):
+        assert analyzer.tokenize("日本経済新聞。") == ["日本経済新聞"]
+
+    def test_nikkei_with_user_dict_3_tokens(self):
+        # KuromojiNEologdUDFTest.java:280-299.
+        a = JapaneseAnalyzer(user_dict_rows=USER_DICT_ROWS)
+        assert a.tokenize("日本経済新聞。") == ["日本", "経済", "新聞"]
+
+    def test_null_line_returns_null_not_empty(self, analyzer):
+        # KuromojiNEologdUDF.java:144-147 (O9).
+        assert analyzer.tokenize(None) is None
+
+    def test_empty_line(self, analyzer):
+        assert analyzer.tokenize("") == []
+
+    def test_analyzer_reuse_across_rows(self, analyzer):
+        # KuromojiNEologdUDFTest.java:225-259 — same instance, two rows.
+        first = analyzer.tokenize(GOLDEN_SENTENCE)
+        second = analyzer.tokenize("きゃりーぱみゅぱみゅ。")
+        assert len(first) == 12 and second == ["きゃりーぱみゅぱみゅ"]
+
+
+class TestModes:
+    def test_mode_parse_case_insensitive_and_null(self):
+        # KuromojiNEologdUDF.java:171-192 (O3).
+        assert Mode.parse("NORMAL") is Mode.NORMAL
+        assert Mode.parse("Search") is Mode.SEARCH
+        assert Mode.parse("extended") is Mode.EXTENDED
+        assert Mode.parse(None) is Mode.NORMAL
+        assert Mode.parse("default") is Mode.SEARCH  # DEFAULT_MODE
+
+    def test_invalid_mode_raises(self):
+        # KuromojiNEologdUDFTest.java:78-103 — error, not fallback.
+        with pytest.raises(ValueError):
+            JapaneseAnalyzer(mode="unsupported mode")
+
+    def test_search_mode_decompounds(self):
+        a = JapaneseAnalyzer(mode="search")
+        assert a.tokenize("関西国際空港。") == ["関西", "国際", "空港"]
+        assert a.tokenize("日本経済新聞。") == ["日本", "経済", "新聞"]
+
+    def test_normal_mode_keeps_compounds(self, analyzer):
+        assert analyzer.tokenize("関西国際空港。") == ["関西国際空港"]
+
+    def test_extended_mode_unigrams_unknowns(self):
+        a = JapaneseAnalyzer(mode="extended")
+        toks = a.tokenize("ゾンビ。")  # not in dictionary → unigrams
+        assert toks == ["ゾ", "ン", "ビ"]
+
+
+class TestTriStates:
+    def test_stop_words_empty_disables(self):
+        a = JapaneseAnalyzer(stop_words=[])
+        # ある is in the default stop set; with [] it survives (base form).
+        assert "ある" in a.tokenize("本があった。")
+
+    def test_stop_words_custom_ignore_case(self):
+        # KuromojiNEologdUDF.java:203 ignoreCase=true for custom lists.
+        a = JapaneseAnalyzer(stop_words=["TEST"])
+        assert a.tokenize("test") == []
+
+    def test_stop_tags_empty_disables_pos_filter(self):
+        a = JapaneseAnalyzer(stop_tags=[], stop_words=[])
+        toks = a.tokenize("日本経済新聞の放送")
+        assert "の" in toks
+
+    def test_stop_tags_null_elements_skipped(self):
+        # KuromojiNEologdUDF.java:217-227.
+        # stop_words=[] so the default stop set doesn't mask the POS check.
+        a = JapaneseAnalyzer(stop_tags=["助詞-連体化", None], stop_words=[])
+        toks = a.tokenize("過去の放送です")
+        assert "の" not in toks and "です" in toks
+
+    def test_defaults_drop_particles_and_aux(self, analyzer):
+        toks = analyzer.tokenize("過去の放送です。")
+        assert toks == ["過去", "放送"]
+
+
+class TestUserDict:
+    def test_csv_parse_ok(self):
+        ud = UserDictionary.from_rows(USER_DICT_ROWS)
+        assert len(ud.entries) == 2
+        assert ud.entries[0].segments == (
+            ("日本", "ニホン"), ("経済", "ケイザイ"), ("新聞", "シンブン"),
+        )
+
+    def test_csv_malformed_raises(self):
+        # Analog of UDFArgumentException on parse failure
+        # (KuromojiNEologdUDF.java:243-247).
+        with pytest.raises(UserDictionaryError):
+            UserDictionary.from_rows(["just-a-surface"])
+        with pytest.raises(UserDictionaryError):
+            UserDictionary.from_rows(["日本経済新聞,日本 新聞,ニホン シンブン,名詞"])
+
+    def test_user_dict_pos_survives_stop_filters(self):
+        a = JapaneseAnalyzer(user_dict_rows=USER_DICT_ROWS)
+        assert a.tokenize("関西国際空港と日本経済新聞。") == [
+            "関西", "国際", "空港", "日本", "経済", "新聞",
+        ]
+
+
+class TestFilters:
+    def test_fold_width_fullwidth_ascii(self):
+        assert fold_width("ＳＭＡＰ１２３") == "SMAP123"
+
+    def test_fold_width_halfwidth_katakana_with_dakuten(self):
+        assert fold_width("ｶﾞｷﾞｸﾞｹﾞｺﾞ") == "ガギグゲゴ"
+        assert fold_width("ﾊﾟﾋﾟﾌﾟ") == "パピプ"
+        assert fold_width("ﾃﾚﾋﾞ") == "テレビ"
+
+    def test_fold_width_not_blanket_nfkc(self):
+        # ① and ㍻ must pass through untouched (CJKWidthFilter ≠ NFKC).
+        assert fold_width("①㍻") == "①㍻"
+
+    def test_katakana_stem(self):
+        assert katakana_stem("コンピューター") == "コンピュータ"
+        assert katakana_stem("サーバー") == "サーバ"
+        assert katakana_stem("カー") == "カー"  # length < 4 untouched
+        assert katakana_stem("data-ー") == "data-ー"  # non-katakana untouched
+
+    def test_base_form_filter(self, analyzer):
+        # 明かし → 明かす (README.md:29 evidence; SURVEY.md §2.2 row 2).
+        toks = analyzer.tokenize("勘違いを明かした。")
+        assert "明かす" in toks and "明かし" not in toks
+
+    def test_lowercase_filter(self, analyzer):
+        assert analyzer.tokenize("Spark SQL") == ["spark", "sql"]
+
+
+class TestLatinText:
+    def test_ascii_words_pass_through(self, analyzer):
+        assert analyzer.tokenize("the fast key order") == ["the", "fast", "key", "order"]
+
+    def test_digits_grouped(self, analyzer):
+        assert analyzer.tokenize("2020年の12月") == ["2020", "年", "12月"]
