@@ -3,36 +3,52 @@
 The driver's verify runs ``entry(spark)`` as a smoke check, runs
 each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+order-insensitive value-hash → CORRECTNESS_r{N}.json).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query (SURVEY.md §7): tokenize → explode → groupBy(token)
+    → count → top-20 on sf0.001 documents — exercises source scan, the
+    tokenizer pandas UDF, explode, aggregation, sort and limit."""
+    from pyspark.sql import functions as F
+
+    from hive_udf_neologd_spark import tokenize_ja
+    from hive_udf_neologd_spark.session import prepare
+    from hive_udf_neologd_spark.sources import read_table
+
+    prepare(spark)
+    docs = read_table(spark, "/root/testdata/sf0.001", "documents")
+    tok = tokenize_ja()
+    return (
+        docs.filter(F.col("text").isNotNull())
+        .select(F.explode(tok("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(20)
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    """One entry per implemented operator from SURVEY.md §2 (catalog.py)."""
+    from hive_udf_neologd_spark.catalog import QUERIES
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return dict(QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-equivalent SQL per query; omitted keys → rows-only check."""
+    from hive_udf_neologd_spark.catalog import ORACLES
+
+    return dict(ORACLES)

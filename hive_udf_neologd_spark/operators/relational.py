@@ -1,0 +1,586 @@
+"""Relational operator catalog (SURVEY.md §2.3).
+
+The reference runs all relational processing inside Hive (README.md:22-29
+``add jar`` → ``create temporary function`` → ``select``); here each
+category is re-expressed as declarative DataFrame plans so Catalyst keeps
+predicate pushdown, column pruning, join reordering and whole-stage codegen
+(SURVEY.md §4 — nothing here needs a custom rule).
+
+Scale notes (100 TB design):
+* dimension joins broadcast explicitly (``F.broadcast``) — region/nation/
+  supplier/part stay small at every scale factor, so no shuffle on the fact
+  side;
+* aggregations are expressed as groupBy().agg() → Spark plans partial
+  (map-side) aggregation before the shuffle automatically;
+* windows partition by high-cardinality keys (custkey), never by a constant
+  — no single-partition bottleneck;
+* every float output is rounded in BOTH engines so the oracle compare is
+  bit-stable.
+
+Each query has a DuckDB oracle (same parquet, ANSI SQL) keyed by the same
+name; column names/aliases match exactly (driver hashes value-sorted columns
+by name).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from hive_udf_neologd_spark.session import prepare
+from hive_udf_neologd_spark.sources import read_table
+
+
+# --- aggregation: partial+final hash agg, filter pushdown (TPC-H Q1-ish) --
+def q01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prepare(spark)
+    li = read_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") <= "1998-09-02")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "sum_disc_price"
+            ),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
+                ),
+                2,
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+Q01_SQL = """
+SELECT l_returnflag, l_linestatus,
+       ROUND(SUM(l_quantity), 2)                                             AS sum_qty,
+       ROUND(SUM(l_extendedprice), 2)                                        AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)                     AS sum_disc_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)       AS sum_charge,
+       ROUND(AVG(l_quantity), 4)                                             AS avg_qty,
+       ROUND(AVG(l_extendedprice), 4)                                        AS avg_price,
+       ROUND(AVG(l_discount), 4)                                             AS avg_disc,
+       COUNT(*)                                                              AS count_order
+FROM lineitem
+WHERE l_shipdate <= '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+# --- sort / limit / top-k (deterministic tie-break) -----------------------
+def q02_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prepare(spark)
+    return (
+        read_table(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            F.round("o_totalprice", 2).alias("price"),
+            "o_orderpriority",
+        )
+        .orderBy(F.desc("price"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+Q02_SQL = """
+SELECT o_orderkey, o_custkey, ROUND(o_totalprice, 2) AS price, o_orderpriority
+FROM orders
+ORDER BY price DESC, o_orderkey ASC
+LIMIT 10
+"""
+
+
+# --- shuffle (equi) join + aggregation ------------------------------------
+def q03_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prepare(spark)
+    cust = read_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    orders = read_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+Q03_SQL = """
+SELECT c_mktsegment, COUNT(*) AS n_orders, ROUND(SUM(o_totalprice), 2) AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
+# --- broadcast dim joins + ROLLUP ----------------------------------------
+def q04_region_nation_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prepare(spark)
+    cust = read_table(spark, sf_dir, "customer").select("c_nationkey", "c_acctbal")
+    nation = F.broadcast(read_table(spark, sf_dir, "nation"))
+    region = F.broadcast(read_table(spark, sf_dir, "region"))
+    return (
+        cust.join(nation, cust.c_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .rollup("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_acctbal"),
+        )
+        .orderBy("r_name", "n_name")
+    )
+
+
+Q04_SQL = """
+SELECT r_name, n_name, COUNT(*) AS n_customers, ROUND(SUM(c_acctbal), 2) AS total_acctbal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+ORDER BY r_name, n_name
+"""
+
+
+# --- window: per-group top-k via row_number -------------------------------
+def q05_topk_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prepare(spark)
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        read_table(spark, sf_dir, "orders")
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.round("o_totalprice", 2).alias("price"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+        .orderBy("o_custkey", "rn")
+    )
+
+
+Q05_SQL = """
+SELECT * FROM (
+  SELECT o_custkey, o_orderkey, ROUND(o_totalprice, 2) AS price,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+  FROM orders
+) WHERE rn <= 3
+ORDER BY o_custkey, rn
+"""
+
+
+# --- window: running aggregate + lag --------------------------------------
+def q06_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prepare(spark)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        read_table(spark, sf_dir, "orders")
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.round(F.sum("o_totalprice").over(w.rowsBetween(Window.unboundedPreceding, 0)), 2)
+            .alias("running_total"),
+            F.round(F.lag("o_totalprice", 1).over(w), 2).alias("prev_price"),
+        )
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+Q06_SQL = """
+SELECT o_custkey, o_orderkey,
+       ROUND(SUM(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                                     ROWS UNBOUNDED PRECEDING), 2) AS running_total,
+       ROUND(LAG(o_totalprice, 1) OVER (PARTITION BY o_custkey
+                                        ORDER BY o_orderdate, o_orderkey), 2) AS prev_price
+FROM orders
+ORDER BY o_custkey, o_orderkey
+"""
+
+
+# --- distinct aggregation -------------------------------------------------
+def q07_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prepare(spark)
+    return (
+        read_table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.countDistinct("l_suppkey").alias("n_supps"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+Q07_SQL = """
+SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS n_parts,
+       COUNT(DISTINCT l_suppkey) AS n_supps, COUNT(*) AS n_rows
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+# --- set operations -------------------------------------------------------
+def q08_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prepare(spark)
+    building = (
+        read_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select(F.col("c_custkey").alias("custkey"))
+    )
+    big_spenders = (
+        read_table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 300000)
+        .select(F.col("o_custkey").alias("custkey"))
+        .distinct()
+    )
+    both = building.intersect(big_spenders).withColumn("tag", F.lit("both"))
+    only_building = building.exceptAll(big_spenders).distinct().withColumn(
+        "tag", F.lit("building_only")
+    )
+    return both.unionByName(only_building).orderBy("tag", "custkey")
+
+
+Q08_SQL = """
+WITH building AS (SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+     big AS (SELECT DISTINCT o_custkey AS custkey FROM orders WHERE o_totalprice > 300000)
+SELECT custkey, 'both' AS tag FROM (SELECT custkey FROM building INTERSECT SELECT custkey FROM big)
+UNION ALL
+SELECT custkey, 'building_only' AS tag
+FROM (SELECT custkey FROM building EXCEPT SELECT custkey FROM big)
+ORDER BY tag, custkey
+"""
+
+
+# --- semi join ------------------------------------------------------------
+def q09_parts_sold_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prepare(spark)
+    part = read_table(spark, sf_dir, "part")
+    li = read_table(spark, sf_dir, "lineitem").select("l_partkey")
+    return (
+        part.join(li, part.p_partkey == li.l_partkey, "left_semi")
+        .groupBy("p_brand")
+        .agg(F.count(F.lit(1)).alias("n_parts_sold"))
+        .orderBy("p_brand")
+    )
+
+
+Q09_SQL = """
+SELECT p_brand, COUNT(*) AS n_parts_sold
+FROM part WHERE p_partkey IN (SELECT l_partkey FROM lineitem)
+GROUP BY p_brand ORDER BY p_brand
+"""
+
+
+# --- anti join ------------------------------------------------------------
+def q10_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prepare(spark)
+    cust = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders").select("o_custkey")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy("c_mktsegment")
+    )
+
+
+Q10_SQL = """
+SELECT c_mktsegment, COUNT(*) AS n_customers
+FROM customer WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+
+# --- JSON extraction (events.props) ---------------------------------------
+def q11_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prepare(spark)
+    ev = read_table(spark, sf_dir, "events")
+    return (
+        ev.select(
+            "event_type",
+            (F.get_json_object("props", "$.k").cast("int") % 10).alias("k_bucket"),
+            "value",
+        )
+        .groupBy("event_type", "k_bucket")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.avg("value"), 4).alias("avg_value"))
+        .orderBy("event_type", "k_bucket")
+    )
+
+
+Q11_SQL = """
+SELECT event_type, CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 AS k_bucket,
+       COUNT(*) AS n, ROUND(AVG(value), 4) AS avg_value
+FROM events
+GROUP BY event_type, k_bucket
+ORDER BY event_type, k_bucket
+"""
+
+
+# --- date functions + aggregation -----------------------------------------
+def q12_events_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prepare(spark)
+    ev = read_table(spark, sf_dir, "events")
+    return (
+        ev.select(F.date_format("ts", "yyyy-MM-dd").alias("day"), "event_type", "value")
+        .groupBy("day", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .orderBy("day", "event_type")
+    )
+
+
+Q12_SQL = """
+SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
+       COUNT(*) AS n, ROUND(SUM(value), 2) AS total_value
+FROM events GROUP BY day, event_type ORDER BY day, event_type
+"""
+
+
+# --- broadcast join fact→dim ----------------------------------------------
+def q13_brand_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prepare(spark)
+    li = read_table(spark, sf_dir, "lineitem").select("l_partkey", "l_quantity")
+    part = F.broadcast(read_table(spark, sf_dir, "part").select("p_partkey", "p_brand"))
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .groupBy("p_brand")
+        .agg(
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+Q13_SQL = """
+SELECT p_brand, ROUND(AVG(l_quantity), 4) AS avg_qty, COUNT(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand ORDER BY p_brand
+"""
+
+
+# --- CUBE -----------------------------------------------------------------
+def q14_cube_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prepare(spark)
+    return (
+        read_table(spark, sf_dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+Q14_SQL = """
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n, ROUND(SUM(l_quantity), 2) AS sum_qty
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+# --- conditional aggregation ----------------------------------------------
+def q15_priority_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prepare(spark)
+    return (
+        read_table(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0)).alias(
+                "n_urgent"
+            ),
+            F.round(
+                F.sum(F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0))
+                / F.count(F.lit(1)),
+                4,
+            ).alias("urgent_share"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+Q15_SQL = """
+SELECT o_orderstatus, COUNT(*) AS n_orders,
+       CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS n_urgent,
+       ROUND(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 4)
+         AS urgent_share
+FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
+# --- join + agg + top-k (revenue per supplier) ----------------------------
+def q16_top_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prepare(spark)
+    li = read_table(spark, sf_dir, "lineitem").select("l_suppkey", "l_extendedprice", "l_discount")
+    supp = F.broadcast(read_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name"))
+    rev = li.groupBy("l_suppkey").agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue")
+    )
+    return (
+        rev.join(supp, rev.l_suppkey == supp.s_suppkey)
+        .select("s_suppkey", "s_name", "revenue")
+        .orderBy(F.desc("revenue"), F.asc("s_suppkey"))
+        .limit(10)
+    )
+
+
+Q16_SQL = """
+SELECT s_suppkey, s_name, revenue FROM (
+  SELECT l_suppkey, ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+  FROM lineitem GROUP BY l_suppkey
+) JOIN supplier ON l_suppkey = s_suppkey
+ORDER BY revenue DESC, s_suppkey ASC
+LIMIT 10
+"""
+
+
+# --- GROUPING SETS (SQL surface) ------------------------------------------
+def q17_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prepare(spark)
+    read_table(spark, sf_dir, "customer").createOrReplaceTempView("gs_customer")
+    F.broadcast(read_table(spark, sf_dir, "nation")).createOrReplaceTempView("gs_nation")
+    F.broadcast(read_table(spark, sf_dir, "region")).createOrReplaceTempView("gs_region")
+    return spark.sql(
+        """
+        SELECT r_name, n_name, COUNT(*) AS n_customers
+        FROM gs_customer
+        JOIN gs_nation ON c_nationkey = n_nationkey
+        JOIN gs_region ON n_regionkey = r_regionkey
+        GROUP BY GROUPING SETS ((r_name), (n_name), ())
+        ORDER BY r_name, n_name
+        """
+    )
+
+
+Q17_SQL = """
+SELECT r_name, n_name, COUNT(*) AS n_customers
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY GROUPING SETS ((r_name), (n_name), ())
+ORDER BY r_name, n_name
+"""
+
+
+# --- streaming-semantics in batch: tumbling window ------------------------
+def s01_tumbling_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windows via F.window — the batch twin of the
+    Structured Streaming pipeline in streaming/term_counts.py (same window
+    semantics; watermarking only matters on unbounded input)."""
+    prepare(spark)
+    ev = read_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+S01_SQL = """
+SELECT CAST(epoch(time_bucket(INTERVAL '1 hour', ts)) AS BIGINT) AS window_start,
+       event_type, COUNT(*) AS n, ROUND(SUM(value), 2) AS total_value
+FROM events GROUP BY window_start, event_type ORDER BY window_start, event_type
+"""
+
+
+# --- streaming-semantics in batch: session windows ------------------------
+def s02_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30 min gap) per user via F.session_window; the
+    DuckDB oracle reconstructs identical sessions with a gaps-and-islands
+    window query."""
+    prepare(spark)
+    ev = read_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(
+            "user_id",
+            F.unix_timestamp(F.col("w.start")).alias("session_start"),
+            "n_events",
+            "total_value",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+S02_SQL = """
+WITH marked AS (
+  SELECT user_id, ts, value,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   >= INTERVAL '30 minutes' OR
+                   LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+), sessions AS (
+  SELECT user_id, ts, value,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM marked
+)
+SELECT user_id, CAST(FLOOR(epoch(MIN(ts))) AS BIGINT) AS session_start,
+       COUNT(*) AS n_events, ROUND(SUM(value), 2) AS total_value
+FROM sessions GROUP BY user_id, session_id
+ORDER BY user_id, session_start
+"""
+
+
+RELATIONAL_QUERIES = {
+    "q01_pricing_summary": q01_pricing_summary,
+    "q02_top_orders": q02_top_orders,
+    "q03_segment_revenue": q03_segment_revenue,
+    "q04_region_nation_rollup": q04_region_nation_rollup,
+    "q05_topk_orders_per_customer": q05_topk_orders_per_customer,
+    "q06_running_totals": q06_running_totals,
+    "q07_distinct_counts": q07_distinct_counts,
+    "q08_set_ops": q08_set_ops,
+    "q09_parts_sold_semi": q09_parts_sold_semi,
+    "q10_customers_without_orders": q10_customers_without_orders,
+    "q11_json_extract": q11_json_extract,
+    "q12_events_daily": q12_events_daily,
+    "q13_brand_quantity": q13_brand_quantity,
+    "q14_cube_flags": q14_cube_flags,
+    "q15_priority_share": q15_priority_share,
+    "q16_top_suppliers": q16_top_suppliers,
+    "q17_grouping_sets": q17_grouping_sets,
+    "s01_tumbling_event_counts": s01_tumbling_event_counts,
+    "s02_session_windows": s02_session_windows,
+}
+
+RELATIONAL_ORACLES = {
+    "q01_pricing_summary": Q01_SQL,
+    "q02_top_orders": Q02_SQL,
+    "q03_segment_revenue": Q03_SQL,
+    "q04_region_nation_rollup": Q04_SQL,
+    "q05_topk_orders_per_customer": Q05_SQL,
+    "q06_running_totals": Q06_SQL,
+    "q07_distinct_counts": Q07_SQL,
+    "q08_set_ops": Q08_SQL,
+    "q09_parts_sold_semi": Q09_SQL,
+    "q10_customers_without_orders": Q10_SQL,
+    "q11_json_extract": Q11_SQL,
+    "q12_events_daily": Q12_SQL,
+    "q13_brand_quantity": Q13_SQL,
+    "q14_cube_flags": Q14_SQL,
+    "q15_priority_share": Q15_SQL,
+    "q16_top_suppliers": Q16_SQL,
+    "q17_grouping_sets": Q17_SQL,
+    "s01_tumbling_event_counts": S01_SQL,
+    "s02_session_windows": S02_SQL,
+}

@@ -37,7 +37,18 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     if name not in TABLES:
         raise ValueError(f"unknown table {name!r}; expected one of {TABLES}")
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS); Spark (with
+        # spark.sql.legacy.parquet.nanosAsLong, set in session.prepare)
+        # surfaces it as long nanos — normalize to a timestamp (micros,
+        # integer division so no double rounding).
+        from pyspark.sql import functions as F
+        from pyspark.sql.types import LongType
+
+        if isinstance(df.schema["ts"].dataType, LongType):
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    return df
 
 
 def read_csv(spark: SparkSession, path: str, schema=None) -> DataFrame:
