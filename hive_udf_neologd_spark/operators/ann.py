@@ -1,0 +1,161 @@
+"""Similarity search over the ``embeddings`` table (``array<float>``, 64-d).
+
+* a01 — brute-force cosine top-k: the correctness baseline.  The query set
+  is broadcast (tiny side) so the scan side never shuffles; per-partition
+  ranking happens before the final top-k merge (window over query id).
+* a02 — LSH-bucketed ANN (random-hyperplane signatures, Charikar '02): the
+  scale path.  Hyperplane weights are derived deterministically from md5
+  parity so the Spark plan and the DuckDB oracle build identical planes.
+  Candidates = vectors sharing the query's signature bucket → cosine only
+  on candidates.  At 100 TB the bucket join replaces the full cross
+  product; recall is tunable via planes/bands.
+
+All float math is double-widened before any arithmetic so both engines
+fold left-to-right over identical doubles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from hive_udf_neologd_spark.operators.dedup import _cosine_expr
+from hive_udf_neologd_spark.session import prepare
+from hive_udf_neologd_spark.sources import read_table
+
+_QUERY_MOD = 100  # vec_id % 100 == 0 → query set
+_TOP_K = 5
+_N_PLANES = 8
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("e")
+    )
+
+
+# --- a01: brute-force cosine top-k ----------------------------------------
+def a01_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prepare(spark)
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") % _QUERY_MOD == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("e").alias("qe")
+    )
+    scored = emb.crossJoin(F.broadcast(queries)).filter(F.col("vec_id") != F.col("q_id"))
+    cos = _cosine_expr("qe", "e")
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_raw"), F.asc("vec_id"))
+    return (
+        scored.select("q_id", "vec_id", cos.alias("cos_raw"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _TOP_K)
+        .select("q_id", F.col("vec_id").alias("neighbor_id"),
+                F.round("cos_raw", 4).alias("cos"), "rank")
+        .orderBy("q_id", "rank")
+    )
+
+
+A01_SQL = f"""
+WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+q AS (SELECT vec_id AS q_id, e AS qe FROM emb WHERE vec_id % {_QUERY_MOD} = 0),
+scored AS (
+  SELECT q.q_id, emb.vec_id,
+         list_cosine_similarity(q.qe, emb.e) AS cos_raw
+  FROM emb, q WHERE emb.vec_id <> q.q_id
+),
+ranked AS (
+  SELECT q_id, vec_id, cos_raw,
+         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_raw DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT q_id, vec_id AS neighbor_id, ROUND(cos_raw, 4) AS cos, rank
+FROM ranked WHERE rank <= {_TOP_K}
+ORDER BY q_id, rank
+"""
+
+
+# --- a02: LSH-bucketed ANN ------------------------------------------------
+def _plane_sign_expr(p: int) -> str:
+    """±1 weight for plane p at dimension i (0-based), from md5 parity —
+    identical in both engines: odd first hex nibble of md5('p|i') → +1."""
+    return (
+        f"CASE WHEN CAST(conv(substr(md5(concat('{p}|', CAST(i AS STRING))), 1, 1), 16, 10)"
+        f" AS INT) % 2 = 1 THEN 1.0 ELSE -1.0 END"
+    )
+
+
+def _signature_expr() -> str:
+    """Bucket id: sum over planes of (dot(w_p, e) > 0) << p."""
+    parts = []
+    for p in range(_N_PLANES):
+        dot = (
+            "aggregate(zip_with(e, sequence(0, size(e) - 1),"
+            f" (x, i) -> x * ({_plane_sign_expr(p)})), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+        )
+        parts.append(f"(CASE WHEN ({dot}) > 0 THEN CAST(1 AS BIGINT) << {p} ELSE 0 END)")
+    return " + ".join(parts)
+
+
+def a02_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prepare(spark)
+    emb = _emb(spark, sf_dir).withColumn("bucket", F.expr(_signature_expr()))
+    queries = emb.filter(F.col("vec_id") % _QUERY_MOD == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("e").alias("qe"), F.col("bucket").alias("qb")
+    )
+    cands = emb.join(
+        F.broadcast(queries),
+        (F.col("bucket") == F.col("qb")) & (F.col("vec_id") != F.col("q_id")),
+    )
+    cos = _cosine_expr("qe", "e")
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_raw"), F.asc("vec_id"))
+    return (
+        cands.select("q_id", "vec_id", cos.alias("cos_raw"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _TOP_K)
+        .select("q_id", F.col("vec_id").alias("neighbor_id"),
+                F.round("cos_raw", 4).alias("cos"), "rank")
+        .orderBy("q_id", "rank")
+    )
+
+
+def _duck_sig() -> str:
+    parts = []
+    for p in range(_N_PLANES):
+        dot = (
+            "list_aggregate(list_transform(range(1, len(e) + 1),"
+            f" i -> e[i] * (CASE WHEN CAST(concat('0x', substr(md5(concat('{p}|', CAST(i - 1 AS VARCHAR))), 1, 1)) AS INTEGER) % 2 = 1"
+            " THEN 1.0 ELSE -1.0 END)), 'sum')"
+        )
+        parts.append(f"(CASE WHEN ({dot}) > 0 THEN CAST(1 AS BIGINT) << {p} ELSE 0 END)")
+    return " + ".join(parts)
+
+
+A02_SQL = f"""
+WITH emb AS (
+  SELECT vec_id, embedding::DOUBLE[] AS e, {_duck_sig()} AS bucket
+  FROM embeddings
+),
+q AS (SELECT vec_id AS q_id, e AS qe, bucket AS qb FROM emb WHERE vec_id % {_QUERY_MOD} = 0),
+cands AS (
+  SELECT q.q_id, emb.vec_id, list_cosine_similarity(q.qe, emb.e) AS cos_raw
+  FROM emb JOIN q ON emb.bucket = q.qb AND emb.vec_id <> q.q_id
+),
+ranked AS (
+  SELECT q_id, vec_id, cos_raw,
+         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_raw DESC, vec_id ASC) AS rank
+  FROM cands
+)
+SELECT q_id, vec_id AS neighbor_id, ROUND(cos_raw, 4) AS cos, rank
+FROM ranked WHERE rank <= {_TOP_K}
+ORDER BY q_id, rank
+"""
+
+
+ANN_QUERIES = {
+    "a01_ann_bruteforce": a01_ann_bruteforce,
+    "a02_ann_lsh": a02_ann_lsh,
+}
+
+ANN_ORACLES = {
+    "a01_ann_bruteforce": A01_SQL,
+    "a02_ann_lsh": A02_SQL,
+}

@@ -1,0 +1,404 @@
+"""Deduplication operators — the training-data-pipeline tier.
+
+The sf corpora contain no natural duplicates, so each query builds a
+deterministic augmented corpus inline (both in Spark and in the DuckDB
+oracle, from the same integer arithmetic — no RNG):
+
+* ``+100000`` — exact copy of every document;
+* ``+200000`` — near-duplicate: the first ``max(1, 4n/5)`` tokens.
+
+Families (each a first-class ``queries()`` entry with a full oracle):
+
+* d01 exact dedup — hash-groupBy on md5(text): one shuffle on the hash,
+  map-side partial agg; at 100 TB this is the canonical first pass.
+* d02 MinHash + LSH — 3-token shingles → 8 minhashes (min over md5 with
+  per-hash salt) → 4 bands of 2 → candidate pairs via band-bucket
+  self-join.  The band join is the scale path: candidates only, never
+  all-pairs (Broder '97 / LSH banding).
+* d03 SimHash — 32-bit signatures from token-hash bit votes (Charikar '02),
+  plus Hamming distance of each doc to its near-dup copy via xor+bit_count.
+* d04 token-set Jaccard vs the near-dup copy (array_intersect/union).
+* d05 bucketed n-gram Jaccard all-pairs within (lang, source) buckets —
+  bounded quadratic: the bucket key caps pair growth at scale.
+* d06 embedding-cosine near-dup pairs within label buckets.
+
+All hashing is md5 (identical hex in Spark and DuckDB) so signatures are
+bit-identical across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hive_udf_neologd_spark.session import prepare
+from hive_udf_neologd_spark.sources import read_table
+
+EXACT_OFF = 100000
+MUT_OFF = 200000
+
+# Shared corpus construction, SQL side (keep in lockstep with _corpus()).
+_CORPUS_SQL = """
+base AS (SELECT doc_id, text, lang, source FROM documents),
+mut AS (
+  SELECT doc_id + 200000 AS doc_id,
+         array_to_string(
+           (string_split(text, ' '))[1:GREATEST(1, (len(string_split(text, ' ')) * 4) // 5)],
+           ' ') AS text,
+         lang, source
+  FROM base
+),
+exact AS (SELECT doc_id + 100000 AS doc_id, text, lang, source FROM base),
+corpus AS (SELECT * FROM base UNION ALL SELECT * FROM exact UNION ALL SELECT * FROM mut)
+"""
+
+
+def _base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return read_table(spark, sf_dir, "documents").select("doc_id", "text", "lang", "source")
+
+
+def _mutated(base: DataFrame) -> DataFrame:
+    """First max(1, 4n/5) tokens — integer arithmetic only (FP-free, so the
+    oracle's corpus is bit-identical)."""
+    return base.select(
+        (F.col("doc_id") + MUT_OFF).alias("doc_id"),
+        F.expr(
+            "array_join(slice(split(text, ' '), 1,"
+            " greatest(1, (size(split(text, ' ')) * 4) DIV 5)), ' ')"
+        ).alias("text"),
+        "lang",
+        "source",
+    )
+
+
+def _corpus(spark: SparkSession, sf_dir: str, with_exact: bool = True) -> DataFrame:
+    base = _base(spark, sf_dir)
+    out = base
+    if with_exact:
+        out = out.unionByName(base.withColumn("doc_id", F.col("doc_id") + EXACT_OFF))
+    return out.unionByName(_mutated(base))
+
+
+# --- d01: exact dedup (hash groupBy) --------------------------------------
+def d01_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prepare(spark)
+    return (
+        _corpus(spark, sf_dir)
+        .groupBy(F.md5("text").alias("text_hash"))
+        .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+        .orderBy("keep_id")
+    )
+
+
+D01_SQL = f"""
+WITH {_CORPUS_SQL}
+SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+FROM corpus GROUP BY md5(text) ORDER BY keep_id
+"""
+
+
+# --- d02: MinHash + LSH banding -------------------------------------------
+_N_HASHES = 8
+_N_BANDS = 4  # rows-per-band = 2
+
+
+def d02_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prepare(spark)
+    corpus = _corpus(spark, sf_dir, with_exact=False)
+    toks = F.split(F.col("text"), " ")
+    shingles = F.expr(
+        "transform(sequence(1, size(split(text, ' ')) - 2),"
+        " i -> concat_ws(' ', slice(split(text, ' '), i, 3)))"
+    )
+    def _salted(j: int):
+        # NB: must return a ONE-arg lambda — F.transform treats a two-arg
+        # callable as (element, index), which would turn the salt into the
+        # shingle index.
+        return lambda s: F.md5(F.concat(F.lit(f"{j}|"), s))
+
+    sigs = corpus.filter(F.size(toks) >= 3).select(
+        "doc_id",
+        *[
+            F.array_min(F.transform(shingles, _salted(j))).alias(f"h{j}")
+            for j in range(_N_HASHES)
+        ],
+    )
+    bands = sigs.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.md5(F.concat(F.col(f"h{2 * b}"), F.col(f"h{2 * b + 1}")))
+                    for b in range(_N_BANDS)
+                ]
+            )
+        ).alias("band", "bucket"),
+    )
+    left = bands.alias("a")
+    right = bands.alias("b")
+    return (
+        left.join(
+            right,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .distinct()
+        .orderBy("id_a", "id_b")
+    )
+
+
+D02_SQL = f"""
+WITH {_CORPUS_SQL},
+corpus2 AS (SELECT doc_id, text FROM corpus WHERE doc_id < 100000 OR doc_id >= 200000),
+toks AS (
+  SELECT doc_id, string_split(text, ' ') AS ts FROM corpus2
+  WHERE len(string_split(text, ' ')) >= 3
+),
+sh AS (
+  SELECT doc_id,
+         list_transform(range(1, len(ts) - 1),
+                        i -> array_to_string(ts[i:i+2], ' ')) AS shingles
+  FROM toks
+),
+sigs AS (
+  SELECT doc_id,
+         {", ".join(
+             f"list_aggregate(list_transform(shingles, s -> md5('{j}|' || s)), 'min') AS h{j}"
+             for j in range(_N_HASHES)
+         )}
+  FROM sh
+),
+bands AS (
+  SELECT doc_id, u.b AS band,
+         CASE u.b {" ".join(f"WHEN {b} THEN md5(h{2 * b} || h{2 * b + 1})" for b in range(_N_BANDS))} END AS bucket
+  FROM sigs, unnest(range(0, {_N_BANDS})) AS u(b)
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+ORDER BY id_a, id_b
+"""
+
+
+# --- d03: SimHash signatures + Hamming to the near-dup copy ---------------
+def d03_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prepare(spark)
+    corpus = _corpus(spark, sf_dir, with_exact=False)
+    tokens = corpus.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    hashed = tokens.select(
+        "doc_id",
+        F.expr("CAST(conv(substr(md5(tok), 1, 8), 16, 10) AS BIGINT)").alias("v"),
+    )
+    bits = hashed.select(
+        "doc_id", "v", F.explode(F.sequence(F.lit(0), F.lit(31))).alias("b")
+    ).select(
+        "doc_id",
+        "b",
+        F.expr("CASE WHEN (v >> b) & 1 = 1 THEN 1 ELSE -1 END").alias("contrib"),
+    )
+    sims = (
+        bits.groupBy("doc_id", "b")
+        .agg(F.sum("contrib").alias("s"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.expr("CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << b ELSE 0 END")).alias(
+                "simhash"
+            )
+        )
+    )
+    base = sims.filter(F.col("doc_id") < EXACT_OFF).alias("x")
+    mut = sims.filter(F.col("doc_id") >= MUT_OFF).alias("y")
+    return (
+        base.join(mut, F.col("y.doc_id") == F.col("x.doc_id") + MUT_OFF)
+        .select(
+            F.col("x.doc_id").alias("doc_id"),
+            F.col("x.simhash").alias("simhash"),
+            F.col("y.simhash").alias("simhash_mut"),
+            F.expr("bit_count(x.simhash ^ y.simhash)").cast("int").alias("hamming"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+D03_SQL = f"""
+WITH {_CORPUS_SQL},
+corpus2 AS (SELECT doc_id, text FROM corpus WHERE doc_id < 100000 OR doc_id >= 200000),
+tokens AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM corpus2),
+hashed AS (
+  SELECT doc_id,
+         CAST(CAST(concat('0x', substr(md5(tok), 1, 8)) AS UBIGINT) AS BIGINT) AS v
+  FROM tokens
+),
+bits AS (
+  SELECT doc_id, u.b AS b,
+         CASE WHEN (v >> u.b) & 1 = 1 THEN 1 ELSE -1 END AS contrib
+  FROM hashed, unnest(range(0, 32)) AS u(b)
+),
+votes AS (SELECT doc_id, b, SUM(contrib) AS s FROM bits GROUP BY doc_id, b),
+sims AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << b ELSE 0 END) AS BIGINT) AS simhash
+  FROM votes GROUP BY doc_id
+)
+SELECT x.doc_id AS doc_id, x.simhash AS simhash, y.simhash AS simhash_mut,
+       CAST(bit_count(xor(x.simhash, y.simhash)) AS INTEGER) AS hamming
+FROM sims x JOIN sims y ON y.doc_id = x.doc_id + 200000
+WHERE x.doc_id < 100000
+ORDER BY doc_id
+"""
+
+
+# --- d04: token-set Jaccard vs the near-dup copy --------------------------
+def d04_jaccard_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prepare(spark)
+    base = _base(spark, sf_dir).select("doc_id", F.split("text", " ").alias("ta"))
+    mut = _mutated(_base(spark, sf_dir)).select(
+        (F.col("doc_id") - MUT_OFF).alias("doc_id"), F.split("text", " ").alias("tb")
+    )
+    return (
+        base.join(mut, "doc_id")
+        .select(
+            "doc_id",
+            F.round(
+                F.size(F.array_intersect("ta", "tb"))
+                / F.size(F.array_union("ta", "tb")),
+                4,
+            ).alias("jaccard"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+D04_SQL = f"""
+WITH {_CORPUS_SQL}
+SELECT b.doc_id AS doc_id,
+       ROUND(len(list_intersect(string_split(b.text, ' '), string_split(m.text, ' '))) * 1.0
+             / len(list_distinct(list_concat(string_split(b.text, ' '),
+                                             string_split(m.text, ' ')))), 4) AS jaccard
+FROM base b JOIN mut m ON m.doc_id = b.doc_id + 200000
+ORDER BY doc_id
+"""
+
+
+# --- d05: bucketed all-pairs Jaccard (bounded quadratic) ------------------
+_J_THRESHOLD = 0.8
+
+
+def d05_bucket_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prepare(spark)
+    docs = _base(spark, sf_dir).select(
+        "doc_id", "lang", "source", F.array_distinct(F.split("text", " ")).alias("ts")
+    )
+    a, b = docs.alias("a"), docs.alias("b")
+    j = F.size(F.array_intersect("a.ts", "b.ts")) / F.size(F.array_union("a.ts", "b.ts"))
+    return (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.round(j, 4).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= _J_THRESHOLD)
+        .orderBy("id_a", "id_b")
+    )
+
+
+D05_SQL = f"""
+WITH docs AS (
+  SELECT doc_id, lang, source, list_distinct(string_split(text, ' ')) AS ts
+  FROM documents
+)
+SELECT id_a, id_b, jaccard FROM (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         ROUND(len(list_intersect(a.ts, b.ts)) * 1.0
+               / len(list_distinct(list_concat(a.ts, b.ts))), 4) AS jaccard
+  FROM docs a JOIN docs b
+    ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+)
+WHERE jaccard >= {_J_THRESHOLD}
+ORDER BY id_a, id_b
+"""
+
+
+# --- d06: embedding-cosine near-dup pairs within label buckets ------------
+_COS_THRESHOLD = 0.999
+
+
+def _cosine_expr(a: str, b: str) -> F.Column:
+    """Cosine over array<double> via zip_with + aggregate — all JVM-side
+    builtins, sequential left-fold (bit-compatible with DuckDB's list
+    kernels)."""
+    dot = F.expr(
+        f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    na = F.expr(
+        f"sqrt(aggregate(transform({a}, x -> x * x), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v))"
+    )
+    nb = F.expr(
+        f"sqrt(aggregate(transform({b}, x -> x * x), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v))"
+    )
+    return dot / (na * nb)
+
+
+def d06_embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prepare(spark)
+    emb = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("e")
+    )
+    doubled = emb.unionByName(
+        emb.select((F.col("vec_id") + 100000).alias("vec_id"), "label", "e")
+    )
+    a, b = doubled.alias("a"), doubled.alias("b")
+    cos = _cosine_expr("a.e", "b.e")
+    return (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            F.round(cos, 4).alias("cos"),
+        )
+        .filter(F.col("cos") >= _COS_THRESHOLD)
+        .orderBy("id_a", "id_b")
+    )
+
+
+D06_SQL = f"""
+WITH emb AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+doubled AS (SELECT * FROM emb UNION ALL SELECT vec_id + 100000, label, e FROM emb)
+SELECT id_a, id_b, cos FROM (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         ROUND(list_cosine_similarity(a.e, b.e), 4) AS cos
+  FROM doubled a JOIN doubled b ON a.label = b.label AND a.vec_id < b.vec_id
+)
+WHERE cos >= {_COS_THRESHOLD}
+ORDER BY id_a, id_b
+"""
+
+
+DEDUP_QUERIES = {
+    "d01_dedup_exact": d01_dedup_exact,
+    "d02_minhash_lsh_pairs": d02_minhash_lsh_pairs,
+    "d03_simhash": d03_simhash,
+    "d04_jaccard_near_dup": d04_jaccard_near_dup,
+    "d05_bucket_jaccard_pairs": d05_bucket_jaccard_pairs,
+    "d06_embedding_dup_pairs": d06_embedding_dup_pairs,
+}
+
+DEDUP_ORACLES = {
+    "d01_dedup_exact": D01_SQL,
+    "d02_minhash_lsh_pairs": D02_SQL,
+    "d03_simhash": D03_SQL,
+    "d04_jaccard_near_dup": D04_SQL,
+    "d05_bucket_jaccard_pairs": D05_SQL,
+    "d06_embedding_dup_pairs": D06_SQL,
+}

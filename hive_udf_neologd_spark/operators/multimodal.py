@@ -1,0 +1,198 @@
+"""Multimodal columns: image/audio/video as opaque ``binary`` + typed
+metadata.
+
+The container has no image/audio codecs, so the decode kernels are STUBS
+(deterministic fakes clearly marked below); everything Spark-side is real
+and tested: the binary schema, Arrow batch shape through ``mapInPandas``,
+partition-preserving narrow execution, and the metadata extraction plumbing.
+
+At 100 TB: blobs stay in parquet binary columns, decode runs in Arrow
+batches inside ``mapInPandas`` (no shuffle — narrow), metadata-only queries
+never touch the blob column thanks to parquet column pruning.
+
+m01 is the oracle-gated slice: binary encode → byte length → sha256 —
+pure built-ins in both engines.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from hive_udf_neologd_spark.session import prepare
+from hive_udf_neologd_spark.sources import read_table
+
+# Schema for a multimodal asset table: opaque payload + typed metadata.
+ASSET_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType(), False),
+        StructField("kind", StringType(), False),  # image | audio | video
+        StructField("payload", BinaryType(), True),
+        StructField("meta_json", StringType(), True),
+    ]
+)
+
+DECODED_SCHEMA = StructType(
+    [
+        StructField("asset_id", LongType(), False),
+        StructField("kind", StringType(), False),
+        StructField("byte_len", LongType(), False),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("n_frames", IntegerType(), True),
+    ]
+)
+
+
+def decode_payload(payload: bytes, kind: str) -> dict:
+    """STUB decode kernel.
+
+    A real deployment plugs Pillow/torchaudio/pyav here; this container has
+    none of them, so we derive deterministic fake dimensions from the byte
+    length (keeps the Spark plumbing — schema, batching, null handling —
+    fully testable).  Raises for unknown kinds, mirroring a codec error.
+    """
+    if payload is None:
+        return {"byte_len": 0, "width": None, "height": None, "n_frames": None}
+    n = len(payload)
+    if kind == "image":
+        return {"byte_len": n, "width": 16 + n % 640, "height": 16 + n % 480, "n_frames": 1}
+    if kind == "audio":
+        return {"byte_len": n, "width": None, "height": None, "n_frames": 1 + n % 1000}
+    if kind == "video":
+        return {"byte_len": n, "width": 16 + n % 1920, "height": 16 + n % 1080,
+                "n_frames": 1 + n % 240}
+    raise NotImplementedError(f"no codec for kind={kind!r}")
+
+
+def decode_assets(assets: DataFrame) -> DataFrame:
+    """mapInPandas decode: Arrow-batched, narrow (partition-preserving)."""
+
+    def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pd.DataFrame(
+                [
+                    {"asset_id": aid, "kind": kind, **decode_payload(payload, kind)}
+                    for aid, kind, payload in zip(
+                        pdf["asset_id"], pdf["kind"], pdf["payload"]
+                    )
+                ]
+            )
+            yield out
+
+    return assets.mapInPandas(_decode, schema=DECODED_SCHEMA)
+
+
+def synthetic_assets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build a multimodal asset table from documents: payload = utf-8 bytes
+    of the text (a deterministic stand-in for real image/audio blobs)."""
+    docs = read_table(spark, sf_dir, "documents")
+    kind = (
+        F.when(F.col("doc_id") % 3 == 0, "image")
+        .when(F.col("doc_id") % 3 == 1, "audio")
+        .otherwise("video")
+    )
+    return docs.select(
+        F.col("doc_id").alias("asset_id"),
+        kind.alias("kind"),
+        F.encode("text", "UTF-8").alias("payload"),
+        F.to_json(F.struct("lang", "source")).alias("meta_json"),
+    )
+
+
+# --- m01: binary metadata (oracle-gated slice of the plumbing) ------------
+def m01_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prepare(spark)
+    docs = read_table(spark, sf_dir, "documents")
+    payload = F.encode("text", "UTF-8")
+    return (
+        docs.select(
+            "doc_id",
+            F.length(payload).alias("byte_len"),
+            F.sha2(payload, 256).alias("sha"),
+            (
+                F.when(F.col("doc_id") % 3 == 0, "image")
+                .when(F.col("doc_id") % 3 == 1, "audio")
+                .otherwise("video")
+            ).alias("kind"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+M01_SQL = """
+SELECT doc_id,
+       octet_length(encode(text)) AS byte_len,
+       sha256(text) AS sha,
+       CASE WHEN doc_id % 3 = 0 THEN 'image'
+            WHEN doc_id % 3 = 1 THEN 'audio'
+            ELSE 'video' END AS kind
+FROM documents ORDER BY doc_id
+"""
+
+
+# --- m02: decoded-metadata aggregate over the mapInPandas pipeline --------
+def m02_decoded_meta_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full plumbing: synthetic assets → mapInPandas decode → aggregate.
+    The oracle replays the stub decode arithmetic in SQL (byte-length
+    derived fakes), so batching/schema bugs in the Python path surface as
+    value mismatches."""
+    prepare(spark)
+    assets = synthetic_assets(spark, sf_dir)
+    return (
+        decode_assets(assets)
+        .groupBy("kind")
+        .agg(
+            F.count(F.lit(1)).alias("n_assets"),
+            F.sum("byte_len").alias("total_bytes"),
+            F.round(F.avg("width"), 4).alias("avg_width"),
+            F.round(F.avg("n_frames"), 4).alias("avg_frames"),
+        )
+        .orderBy("kind")
+    )
+
+
+M02_SQL = """
+WITH assets AS (
+  SELECT doc_id AS asset_id,
+         CASE WHEN doc_id % 3 = 0 THEN 'image'
+              WHEN doc_id % 3 = 1 THEN 'audio'
+              ELSE 'video' END AS kind,
+         octet_length(encode(text)) AS n
+  FROM documents
+),
+decoded AS (
+  SELECT asset_id, kind, n AS byte_len,
+         CASE kind WHEN 'image' THEN 16 + n % 640
+                   WHEN 'video' THEN 16 + n % 1920 END AS width,
+         CASE kind WHEN 'image' THEN 1
+                   WHEN 'audio' THEN 1 + n % 1000
+                   WHEN 'video' THEN 1 + n % 240 END AS n_frames
+  FROM assets
+)
+SELECT kind, COUNT(*) AS n_assets, CAST(SUM(byte_len) AS BIGINT) AS total_bytes,
+       ROUND(AVG(width), 4) AS avg_width, ROUND(AVG(n_frames), 4) AS avg_frames
+FROM decoded GROUP BY kind ORDER BY kind
+"""
+
+
+MM_QUERIES = {
+    "m01_binary_meta": m01_binary_meta,
+    "m02_decoded_meta_stats": m02_decoded_meta_stats,
+}
+
+MM_ORACLES = {
+    "m01_binary_meta": M01_SQL,
+    "m02_decoded_meta_stats": M02_SQL,
+}

@@ -1,0 +1,266 @@
+"""Text-analysis operators over the ``documents`` table.
+
+t01 is the flagship consumer of the tokenizer UDF (SURVEY.md §7 minimum
+slice).  Its oracle is exact: the sf corpus is single-space-separated
+``[a-z ]`` text, on which the analyzer chain (latin-run segmentation, no
+Japanese stopword hits, lowercase identity) provably reduces to
+whitespace splitting — so the DuckDB ``string_split`` oracle gates the whole
+UDF plumbing, not just the relational shell.
+
+t02-t05 are the training-data-pipeline text tier: token counting
+(whitespace + regex), language-ID (marker-token heuristic), quality
+scoring (length/type-token-ratio features), and winnowing document
+fingerprints (k-gram rolling hashes + window minima — the local-minima
+scheme of Schleimer et al., SIGMOD 2003).
+
+Scale notes: everything is built-in expression work (no Python UDF except
+t01's tokenizer); fingerprinting shuffles once on doc_id (the window) and
+aggregates map-side first.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from hive_udf_neologd_spark.functions.tokenize import tokenize_ja
+from hive_udf_neologd_spark.session import prepare
+from hive_udf_neologd_spark.sources import read_table
+
+
+# --- t01: flagship tokenize → explode → top-k -----------------------------
+def t01_token_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prepare(spark)
+    docs = read_table(spark, sf_dir, "documents")
+    tok = tokenize_ja()
+    return (
+        docs.filter(F.col("text").isNotNull())
+        .select(F.explode(tok("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(20)
+    )
+
+
+T01_SQL = """
+SELECT token, COUNT(*) AS n
+FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents WHERE text IS NOT NULL)
+WHERE token <> ''
+GROUP BY token
+ORDER BY n DESC, token ASC
+LIMIT 20
+"""
+
+
+# --- t02: token counting (whitespace + BPE-ish regex) ---------------------
+def t02_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prepare(spark)
+    docs = read_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    return (
+        docs.select(
+            "lang",
+            F.size(toks).alias("n_ws"),
+            F.size(F.regexp_extract_all("text", F.lit("[a-z0-9]+"), 0)).alias("n_re"),
+            (F.size(F.array_distinct(toks)) / F.size(toks)).alias("ttr"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("n_ws"), 4).alias("avg_ws_tokens"),
+            F.round(F.avg("n_re"), 4).alias("avg_re_tokens"),
+            F.round(F.avg("ttr"), 4).alias("avg_ttr"),
+        )
+        .orderBy("lang")
+    )
+
+
+T02_SQL = """
+WITH per_doc AS (
+  SELECT lang,
+         len(string_split(text, ' ')) AS n_ws,
+         len(regexp_extract_all(text, '[a-z0-9]+')) AS n_re,
+         len(list_distinct(string_split(text, ' '))) * 1.0
+           / len(string_split(text, ' ')) AS ttr
+  FROM documents
+)
+SELECT lang, COUNT(*) AS n_docs,
+       ROUND(AVG(n_ws), 4) AS avg_ws_tokens,
+       ROUND(AVG(n_re), 4) AS avg_re_tokens,
+       ROUND(AVG(ttr), 4) AS avg_ttr
+FROM per_doc GROUP BY lang ORDER BY lang
+"""
+
+
+# --- t03: language identification (marker-token heuristic) ----------------
+_LANG_MARKERS = {
+    "en": ("the", "of", "and", "to", "in", "is"),
+    "fr": ("le", "la", "et", "les", "des", "une"),
+    "es": ("el", "los", "las", "una", "por", "con"),
+    "de": ("der", "die", "und", "das", "ein", "mit"),
+}
+
+
+def _in_list(vals: tuple[str, ...]) -> str:
+    return ", ".join(f"'{v}'" for v in vals)
+
+
+def t03_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prepare(spark)
+    docs = read_table(spark, sf_dir, "documents")
+    hits = {
+        lang: F.expr(
+            f"size(filter(split(text, ' '), t -> t IN ({_in_list(words)})))"
+        ).alias(f"{lang}_hits")
+        for lang, words in _LANG_MARKERS.items()
+    }
+    scored = docs.select("doc_id", "lang", *hits.values())
+    e, fr, es, de = (F.col(f"{l}_hits") for l in ("en", "fr", "es", "de"))
+    pred = (
+        F.when((e >= fr) & (e >= es) & (e >= de) & (e > 0), "en")
+        .when((fr >= es) & (fr >= de) & (fr > 0), "fr")
+        .when((es >= de) & (es > 0), "es")
+        .when(de > 0, "de")
+        .otherwise("und")
+    )
+    return scored.withColumn("lang_pred", pred).orderBy("doc_id")
+
+
+def _t03_sql() -> str:
+    hit_cols = ",\n         ".join(
+        f"len(list_filter(string_split(text, ' '), t -> t IN ({_in_list(words)}))) AS {lang}_hits"
+        for lang, words in _LANG_MARKERS.items()
+    )
+    return f"""
+WITH scored AS (
+  SELECT doc_id, lang,
+         {hit_cols}
+  FROM documents
+)
+SELECT doc_id, lang, en_hits, fr_hits, es_hits, de_hits,
+       CASE WHEN en_hits >= fr_hits AND en_hits >= es_hits AND en_hits >= de_hits
+                 AND en_hits > 0 THEN 'en'
+            WHEN fr_hits >= es_hits AND fr_hits >= de_hits AND fr_hits > 0 THEN 'fr'
+            WHEN es_hits >= de_hits AND es_hits > 0 THEN 'es'
+            WHEN de_hits > 0 THEN 'de'
+            ELSE 'und' END AS lang_pred
+FROM scored ORDER BY doc_id
+"""
+
+
+T03_SQL = _t03_sql()
+
+
+# --- t04: quality scoring -------------------------------------------------
+def t04_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic document quality: token count, mean token length,
+    type-token ratio — combined into a [0,1]-ish score; low-quality docs
+    (short or highly repetitive) filtered out."""
+    prepare(spark)
+    docs = read_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    ttr = F.size(F.array_distinct(toks)) / n
+    avg_len = (F.length("text") - (n - 1)) / n  # chars minus separators
+    score = F.round(
+        F.least(n / F.lit(50.0), F.lit(1.0)) * 0.4
+        + ttr * 0.4
+        + F.least(avg_len / F.lit(8.0), F.lit(1.0)) * 0.2,
+        4,
+    )
+    return (
+        docs.select(
+            "doc_id",
+            n.alias("n_tokens"),
+            F.round(ttr, 4).alias("ttr"),
+            F.round(avg_len, 4).alias("avg_token_len"),
+            score.alias("quality"),
+        )
+        .filter(score >= 0.5)
+        .orderBy("doc_id")
+    )
+
+
+T04_SQL = """
+WITH feat AS (
+  SELECT doc_id,
+         len(string_split(text, ' ')) AS n_tokens,
+         len(list_distinct(string_split(text, ' '))) * 1.0
+           / len(string_split(text, ' ')) AS ttr_raw,
+         (length(text) - (len(string_split(text, ' ')) - 1)) * 1.0
+           / len(string_split(text, ' ')) AS avg_len_raw
+  FROM documents
+)
+SELECT doc_id, n_tokens, ROUND(ttr_raw, 4) AS ttr, ROUND(avg_len_raw, 4) AS avg_token_len,
+       ROUND(LEAST(n_tokens / 50.0, 1.0) * 0.4 + ttr_raw * 0.4
+             + LEAST(avg_len_raw / 8.0, 1.0) * 0.2, 4) AS quality
+FROM feat
+WHERE ROUND(LEAST(n_tokens / 50.0, 1.0) * 0.4 + ttr_raw * 0.4
+            + LEAST(avg_len_raw / 8.0, 1.0) * 0.2, 4) >= 0.5
+ORDER BY doc_id
+"""
+
+
+# --- t05: winnowing fingerprints (rolling hash + window minima) -----------
+def t05_fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting via winnowing: hash every 3-token shingle,
+    take minima over a sliding window of 4 shingles, count distinct minima
+    per doc.  One shuffle (window on doc_id), map-side shingling."""
+    prepare(spark)
+    docs = read_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    shingled = (
+        docs.filter(F.size(toks) >= 3)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    "transform(sequence(1, size(split(text, ' ')) - 2),"
+                    " i -> md5(concat_ws(' ', slice(split(text, ' '), i, 3))))"
+                )
+            ).alias("pos", "h"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, 3)
+    return (
+        shingled.select("doc_id", F.min("h").over(w).alias("mh"))
+        .groupBy("doc_id")
+        .agg(F.countDistinct("mh").alias("n_fingerprints"))
+        .orderBy("doc_id")
+    )
+
+
+T05_SQL = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+s AS (
+  SELECT doc_id, u.i AS i, md5(array_to_string(ts[u.i:u.i+2], ' ')) AS h
+  FROM t, unnest(range(1, len(ts) - 1)) AS u(i)
+  WHERE len(ts) >= 3
+),
+w AS (
+  SELECT doc_id,
+         MIN(h) OVER (PARTITION BY doc_id ORDER BY i
+                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS mh
+  FROM s
+)
+SELECT doc_id, COUNT(DISTINCT mh) AS n_fingerprints
+FROM w GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+TEXT_QUERIES = {
+    "t01_token_topk": t01_token_topk,
+    "t02_token_stats": t02_token_stats,
+    "t03_langid": t03_langid,
+    "t04_quality_score": t04_quality_score,
+    "t05_fingerprint_winnow": t05_fingerprint_winnow,
+}
+
+TEXT_ORACLES = {
+    "t01_token_topk": T01_SQL,
+    "t02_token_stats": T02_SQL,
+    "t03_langid": T03_SQL,
+    "t04_quality_score": T04_SQL,
+    "t05_fingerprint_winnow": T05_SQL,
+}
