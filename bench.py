@@ -1,0 +1,72 @@
+"""Benchmark harness.
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS], materializing each
+result via the noop sink (full execution, no driver collect), and prints
+ONE JSON line:
+
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Protocol (BASELINE.md): one warmup run per query, record the second run.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+HEADLINE = [
+    "q01_pricing_summary",
+    "q03_segment_revenue",
+    "q05_topk_orders_per_customer",
+    "q16_top_suppliers",
+    "t01_token_topk",
+    "t05_fingerprint_winnow",
+    "d01_dedup_exact",
+    "d02_minhash_lsh_pairs",
+    "d03_simhash",
+    "a01_ann_bruteforce",
+    "s02_session_windows",
+]
+
+
+def _materialize(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    from hive_udf_neologd_spark.catalog import QUERIES
+    from hive_udf_neologd_spark.session import get_spark
+
+    spark = get_spark("bench")
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        builder = QUERIES[name]
+        _materialize(builder(spark, SF_DIR))  # warmup (plan + JIT + cache)
+        t0 = time.time()
+        _materialize(builder(spark, SF_DIR))
+        timings[name] = round(time.time() - t0, 3)
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_wall_clock",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -110,18 +110,18 @@ def d02_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "transform(sequence(1, size(split(text, ' ')) - 2),"
         " i -> concat_ws(' ', slice(split(text, ' '), i, 3)))"
     )
-    def _salted(j: int):
-        # NB: must return a ONE-arg lambda — F.transform treats a two-arg
-        # callable as (element, index), which would turn the salt into the
-        # shingle index.
-        return lambda s: F.md5(F.concat(F.lit(f"{j}|"), s))
-
-    sigs = corpus.filter(F.size(toks) >= 3).select(
-        "doc_id",
+    # Explode shingles to rows, then min-aggregate the salted hashes: each
+    # md5 is computed exactly once (array-lambda formulations re-evaluate
+    # the shingle array per hash function under projection collapse), and
+    # the min() aggregate combines map-side — the formulation that scales.
+    sh_rows = corpus.filter(F.size(toks) >= 3).select(
+        "doc_id", F.explode(shingles).alias("s")
+    )
+    sigs = sh_rows.groupBy("doc_id").agg(
         *[
-            F.array_min(F.transform(shingles, _salted(j))).alias(f"h{j}")
+            F.min(F.md5(F.concat(F.lit(f"{j}|"), F.col("s")))).alias(f"h{j}")
             for j in range(_N_HASHES)
-        ],
+        ]
     )
     bands = sigs.select(
         "doc_id",

@@ -33,8 +33,13 @@ def t01_token_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     prepare(spark)
     docs = read_table(spark, sf_dir, "documents")
     tok = tokenize_ja()
+    # The corpus arrives as one small parquet file (one input split); the
+    # tokenizer is the expensive stage, so spread it across the cluster
+    # before the UDF — a trivial shuffle of raw text buys full parallelism.
+    par = spark.sparkContext.defaultParallelism
     return (
         docs.filter(F.col("text").isNotNull())
+        .repartition(par)
         .select(F.explode(tok("text")).alias("token"))
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("n"))
