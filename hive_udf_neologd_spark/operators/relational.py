@@ -541,6 +541,135 @@ ORDER BY user_id, session_start
 """
 
 
+# --- skew-safe grouped top-k (two-phase salted ranking) -------------------
+def q18_topk_skew_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 lineitems per returnflag — 3 hot keys over the whole fact
+    table, the classic skew shape.  Uses operators.topk.grouped_topk
+    (salted local rank → global rank); result is identical to the plain
+    single-window oracle."""
+    from hive_udf_neologd_spark.operators.topk import grouped_topk
+
+    prepare(spark)
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_orderkey", "l_linenumber",
+        F.round("l_extendedprice", 2).alias("price"),
+    )
+    return grouped_topk(
+        li,
+        keys=["l_returnflag"],
+        order_by=[F.desc("price"), F.asc("l_orderkey"), F.asc("l_linenumber")],
+        k=3,
+    ).orderBy("l_returnflag", "rn")
+
+
+Q18_SQL = """
+SELECT * FROM (
+  SELECT l_returnflag, l_orderkey, l_linenumber, ROUND(l_extendedprice, 2) AS price,
+         ROW_NUMBER() OVER (PARTITION BY l_returnflag
+                            ORDER BY ROUND(l_extendedprice, 2) DESC,
+                                     l_orderkey ASC, l_linenumber ASC) AS rn
+  FROM lineitem
+) WHERE rn <= 3
+ORDER BY l_returnflag, rn
+"""
+
+
+# --- pivot ----------------------------------------------------------------
+def q19_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prepare(spark)
+    cust = read_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    orders = read_table(spark, sf_dir, "orders").select("o_custkey", "o_orderstatus")
+    return (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+        .select(
+            "c_mktsegment",
+            F.coalesce("F", F.lit(0)).alias("n_f"),
+            F.coalesce("O", F.lit(0)).alias("n_o"),
+            F.coalesce("P", F.lit(0)).alias("n_p"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+Q19_SQL = """
+SELECT c_mktsegment,
+       CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+       CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+       CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+
+# --- exact percentiles ----------------------------------------------------
+def q20_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discrete (rank-based) percentiles: value at rank ceil(p·n) per
+    group.  Deliberately NOT the interpolating `percentile` — both engines
+    then return raw data values, so results are bit-identical with the
+    oracle (interpolation differs in the last ulp between engines).  At
+    100 TB the single-pass path is `approx_percentile` (t-digest, partial
+    aggregation); this exact variant sorts within each group, which is
+    acceptable because only the 3 returnflag groups' ranks survive."""
+    prepare(spark)
+    li = read_table(spark, sf_dir, "lineitem").select("l_returnflag", "l_extendedprice")
+    grp = Window.partitionBy("l_returnflag")
+    w = grp.orderBy("l_extendedprice")
+    ranked = li.withColumn("rn", F.row_number().over(w)).withColumn(
+        "n", F.count(F.lit(1)).over(grp)
+    )
+    at = lambda p: F.max(  # noqa: E731
+        F.when(F.col("rn") == F.ceil(F.col("n") * p), F.col("l_extendedprice"))
+    )
+    return (
+        ranked.groupBy("l_returnflag")
+        .agg(at(0.5).alias("p50"), at(0.9).alias("p90"), F.max("l_extendedprice").alias("mx"))
+        .orderBy("l_returnflag")
+    )
+
+
+Q20_SQL = """
+WITH ranked AS (
+  SELECT l_returnflag, l_extendedprice,
+         ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice) AS rn,
+         COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+  FROM lineitem
+)
+SELECT l_returnflag,
+       MAX(CASE WHEN rn = CEIL(n * 0.5) THEN l_extendedprice END) AS p50,
+       MAX(CASE WHEN rn = CEIL(n * 0.9) THEN l_extendedprice END) AS p90,
+       MAX(l_extendedprice) AS mx
+FROM ranked GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+# --- date arithmetic ------------------------------------------------------
+def q21_date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prepare(spark)
+    return (
+        read_table(spark, sf_dir, "orders")
+        .select(
+            F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+            F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date")).alias("age_days"),
+        )
+        .groupBy("month")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.avg("age_days"), 4).alias("avg_age_days"),
+        )
+        .orderBy("month")
+    )
+
+
+Q21_SQL = """
+SELECT strftime(o_orderdate, '%Y-%m') AS month, COUNT(*) AS n_orders,
+       ROUND(AVG(datediff('day', DATE '1995-01-01', o_orderdate)), 4) AS avg_age_days
+FROM orders GROUP BY month ORDER BY month
+"""
+
+
 RELATIONAL_QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_orders": q02_top_orders,
@@ -559,6 +688,10 @@ RELATIONAL_QUERIES = {
     "q15_priority_share": q15_priority_share,
     "q16_top_suppliers": q16_top_suppliers,
     "q17_grouping_sets": q17_grouping_sets,
+    "q18_topk_skew_safe": q18_topk_skew_safe,
+    "q19_pivot_status": q19_pivot_status,
+    "q20_percentiles": q20_percentiles,
+    "q21_date_arithmetic": q21_date_arithmetic,
     "s01_tumbling_event_counts": s01_tumbling_event_counts,
     "s02_session_windows": s02_session_windows,
 }
@@ -581,6 +714,10 @@ RELATIONAL_ORACLES = {
     "q15_priority_share": Q15_SQL,
     "q16_top_suppliers": Q16_SQL,
     "q17_grouping_sets": Q17_SQL,
+    "q18_topk_skew_safe": Q18_SQL,
+    "q19_pivot_status": Q19_SQL,
+    "q20_percentiles": Q20_SQL,
+    "q21_date_arithmetic": Q21_SQL,
     "s01_tumbling_event_counts": S01_SQL,
     "s02_session_windows": S02_SQL,
 }

@@ -254,12 +254,97 @@ FROM w GROUP BY doc_id ORDER BY doc_id
 """
 
 
+# --- t06: TF-IDF top terms per document -----------------------------------
+def t06_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tf (term count per doc) × idf = ln((N+1)/(df+1)) over the full
+    corpus; top-3 terms per doc for doc_id < 50.  Document frequency is a
+    second aggregation over the same exploded tokens — Spark reuses the
+    shuffle output (exchange reuse) rather than rescanning."""
+    prepare(spark)
+    docs = read_table(spark, sf_dir, "documents")
+    tokens = docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    tf = tokens.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tokens.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = docs.count()  # tiny scalar; computed once on the driver
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        tf.join(df_, "term")
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            F.round(
+                F.col("tf") * F.log((F.lit(n_docs) + 1) / (F.col("df") + 1)), 4
+            ).alias("tfidf"),
+        )
+        .filter(F.col("doc_id") < 50)
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .orderBy("doc_id", "rnk")
+    )
+
+
+T06_SQL = """
+WITH tokens AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tokens GROUP BY doc_id, term),
+df AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tokens GROUP BY term),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf,
+         ROUND(tf.tf * ln((n.n_docs + 1) * 1.0 / (df.df + 1)), 4) AS tfidf
+  FROM tf JOIN df USING (term) CROSS JOIN n
+  WHERE tf.doc_id < 50
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                               ORDER BY tfidf DESC, term ASC) AS rnk
+  FROM scored
+)
+SELECT doc_id, term, tf, tfidf, rnk FROM ranked WHERE rnk <= 3
+ORDER BY doc_id, rnk
+"""
+
+
+# --- t07: bigram extraction -----------------------------------------------
+def t07_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prepare(spark)
+    docs = read_table(spark, sf_dir, "documents")
+    bigrams = F.expr(
+        "transform(sequence(1, size(split(text, ' ')) - 1),"
+        " i -> concat_ws(' ', slice(split(text, ' '), i, 2)))"
+    )
+    return (
+        docs.filter(F.size(F.split("text", " ")) >= 2)
+        .select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("bigram"))
+        .limit(20)
+    )
+
+
+T07_SQL = """
+WITH t AS (SELECT string_split(text, ' ') AS ts FROM documents),
+b AS (
+  SELECT array_to_string(ts[u.i:u.i+1], ' ') AS bigram
+  FROM t, unnest(range(1, len(ts))) AS u(i)
+  WHERE len(ts) >= 2
+)
+SELECT bigram, COUNT(*) AS n FROM b GROUP BY bigram
+ORDER BY n DESC, bigram ASC LIMIT 20
+"""
+
+
 TEXT_QUERIES = {
     "t01_token_topk": t01_token_topk,
     "t02_token_stats": t02_token_stats,
     "t03_langid": t03_langid,
     "t04_quality_score": t04_quality_score,
     "t05_fingerprint_winnow": t05_fingerprint_winnow,
+    "t06_tfidf": t06_tfidf,
+    "t07_bigram_topk": t07_bigram_topk,
 }
 
 TEXT_ORACLES = {
@@ -268,4 +353,6 @@ TEXT_ORACLES = {
     "t03_langid": T03_SQL,
     "t04_quality_score": T04_SQL,
     "t05_fingerprint_winnow": T05_SQL,
+    "t06_tfidf": T06_SQL,
+    "t07_bigram_topk": T07_SQL,
 }
