@@ -33,6 +33,16 @@ def _register(queries: dict, oracles: dict) -> None:
 
 _register(RELATIONAL_QUERIES, RELATIONAL_ORACLES)
 
+try:
+    from hive_udf_neologd_spark.operators.temporal import (
+        TEMPORAL_ORACLES,
+        TEMPORAL_QUERIES,
+    )
+
+    _register(TEMPORAL_QUERIES, TEMPORAL_ORACLES)
+except ImportError:
+    pass
+
 # Text / dedup / similarity / multimodal tiers register below as they land.
 try:
     from hive_udf_neologd_spark.operators.textops import TEXT_ORACLES, TEXT_QUERIES

@@ -150,12 +150,118 @@ ORDER BY q_id, rank
 """
 
 
+# --- a03: IVF-Flat ANN ----------------------------------------------------
+_CENT_MOD = 29  # vec_id % 29 == 1 → coarse-centroid set (~N/29 lists)
+_N_PROBE = 3
+
+
+def a03_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-Flat: sampled coarse centroids → inverted-list assignment →
+    probe the query's ``_N_PROBE`` nearest lists → exact cosine on
+    candidates only (Jégou et al., PAMI 2011 — the Faiss IVF scheme).
+
+    Centroids are a deterministic sample (``vec_id % 29 == 1``) instead of
+    k-means iterations so the DuckDB oracle can rebuild the identical
+    index; in production the sample would be replaced by a k-means|| pass
+    (still driver-small, still broadcast).
+
+    Scale shape: assignment is a broadcast nested-loop over N×K with a
+    map-side partial ``max_by`` (shuffle carries ONE row per vector, not
+    K); the candidate join broadcasts (query, probed-list) pairs, so the
+    big side never shuffles; only candidates (≈ N·nprobe/nlist per query)
+    reach the final top-k window."""
+    prepare(spark)
+    emb = _emb(spark, sf_dir)
+    cents = emb.filter(F.col("vec_id") % _CENT_MOD == 1).select(
+        F.col("vec_id").alias("c_id"), F.col("e").alias("ce")
+    )
+    a_cos = _cosine_expr("ce", "e")
+    # Inverted-list assignment: argmax centroid per vector (tie → min c_id).
+    assigned = (
+        emb.crossJoin(F.broadcast(cents))
+        .select("vec_id", "e", "c_id", a_cos.alias("a_cos"))
+        .groupBy("vec_id")
+        .agg(
+            F.max_by("c_id", F.struct(F.col("a_cos"), (-F.col("c_id")).alias("nc"))).alias(
+                "list_id"
+            ),
+            F.first("e").alias("e"),
+        )
+    )
+    # Probe lists: each query's _N_PROBE nearest centroids.
+    q = emb.filter(F.col("vec_id") % _QUERY_MOD == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("e").alias("qe")
+    )
+    wq = Window.partitionBy("q_id").orderBy(F.desc("p_cos"), F.asc("c_id"))
+    probes = (
+        q.crossJoin(F.broadcast(cents))
+        .select("q_id", "qe", "c_id", _cosine_expr("ce", "qe").alias("p_cos"))
+        .withColumn("pr", F.row_number().over(wq))
+        .filter(F.col("pr") <= _N_PROBE)
+        .select("q_id", "qe", F.col("c_id").alias("list_id"))
+    )
+    cands = assigned.join(F.broadcast(probes), "list_id").filter(
+        F.col("vec_id") != F.col("q_id")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_raw"), F.asc("vec_id"))
+    cos = _cosine_expr("qe", "e")
+    return (
+        cands.select("q_id", "vec_id", cos.alias("cos_raw"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _TOP_K)
+        .select("q_id", F.col("vec_id").alias("neighbor_id"),
+                F.round("cos_raw", 4).alias("cos"), "rank")
+        .orderBy("q_id", "rank")
+    )
+
+
+A03_SQL = f"""
+WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+cents AS (SELECT vec_id AS c_id, e AS ce FROM emb WHERE vec_id % {_CENT_MOD} = 1),
+assigned AS (
+  SELECT vec_id, e, c_id AS list_id FROM (
+    SELECT emb.vec_id, emb.e, cents.c_id,
+           ROW_NUMBER() OVER (PARTITION BY emb.vec_id
+                              ORDER BY list_cosine_similarity(cents.ce, emb.e) DESC,
+                                       cents.c_id ASC) AS r
+    FROM emb CROSS JOIN cents
+  ) WHERE r = 1
+),
+q AS (SELECT vec_id AS q_id, e AS qe FROM emb WHERE vec_id % {_QUERY_MOD} = 0),
+probes AS (
+  SELECT q_id, qe, c_id AS list_id FROM (
+    SELECT q.q_id, q.qe, cents.c_id,
+           ROW_NUMBER() OVER (PARTITION BY q.q_id
+                              ORDER BY list_cosine_similarity(cents.ce, q.qe) DESC,
+                                       cents.c_id ASC) AS pr
+    FROM q CROSS JOIN cents
+  ) WHERE pr <= {_N_PROBE}
+),
+cands AS (
+  SELECT probes.q_id, assigned.vec_id,
+         list_cosine_similarity(probes.qe, assigned.e) AS cos_raw
+  FROM assigned JOIN probes USING (list_id)
+  WHERE assigned.vec_id <> probes.q_id
+),
+ranked AS (
+  SELECT q_id, vec_id, cos_raw,
+         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_raw DESC, vec_id ASC) AS rank
+  FROM cands
+)
+SELECT q_id, vec_id AS neighbor_id, ROUND(cos_raw, 4) AS cos, rank
+FROM ranked WHERE rank <= {_TOP_K}
+ORDER BY q_id, rank
+"""
+
+
 ANN_QUERIES = {
     "a01_ann_bruteforce": a01_ann_bruteforce,
     "a02_ann_lsh": a02_ann_lsh,
+    "a03_ann_ivf": a03_ann_ivf,
 }
 
 ANN_ORACLES = {
     "a01_ann_bruteforce": A01_SQL,
     "a02_ann_lsh": A02_SQL,
+    "a03_ann_ivf": A03_SQL,
 }

@@ -187,12 +187,69 @@ FROM decoded GROUP BY kind ORDER BY kind
 """
 
 
+# --- m03: video frame sampling over the decode pipeline -------------------
+_FRAME_STEP = 10
+
+
+def m03_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling: every ``_FRAME_STEP``-th frame index of each video
+    asset, materialized via ``posexplode(sequence(...))`` downstream of the
+    ``mapInPandas`` decode — the Spark-side plumbing a real frame extractor
+    would hang off (the per-frame decode itself is the stub's concern).
+
+    Scale shape: explode is narrow (no shuffle); per-asset frame counts are
+    bounded by ``n_frames / step``, so the one aggregation shuffle carries
+    sampled frames only, not full frame inventories."""
+    prepare(spark)
+    assets = synthetic_assets(spark, sf_dir)
+    frames = (
+        decode_assets(assets)
+        .filter(F.col("kind") == "video")
+        .select(
+            "asset_id",
+            F.posexplode(F.expr(f"sequence(0, n_frames - 1, {_FRAME_STEP})")).alias(
+                "sample_idx", "frame_no"
+            ),
+        )
+    )
+    per_asset = frames.groupBy("asset_id").agg(
+        F.count(F.lit(1)).alias("n_sampled"), F.max("frame_no").alias("last_frame")
+    )
+    return per_asset.groupBy().agg(
+        F.count(F.lit(1)).alias("n_videos"),
+        F.sum("n_sampled").alias("total_sampled"),
+        F.round(F.avg("n_sampled"), 4).alias("avg_sampled"),
+        F.max("last_frame").cast("long").alias("max_last_frame"),
+    )
+
+
+M03_SQL = f"""
+WITH videos AS (
+  SELECT doc_id AS asset_id, octet_length(encode(text)) AS n
+  FROM documents WHERE doc_id % 3 = 2
+),
+per_asset AS (
+  SELECT asset_id,
+         ((1 + n % 240) - 1) // {_FRAME_STEP} + 1 AS n_sampled,
+         (((1 + n % 240) - 1) // {_FRAME_STEP}) * {_FRAME_STEP} AS last_frame
+  FROM videos
+)
+SELECT COUNT(*) AS n_videos,
+       CAST(SUM(n_sampled) AS BIGINT) AS total_sampled,
+       ROUND(AVG(n_sampled), 4) AS avg_sampled,
+       CAST(MAX(last_frame) AS BIGINT) AS max_last_frame
+FROM per_asset
+"""
+
+
 MM_QUERIES = {
     "m01_binary_meta": m01_binary_meta,
     "m02_decoded_meta_stats": m02_decoded_meta_stats,
+    "m03_frame_sample": m03_frame_sample,
 }
 
 MM_ORACLES = {
     "m01_binary_meta": M01_SQL,
     "m02_decoded_meta_stats": M02_SQL,
+    "m03_frame_sample": M03_SQL,
 }

@@ -337,6 +337,46 @@ ORDER BY n DESC, bigram ASC LIMIT 20
 """
 
 
+# --- t08: tokenizer mode matrix (rows-only — not SQL-expressible) ---------
+_MODE_SENTENCES = (
+    (1, "関西国際空港へ行った。"),
+    (2, "きゃりーぱみゅぱみゅの新曲を聴く。"),
+    (3, "日本経済新聞を読む。"),
+)
+_USER_DICT = ["日本経済新聞,日本 経済 新聞,ニホン ケイザイ シンブン,カスタム名詞"]
+
+
+def t08_tokenize_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full O3/O6 config surface as data: each golden sentence
+    tokenized under NORMAL / SEARCH (decompounding) / EXTENDED (unknown-word
+    unigrams) and NORMAL+user-dict (SURVEY.md §2.1-2.2).  Mode and user
+    dict are construction-time constants (one UDF per config, like the
+    reference's const arguments), so this is four narrow UDF columns over a
+    3-row frame — no shuffle at any scale.  DuckDB cannot tokenize
+    Japanese → rows-only check."""
+    prepare(spark)
+    df = spark.createDataFrame(
+        list(_MODE_SENTENCES), "sentence_id long, text string"
+    )
+    configs = {
+        "normal": tokenize_ja(mode="normal"),
+        "search": tokenize_ja(mode="search"),
+        "extended": tokenize_ja(mode="extended"),
+        "normal+userdict": tokenize_ja(mode="normal", user_dict=_USER_DICT),
+    }
+    out = None
+    for name, tok in configs.items():
+        part = df.select(
+            "sentence_id",
+            F.lit(name).alias("config"),
+            tok("text").alias("tokens"),
+        )
+        out = part if out is None else out.unionByName(part)
+    return out.withColumn("n_tokens", F.size("tokens")).orderBy(
+        "sentence_id", "config"
+    )
+
+
 TEXT_QUERIES = {
     "t01_token_topk": t01_token_topk,
     "t02_token_stats": t02_token_stats,
@@ -345,8 +385,12 @@ TEXT_QUERIES = {
     "t05_fingerprint_winnow": t05_fingerprint_winnow,
     "t06_tfidf": t06_tfidf,
     "t07_bigram_topk": t07_bigram_topk,
+    "t08_tokenize_modes": t08_tokenize_modes,
 }
 
+# t08 has no oracle entry: Japanese morphological tokenization is not
+# expressible in DuckDB SQL — the driver records a rows-only check, and
+# tests/test_tokenizer.py carries the exact-token goldens.
 TEXT_ORACLES = {
     "t01_token_topk": T01_SQL,
     "t02_token_stats": T02_SQL,
