@@ -17,6 +17,7 @@ structs is an engine extension beyond parity (SURVEY.md §1.1 subtlety).
 
 from __future__ import annotations
 
+import re
 from enum import Enum
 
 from hive_udf_neologd_spark.tokenizer import chardef
@@ -52,6 +53,12 @@ class Mode(str, Enum):
         )
 
 
+# Fast-path gates: pure [A-Za-z0-9 ] lines; runs split at class boundaries
+# (LATIN vs DIGIT), exactly as chardef.char_class does.
+_ASCII_LINE_RE = re.compile(r"[A-Za-z0-9 ]*\Z")
+_ASCII_RUN_RE = re.compile(r"[A-Za-z]+|[0-9]+")
+
+
 class JapaneseAnalyzer:
     """Config-frozen analyzer; build once per worker and reuse across rows —
     the Spark analog of the reference's transient per-task analyzer cache
@@ -81,6 +88,16 @@ class JapaneseAnalyzer:
             self._stop_tags = frozenset(t for t in stop_tags if t is not None)
         user = UserDictionary.from_rows(user_dict_rows) if user_dict_rows else None
         self._lattice = Lattice(dictionary or builtin_dictionary(), user, self.mode.value)
+        # ASCII fast path (performance only — bit-identical output): for a
+        # line of only [A-Za-z0-9 ] containing no all-ASCII dictionary
+        # surface, the only lattice candidates are unknown-word nodes.  A
+        # grouped LATIN/DIGIT run (3000 + 500·n) is always cheaper than any
+        # split using prefix nodes (≥ 6500 + 400·l + 500·n), and spaces form
+        # zero-cost discarded punct nodes — hence Viterbi = split the line
+        # into [A-Za-z]+ / [0-9]+ runs.  EXTENDED mode is excluded (unknown
+        # runs become unigrams there).
+        self._ascii_fast = self.mode is not Mode.EXTENDED
+        self._ascii_surfaces = self._lattice.ascii_matchable_surfaces()
 
     # -- the filter chain --------------------------------------------------
 
@@ -108,7 +125,22 @@ class JapaneseAnalyzer:
         analog of analyzeTokens (KuromojiNEologdUDF.java:306-316)."""
         if line is None:
             return None
-        out: list[str] = []
+        if (
+            self._ascii_fast
+            and _ASCII_LINE_RE.match(line)
+            and not any(s in line for s in self._ascii_surfaces)
+        ):
+            out: list[str] = []
+            for m in _ASCII_RUN_RE.finditer(line):
+                run = m.group()
+                pos = "名詞-数" if run[0].isdigit() else "名詞-一般"
+                term = self._filter(
+                    Token(run, run, pos, None, None, is_punct=False, is_unknown=True)
+                )
+                if term is not None:
+                    out.append(term)
+            return out
+        out = []
         for tok in self._lattice.segment(line):
             term = self._filter(tok)
             if term is not None:

@@ -78,6 +78,19 @@ class Dictionary:
                 out.append(e)
         return out
 
+    def ascii_matchable_surfaces(self) -> tuple[str, ...]:
+        """Surfaces consisting entirely of [A-Za-z0-9 ] — the only entries
+        that could ever match inside a pure-alnum-ASCII line.  Used to gate
+        the analyzer's ASCII fast path per line (substring check)."""
+        import re
+
+        out = []
+        for lst in self._by_first.values():
+            for e in lst:
+                if re.fullmatch(r"[A-Za-z0-9 ]+", e.surface):
+                    out.append(e.surface)
+        return tuple(out)
+
 
 def builtin_dictionary() -> Dictionary:
     return Dictionary(

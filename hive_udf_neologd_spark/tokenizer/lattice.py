@@ -132,6 +132,16 @@ class Lattice:
         self._mode = mode
         self._user = Dictionary(user_dict.entries) if user_dict and user_dict.entries else None
 
+    def ascii_matchable_surfaces(self) -> tuple[str, ...]:
+        """All (built-in + user) surfaces that could match inside a pure
+        alnum-ASCII line.  For a line containing none of them as a
+        substring, Viterbi provably reduces to character-class run
+        splitting (see analyzer fast path)."""
+        out = self._dict.ascii_matchable_surfaces()
+        if self._user is not None:
+            out = out + self._user.ascii_matchable_surfaces()
+        return out
+
     def segment(self, text: str) -> list[Token]:
         n = len(text)
         if n == 0:

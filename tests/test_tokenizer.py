@@ -182,3 +182,55 @@ class TestLatinText:
 
     def test_digits_grouped(self, analyzer):
         assert analyzer.tokenize("2020年の12月") == ["2020", "年", "12月"]
+
+
+class TestAsciiFastPath:
+    """The ASCII fast path must be bit-identical to the lattice path
+    (it is a pure performance shortcut — see JapaneseAnalyzer.__init__)."""
+
+    def _lattice_only(self, analyzer, line):
+        out = []
+        for tok in analyzer._lattice.segment(line):
+            term = analyzer._filter(tok)
+            if term is not None:
+                out.append(term)
+        return out
+
+    @pytest.mark.parametrize("mode", ["normal", "search"])
+    def test_property_fast_equals_lattice(self, mode):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        analyzer = JapaneseAnalyzer(mode=mode)
+        assert analyzer._ascii_fast
+
+        # Alphabet includes chars of the ASCII dictionary surfaces (SMAP,
+        # kuromoji, JapaneseAnalyzer) so the substring gate gets exercised.
+        @settings(max_examples=300, deadline=None)
+        @given(st.text(alphabet="abcXZ019 SMAPkuromji", max_size=40))
+        def check(line):
+            assert analyzer.tokenize(line) == self._lattice_only(analyzer, line)
+
+        check()
+
+    def test_extended_mode_disables_fast_path(self):
+        assert not JapaneseAnalyzer(mode="extended")._ascii_fast
+
+    def test_ascii_user_dict_gates_per_line(self):
+        ana = JapaneseAnalyzer(user_dict_rows=["abcdef,abc def,アー アー,名詞"])
+        # Line containing the user surface → lattice path → segmentation.
+        assert ana.tokenize("abcdef") == ["abc", "def"]
+        # Line not containing it → fast path, same output as lattice.
+        assert ana.tokenize("zzz qqq") == self._lattice_only(ana, "zzz qqq")
+
+    def test_dictionary_surface_in_line_uses_lattice(self):
+        ana = JapaneseAnalyzer()
+        # "kuromoji" is a built-in ASCII-surface entry; both paths agree
+        # because the gate routes this line to the lattice.
+        assert ana.tokenize("use kuromoji now") == self._lattice_only(
+            ana, "use kuromoji now"
+        )
+
+    def test_mixed_line_falls_back_to_lattice(self):
+        ana = JapaneseAnalyzer()
+        assert ana.tokenize("日本 abc") == self._lattice_only(ana, "日本 abc")
