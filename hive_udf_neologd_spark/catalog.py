@@ -71,3 +71,13 @@ try:
     _register(MM_QUERIES, MM_ORACLES)
 except ImportError:
     pass
+
+try:
+    from hive_udf_neologd_spark.streaming.e2e import (
+        STREAMING_ORACLES,
+        STREAMING_QUERIES,
+    )
+
+    _register(STREAMING_QUERIES, STREAMING_ORACLES)
+except ImportError:
+    pass

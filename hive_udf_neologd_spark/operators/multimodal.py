@@ -242,14 +242,61 @@ FROM per_asset
 """
 
 
+# --- m04: resize planning (aspect-fit into 224×224) -----------------------
+_FIT = 224
+
+
+def m04_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aspect-preserving fit of each decoded image into a 224×224 box —
+    integer arithmetic only (floor via integer division) so the oracle is
+    bit-exact.  The actual pixel resample would run in the same Pandas-UDF
+    slot as the decode stub; this query is the planning/metadata half that
+    drives it.  Narrow end-to-end except the tiny final aggregation."""
+    prepare(spark)
+    decoded = decode_assets(synthetic_assets(spark, sf_dir)).filter(
+        F.col("kind") == "image"
+    )
+    # Integer division end-to-end (DIV) — double division + cast could round
+    # across an integer boundary and diverge from the oracle's `//`.
+    out_w = F.expr(f"CAST(width * {_FIT} DIV greatest(width, height) AS BIGINT)")
+    out_h = F.expr(f"CAST(height * {_FIT} DIV greatest(width, height) AS BIGINT)")
+    return (
+        decoded.select(
+            "asset_id",
+            F.col("width").cast("long").alias("width"),
+            F.col("height").cast("long").alias("height"),
+            out_w.alias("out_w"),
+            out_h.alias("out_h"),
+        )
+        .orderBy("asset_id")
+    )
+
+
+M04_SQL = f"""
+WITH img AS (
+  SELECT doc_id AS asset_id, octet_length(encode(text)) AS n
+  FROM documents WHERE doc_id % 3 = 0
+),
+dims AS (
+  SELECT asset_id, 16 + n % 640 AS width, 16 + n % 480 AS height FROM img
+)
+SELECT asset_id, CAST(width AS BIGINT) AS width, CAST(height AS BIGINT) AS height,
+       CAST(width * {_FIT} // GREATEST(width, height) AS BIGINT) AS out_w,
+       CAST(height * {_FIT} // GREATEST(width, height) AS BIGINT) AS out_h
+FROM dims ORDER BY asset_id
+"""
+
+
 MM_QUERIES = {
     "m01_binary_meta": m01_binary_meta,
     "m02_decoded_meta_stats": m02_decoded_meta_stats,
     "m03_frame_sample": m03_frame_sample,
+    "m04_resize_plan": m04_resize_plan,
 }
 
 MM_ORACLES = {
     "m01_binary_meta": M01_SQL,
     "m02_decoded_meta_stats": M02_SQL,
     "m03_frame_sample": M03_SQL,
+    "m04_resize_plan": M04_SQL,
 }

@@ -1,0 +1,90 @@
+"""End-to-end Structured Streaming catalog entries.
+
+Unlike s01/s02 (batch twins of the streaming semantics), s03 actually
+RUNS a streaming query: events are staged to a directory, consumed by a
+file-source ``readStream``, aggregated under a 2-hour watermark in
+**append** mode (only watermark-finalized windows are emitted), and
+flushed to a memory sink via ``trigger(availableNow=True)``.
+
+The DuckDB oracle replicates append-mode emission exactly: a window is
+finalized once the final watermark (``max(ts) - 2 hours``) passes its
+end, so the oracle keeps windows with ``window_end <= max(ts) - 2h``.
+On this bounded deterministic input both sides agree bit-for-bit —
+which means the driver's correctness harness gates real streaming
+execution (source → watermark → stateful window store → append sink),
+not just a batch re-phrasing.
+
+Scale notes (100 TB stream): watermark bounds window state; the windowed
+groupBy shuffles once on (window, event_type); the staging write is a
+test-fixture artifact, not part of the streaming plan.
+"""
+
+from __future__ import annotations
+
+import itertools
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from hive_udf_neologd_spark.session import prepare
+from hive_udf_neologd_spark.sources import read_table
+from hive_udf_neologd_spark.streaming.term_counts import (
+    read_event_stream,
+    streaming_event_counts,
+)
+
+_RUN_IDS = itertools.count()
+
+
+def s03_streaming_event_counts_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prepare(spark)
+    stage = f"/tmp/spark_graft_stream/{os.path.basename(sf_dir.rstrip('/'))}/events"
+    # Stage through read_table so the nanos→micros timestamp normalization
+    # matches the batch path; multiple files → multiple source splits.
+    read_table(spark, sf_dir, "events").coalesce(4).write.mode("overwrite").parquet(stage)
+    name = f"s03_sink_{next(_RUN_IDS)}_{os.getpid()}"
+    out = streaming_event_counts(
+        read_event_stream(spark, stage), window="1 hour", watermark="2 hours"
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return (
+        spark.table(name)
+        .select(
+            F.unix_timestamp("window_start").alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+S03_SQL = """
+WITH mx AS (SELECT max(ts) AS m FROM events),
+w AS (
+  SELECT time_bucket(INTERVAL '1 hour', ts) AS ws, event_type,
+         COUNT(*) AS n, ROUND(SUM(value), 2) AS total_value
+  FROM events GROUP BY ws, event_type
+)
+SELECT CAST(epoch(ws) AS BIGINT) AS window_start, event_type, n, total_value
+FROM w, mx
+WHERE ws + INTERVAL '1 hour' <= m - INTERVAL '2 hours'
+ORDER BY window_start, event_type
+"""
+
+
+STREAMING_QUERIES = {
+    "s03_streaming_event_counts_e2e": s03_streaming_event_counts_e2e,
+}
+
+STREAMING_ORACLES = {
+    "s03_streaming_event_counts_e2e": S03_SQL,
+}
