@@ -670,6 +670,88 @@ FROM orders GROUP BY month ORDER BY month
 """
 
 
+# --- decorrelated scalar subquery (TPC-H Q17 pattern) ---------------------
+def q24_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery ("below 20% of this part's average
+    quantity") decorrelated into join-against-aggregate — the rewrite
+    Catalyst itself performs, made explicit.  Per-part averages are exact
+    (integer-valued quantities sum exactly in doubles); revenue sums go
+    through DECIMAL so the result is order-independent and bit-equal to
+    the oracle.  Scale: the aggregate side shrinks to one row per part
+    before the join, and AQE picks broadcast when it fits."""
+    prepare(spark)
+    li = read_table(spark, sf_dir, "lineitem")
+    thr = li.groupBy("l_partkey").agg(
+        (F.avg("l_quantity") * 0.2).alias("qty_thr")
+    )
+    return (
+        li.join(thr, "l_partkey")
+        .filter(F.col("l_quantity") < F.col("qty_thr"))
+        .agg(
+            F.count(F.lit(1)).alias("n_small"),
+            F.round(
+                (
+                    F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+                    / 7.0
+                ),
+                2,
+            ).alias("avg_yearly"),
+        )
+    )
+
+
+Q24_SQL = """
+WITH thr AS (
+  SELECT l_partkey, 0.2 * AVG(l_quantity) AS qty_thr
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT COUNT(*) AS n_small,
+       ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0, 2)
+         AS avg_yearly
+FROM lineitem JOIN thr USING (l_partkey)
+WHERE l_quantity < qty_thr
+"""
+
+
+# --- range-frame window (trailing 90-day revenue) -------------------------
+def q25_trailing_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame over event time: per customer, each order's revenue plus
+    all revenue in the preceding 90 days — ``rangeBetween`` on epoch
+    seconds (value-based frame, unlike q06's row frame).  DECIMAL
+    accumulation makes the frame sum independent of intra-frame order, so
+    ties on o_orderdate cannot flip the comparison with the oracle."""
+    prepare(spark)
+    orders = read_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.unix_timestamp("o_orderdate"))
+        .rangeBetween(-90 * 86400, 0)
+    )
+    return (
+        orders.select(
+            "o_orderkey",
+            "o_custkey",
+            F.unix_timestamp("o_orderdate").alias("order_epoch"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .over(w)
+            .cast("double")
+            .alias("trailing_90d"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+Q25_SQL = """
+SELECT o_orderkey, o_custkey,
+       CAST(epoch(o_orderdate) AS BIGINT) AS order_epoch,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+         PARTITION BY o_custkey ORDER BY epoch(o_orderdate)
+         RANGE BETWEEN 7776000 PRECEDING AND CURRENT ROW
+       ) AS DOUBLE) AS trailing_90d
+FROM orders ORDER BY o_orderkey
+"""
+
+
 RELATIONAL_QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_orders": q02_top_orders,
@@ -694,6 +776,8 @@ RELATIONAL_QUERIES = {
     "q21_date_arithmetic": q21_date_arithmetic,
     "s01_tumbling_event_counts": s01_tumbling_event_counts,
     "s02_session_windows": s02_session_windows,
+    "q24_small_quantity_revenue": q24_small_quantity_revenue,
+    "q25_trailing_window": q25_trailing_window,
 }
 
 RELATIONAL_ORACLES = {
@@ -720,4 +804,6 @@ RELATIONAL_ORACLES = {
     "q21_date_arithmetic": Q21_SQL,
     "s01_tumbling_event_counts": S01_SQL,
     "s02_session_windows": S02_SQL,
+    "q24_small_quantity_revenue": Q24_SQL,
+    "q25_trailing_window": Q25_SQL,
 }

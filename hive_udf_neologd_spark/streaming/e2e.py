@@ -30,8 +30,10 @@ from pyspark.sql import functions as F
 from hive_udf_neologd_spark.session import prepare
 from hive_udf_neologd_spark.sources import read_table
 from hive_udf_neologd_spark.streaming.term_counts import (
+    read_document_stream,
     read_event_stream,
     streaming_event_counts,
+    streaming_term_counts,
 )
 
 _RUN_IDS = itertools.count()
@@ -81,10 +83,76 @@ ORDER BY window_start, event_type
 """
 
 
+def s04_streaming_term_counts_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship tokenize → explode → windowed-count pipeline (SURVEY.md
+    §7) as an actually-executed stream: documents get a synthetic event time
+    (doc_id minutes past 2024-01-01 — deterministic, oracle-replayable),
+    flow through the tokenizer pandas UDF inside the stream, and aggregate
+    under a 2-hour watermark in append mode.  The oracle tokenizes via
+    ``string_split`` (exact on this corpus — t01's equivalence argument)
+    and applies the same watermark cutoff as s03."""
+    prepare(spark)
+    stage = f"/tmp/spark_graft_stream/{os.path.basename(sf_dir.rstrip('/'))}/documents"
+    (
+        read_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.expr("timestamp'2024-01-01 00:00:00' + make_interval(0,0,0,0,0,doc_id,0)")
+            .alias("ts"),
+            "text",
+        )
+        .coalesce(4)
+        .write.mode("overwrite")
+        .parquet(stage)
+    )
+    name = f"s04_sink_{next(_RUN_IDS)}_{os.getpid()}"
+    out = streaming_term_counts(
+        read_document_stream(spark, stage), window="1 hour", watermark="2 hours"
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return (
+        spark.table(name)
+        .select(F.unix_timestamp("window_start").alias("window_start"), "token", "n")
+        .orderBy("window_start", "token")
+    )
+
+
+S04_SQL = """
+WITH docs AS (
+  SELECT doc_id,
+         TIMESTAMP '2024-01-01 00:00:00' + doc_id * INTERVAL 1 MINUTE AS ts,
+         text
+  FROM documents
+),
+mx AS (SELECT max(ts) AS m FROM docs),
+tok AS (
+  SELECT time_bucket(INTERVAL '1 hour', ts) AS ws,
+         unnest(string_split(text, ' ')) AS token
+  FROM docs WHERE text IS NOT NULL
+),
+w AS (
+  SELECT ws, token, COUNT(*) AS n FROM tok WHERE token <> '' GROUP BY ws, token
+)
+SELECT CAST(epoch(ws) AS BIGINT) AS window_start, token, n
+FROM w, mx
+WHERE ws + INTERVAL '1 hour' <= m - INTERVAL '2 hours'
+ORDER BY window_start, token
+"""
+
+
 STREAMING_QUERIES = {
     "s03_streaming_event_counts_e2e": s03_streaming_event_counts_e2e,
+    "s04_streaming_term_counts_e2e": s04_streaming_term_counts_e2e,
 }
 
 STREAMING_ORACLES = {
     "s03_streaming_event_counts_e2e": S03_SQL,
+    "s04_streaming_term_counts_e2e": S04_SQL,
 }

@@ -1,0 +1,96 @@
+"""Physical-plan quality gates (SURVEY.md §4).
+
+Correctness tests prove the answers match; these prove the PLANS are the
+ones that survive a 100× scale-up: filters pushed into the parquet scan,
+broadcast joins where a side is dimension-sized, exactly one hash-shuffle
+where one is expected, and the tokenizer UDF fed by a pruned/filtered
+scan rather than the other way around.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from hive_udf_neologd_spark.catalog import QUERIES
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name: str) -> str:
+    df = QUERIES[name](spark, SF_DIR)
+    return spark._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_q01_filter_pushed_to_scan(spark):
+    plan = _plan(spark, "q01_pricing_summary")
+    assert "LessThanOrEqual(l_shipdate" in plan  # predicate reached parquet
+    assert plan.count("hashpartitioning") == 1  # one agg shuffle, map-side partial
+
+
+def test_q16_broadcasts_dimension_side(spark):
+    plan = _plan(spark, "q16_top_suppliers")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_t01_filter_below_tokenizer_udf(spark):
+    plan = _plan(spark, "t01_token_topk")
+    assert "ArrowEvalPython" in plan  # Arrow-batched pandas UDF, not row Python
+    # The null filter is pushed into the scan, so the UDF never sees
+    # filterable rows (keep UDFs last — SURVEY.md §4).
+    assert "IsNotNull(text)" in plan
+
+
+def test_a01_broadcasts_query_side(spark):
+    plan = _plan(spark, "a01_ann_bruteforce")
+    # Tiny query set is broadcast; scan side never shuffles for the join.
+    assert "BroadcastNestedLoopJoin" in plan
+    assert plan.count("hashpartitioning") == 1  # only the top-k window
+
+
+def test_q22_asof_single_shuffle(spark):
+    plan = _plan(spark, "q22_asof_join")
+    # The union+window as-of join shuffles ONCE on user_id; both event_type
+    # predicates reach the scans.
+    assert plan.count("hashpartitioning") == 1
+    assert "EqualTo(event_type,view)" in plan
+    assert "EqualTo(event_type,purchase)" in plan
+
+
+def test_q23_range_join_is_broadcast_nested_loop(spark):
+    plan = _plan(spark, "q23_range_join")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_m01_prunes_unread_columns(spark):
+    plan = _plan(spark, "m01_binary_meta")
+    # Only doc_id + text are read; lang/source/n_chars are pruned at the scan.
+    assert "ReadSchema" in plan
+    read_schema_lines = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert any("doc_id" in ln and "text" in ln for ln in read_schema_lines)
+    assert not any("n_chars" in ln for ln in read_schema_lines)
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["q03_segment_revenue", "d01_dedup_exact", "t05_fingerprint_winnow"],
+)
+def test_whole_stage_codegen_present(spark, name):
+    # Hot expression work stays inside codegen'd stages (SURVEY.md §4).
+    # AQE hides codegen spans until execution, so plan this one query with
+    # AQE off (the builders' prepare() re-enables it; planning happens at
+    # explain time, after we flip the conf back off).
+    df = QUERIES[name](spark, SF_DIR)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        codegen = spark._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "codegen"
+        )
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    first = codegen.splitlines()[0]
+    assert "WholeStageCodegen subtrees" in first
+    assert not first.startswith("Found 0 WholeStageCodegen")
