@@ -38,6 +38,12 @@ def get_spark(app_name: str = "hive-udf-neologd-spark", cpus: int | None = None)
         # proper timestamp column (micros).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # Managed-table warehouse (bucketed tables — sources.write_bucketed);
+        # static conf, so it must be set at session build time.
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/spark_graft_warehouse"),
+        )
         .config("spark.ui.enabled", "false")
     )
     return builder.getOrCreate()

@@ -73,3 +73,20 @@ def write_parquet(df: DataFrame, path: str, partition_by: list[str] | None = Non
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
+
+
+def write_bucketed(
+    df: DataFrame, table: str, key: str, buckets: int = 32, sort: bool = True
+) -> None:
+    """Sink: bucketed managed table (parquet) — the co-located-join strategy.
+
+    At 100 TB, repeatedly-joined fact tables should be written bucketed on
+    the join key: every subsequent join between tables bucketed on the same
+    key with the same bucket count runs WITHOUT a pre-join shuffle (the
+    scan itself satisfies the join's required distribution — verified by
+    tests/test_bucketing.py on the physical plan).  ``sortBy`` additionally
+    removes the pre-merge-join sort."""
+    writer = df.write.bucketBy(buckets, key)
+    if sort:
+        writer = writer.sortBy(key)
+    writer.mode("overwrite").saveAsTable(table)

@@ -1,0 +1,74 @@
+"""Source/sink surface (SURVEY.md §2.3 scans row): parquet with pruning,
+CSV/JSON with schema-on-read, and the hive-partitioned parquet sink with
+partition pruning on read-back."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+from hive_udf_neologd_spark.sources import (
+    TABLES,
+    read_csv,
+    read_json,
+    read_table,
+    write_parquet,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_all_tables_readable(spark):
+    for t in TABLES:
+        df = read_table(spark, SF_DIR, t)
+        assert df.count() > 0, t
+
+
+def test_unknown_table_rejected(spark):
+    with pytest.raises(ValueError, match="unknown table"):
+        read_table(spark, SF_DIR, "nope")
+
+
+def test_events_ts_is_timestamp(spark):
+    # The nanos→micros normalization must yield a real timestamp column.
+    df = read_table(spark, SF_DIR, "events")
+    assert df.schema["ts"].dataType.typeName() == "timestamp"
+
+
+def test_csv_roundtrip(spark, tmp_path):
+    path = str(tmp_path / "csv")
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, name string")
+    df.write.option("header", "true").mode("overwrite").csv(path)
+    schema = StructType(
+        [StructField("id", LongType()), StructField("name", StringType())]
+    )
+    back = read_csv(spark, path, schema=schema)
+    assert {(r.id, r.name) for r in back.collect()} == {(1, "a"), (2, "b")}
+
+
+def test_json_roundtrip(spark, tmp_path):
+    path = str(tmp_path / "json")
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id long, name string")
+    df.write.mode("overwrite").json(path)
+    schema = StructType(
+        [StructField("id", LongType()), StructField("name", StringType())]
+    )
+    back = read_json(spark, path, schema=schema)
+    assert {(r.id, r.name) for r in back.collect()} == {(1, "a"), (2, "b")}
+
+
+def test_partitioned_sink_prunes_on_read(spark, tmp_path):
+    path = str(tmp_path / "part")
+    docs = read_table(spark, SF_DIR, "documents")
+    write_parquet(docs, path, partition_by=["lang"])
+    langs = [r.lang for r in docs.select("lang").distinct().collect()]
+    one = langs[0]
+    back = spark.read.parquet(path).filter(F.col("lang") == one)
+    plan = spark._jvm.PythonSQLUtils.explainString(
+        back._jdf.queryExecution(), "formatted"
+    )
+    # Partition pruning: the scan reads ONE partition directory, and the
+    # lang predicate is a partition filter, not a data filter.
+    assert "PartitionFilters" in plan
+    assert back.count() == docs.filter(F.col("lang") == one).count()
