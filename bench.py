@@ -33,6 +33,11 @@ HEADLINE = [
     "d03_simhash",
     "a01_ann_bruteforce",
     "s02_session_windows",
+    "q22_asof_join",
+    "q24_small_quantity_revenue",
+    "a03_ann_ivf",
+    "t09_quality_ratios",
+    "m02_decoded_meta_stats",
 ]
 
 

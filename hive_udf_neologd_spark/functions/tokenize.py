@@ -109,6 +109,55 @@ def tokenize_ja(
     return _tokenize
 
 
+def tokenize_ja_rich(
+    mode: str | None = None,
+    stop_words: list[str] | None = None,
+    stop_tags: list[str] | None = None,
+    user_dict: list[str] | str | None = None,
+):
+    """EXTENSION beyond parity: per-token structs
+    ``array<struct<term,surface,pos,base_form,unknown>>``.
+
+    The reference discards everything but the term text
+    (KuromojiNEologdUDF.java:309-314; SURVEY.md §1.1 subtlety), so this is
+    deliberately a SEPARATE factory — ``tokenize_ja`` stays exactly
+    ``array<string>``.  Same config semantics, same per-worker engine cache
+    (the cache key is shared with the plain UDF, so mixing both in one
+    pipeline builds one engine)."""
+    from pyspark.sql.types import BooleanType, StructField, StructType
+
+    parsed_mode = Mode.parse(mode)
+    frozen_stop_words = tuple(stop_words) if stop_words is not None else None
+    frozen_stop_tags = tuple(stop_tags) if stop_tags is not None else None
+    frozen_user = _resolve_user_dict(user_dict)
+    if frozen_user is not None:
+        from hive_udf_neologd_spark.tokenizer.dictionary import UserDictionary
+
+        UserDictionary.from_rows(list(frozen_user))
+
+    key = (parsed_mode.value, frozen_stop_words, frozen_stop_tags, frozen_user)
+    schema = ArrayType(
+        StructType(
+            [
+                StructField("term", StringType()),
+                StructField("surface", StringType()),
+                StructField("pos", StringType()),
+                StructField("base_form", StringType()),
+                StructField("unknown", BooleanType()),
+            ]
+        )
+    )
+
+    @pandas_udf(schema)
+    def _tokenize_rich(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        engine = _get_engine(key)
+        rich = engine.analyze_rich
+        for series in batches:
+            yield series.map(lambda s: rich(s) if isinstance(s, str) else None)
+
+    return _tokenize_rich
+
+
 def tokenize_ja_version() -> list[str]:
     """O2 — the 0-arg call: returns a 1-element list with the version
     string (KuromojiNEologdUDF.java:121-129)."""

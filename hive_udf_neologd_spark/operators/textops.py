@@ -337,6 +337,67 @@ ORDER BY n DESC, bigram ASC LIMIT 20
 """
 
 
+# --- t09: stopword/punctuation-ratio quality features ----------------------
+_STOP_EN = ("the", "of", "and", "to", "in", "is", "a", "for", "on", "with")
+
+
+def t09_quality_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ratio-based quality features (stopword ratio, punctuation ratio,
+    digit ratio, mean word length) a pretraining filter thresholds on
+    (Gopher/C4-style heuristics).  All built-in expression work — one
+    narrow pass then a tiny per-lang aggregate."""
+    prepare(spark)
+    docs = read_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n_tok = F.size(toks)
+    stop_list = ", ".join(f"'{w}'" for w in _STOP_EN)
+    stop_ratio = F.expr(
+        f"size(filter(split(text, ' '), t -> t IN ({stop_list})))"
+    ) / n_tok
+    punct_ratio = (
+        F.length("text") - F.length(F.regexp_replace("text", r"[^a-z0-9 ]", ""))
+    ) / F.length("text")
+    digit_ratio = (
+        F.length("text") - F.length(F.regexp_replace("text", r"[0-9]", ""))
+    ) / F.length("text")
+    return (
+        docs.select(
+            "lang",
+            stop_ratio.alias("sr"),
+            punct_ratio.alias("pr"),
+            digit_ratio.alias("dr"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("sr"), 4).alias("avg_stop_ratio"),
+            F.round(F.avg("pr"), 4).alias("avg_punct_ratio"),
+            F.round(F.avg("dr"), 4).alias("avg_digit_ratio"),
+        )
+        .orderBy("lang")
+    )
+
+
+T09_SQL = f"""
+WITH feat AS (
+  SELECT lang,
+         len(list_filter(string_split(text, ' '),
+                         t -> t IN ({", ".join(f"'{w}'" for w in _STOP_EN)}))) * 1.0
+           / len(string_split(text, ' ')) AS sr,
+         (length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g'))) * 1.0
+           / length(text) AS pr,
+         (length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))) * 1.0
+           / length(text) AS dr
+  FROM documents
+)
+SELECT lang, COUNT(*) AS n_docs,
+       ROUND(AVG(sr), 4) AS avg_stop_ratio,
+       ROUND(AVG(pr), 4) AS avg_punct_ratio,
+       ROUND(AVG(dr), 4) AS avg_digit_ratio
+FROM feat GROUP BY lang ORDER BY lang
+"""
+
+
 # --- t08: tokenizer mode matrix (rows-only — not SQL-expressible) ---------
 _MODE_SENTENCES = (
     (1, "関西国際空港へ行った。"),
@@ -386,6 +447,7 @@ TEXT_QUERIES = {
     "t06_tfidf": t06_tfidf,
     "t07_bigram_topk": t07_bigram_topk,
     "t08_tokenize_modes": t08_tokenize_modes,
+    "t09_quality_ratios": t09_quality_ratios,
 }
 
 # t08 has no oracle entry: Japanese morphological tokenization is not
@@ -399,4 +461,5 @@ TEXT_ORACLES = {
     "t05_fingerprint_winnow": T05_SQL,
     "t06_tfidf": T06_SQL,
     "t07_bigram_topk": T07_SQL,
+    "t09_quality_ratios": T09_SQL,
 }

@@ -76,3 +76,20 @@ def test_explode_pipeline(spark, docs):
     )
     counts = {r["token"]: r["count"] for r in out.collect()}
     assert counts["きゃりーぱみゅぱみゅ"] == 1 and counts["the"] == 1
+
+
+def test_tokenize_rich_structs(spark):
+    from hive_udf_neologd_spark.functions.tokenize import tokenize_ja, tokenize_ja_rich
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([("日本経済新聞を読む。",), (None,)], "text string")
+    rich = tokenize_ja_rich()
+    rows = df.select(F.col("text"), rich("text").alias("toks")).collect()
+    toks = rows[0]["toks"]
+    assert toks is not None and len(toks) > 0
+    # Struct fields present; terms match the plain UDF's output exactly.
+    plain = df.select(tokenize_ja()("text").alias("t")).collect()[0]["t"]
+    assert [t["term"] for t in toks] == plain
+    assert all(t["pos"] for t in toks)
+    # Null line → null array (O9 carries over to the extension).
+    assert rows[1]["toks"] is None
