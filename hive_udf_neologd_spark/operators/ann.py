@@ -29,8 +29,26 @@ _N_PLANES = 8
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Norm hoisted into a column: each pairwise cosine then needs only the
+    # dot product (higher-order functions are interpreted, so halving the
+    # per-pair fold work matters).  sqrt(Σx²) here is the exact expression
+    # _cosine_expr folds, so dot/(na·nb) is bit-identical to the oracle's
+    # list_cosine_similarity.
     return read_table(spark, sf_dir, "embeddings").select(
-        "vec_id", "label", F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("e")
+        "vec_id",
+        "label",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("e"),
+    ).withColumn(
+        "nrm",
+        F.expr(
+            "sqrt(aggregate(transform(e, x -> x * x), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v))"
+        ),
+    )
+
+
+def _dot_expr(a: str, b: str) -> F.Column:
+    return F.expr(
+        f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
     )
 
 
@@ -39,10 +57,10 @@ def a01_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     prepare(spark)
     emb = _emb(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") % _QUERY_MOD == 0).select(
-        F.col("vec_id").alias("q_id"), F.col("e").alias("qe")
+        F.col("vec_id").alias("q_id"), F.col("e").alias("qe"), F.col("nrm").alias("qn")
     )
     scored = emb.crossJoin(F.broadcast(queries)).filter(F.col("vec_id") != F.col("q_id"))
-    cos = _cosine_expr("qe", "e")
+    cos = _dot_expr("qe", "e") / (F.col("qn") * F.col("nrm"))
     w = Window.partitionBy("q_id").orderBy(F.desc("cos_raw"), F.asc("vec_id"))
     return (
         scored.select("q_id", "vec_id", cos.alias("cos_raw"))
@@ -99,13 +117,14 @@ def a02_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     prepare(spark)
     emb = _emb(spark, sf_dir).withColumn("bucket", F.expr(_signature_expr()))
     queries = emb.filter(F.col("vec_id") % _QUERY_MOD == 0).select(
-        F.col("vec_id").alias("q_id"), F.col("e").alias("qe"), F.col("bucket").alias("qb")
+        F.col("vec_id").alias("q_id"), F.col("e").alias("qe"),
+        F.col("nrm").alias("qn"), F.col("bucket").alias("qb")
     )
     cands = emb.join(
         F.broadcast(queries),
         (F.col("bucket") == F.col("qb")) & (F.col("vec_id") != F.col("q_id")),
     )
-    cos = _cosine_expr("qe", "e")
+    cos = _dot_expr("qe", "e") / (F.col("qn") * F.col("nrm"))
     w = Window.partitionBy("q_id").orderBy(F.desc("cos_raw"), F.asc("vec_id"))
     return (
         cands.select("q_id", "vec_id", cos.alias("cos_raw"))
@@ -173,38 +192,42 @@ def a03_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     prepare(spark)
     emb = _emb(spark, sf_dir)
     cents = emb.filter(F.col("vec_id") % _CENT_MOD == 1).select(
-        F.col("vec_id").alias("c_id"), F.col("e").alias("ce")
+        F.col("vec_id").alias("c_id"), F.col("e").alias("ce"), F.col("nrm").alias("cn")
     )
-    a_cos = _cosine_expr("ce", "e")
+    a_cos = _dot_expr("ce", "e") / (F.col("cn") * F.col("nrm"))
     # Inverted-list assignment: argmax centroid per vector (tie → min c_id).
     assigned = (
         emb.crossJoin(F.broadcast(cents))
-        .select("vec_id", "e", "c_id", a_cos.alias("a_cos"))
+        .select("vec_id", "e", "nrm", "c_id", a_cos.alias("a_cos"))
         .groupBy("vec_id")
         .agg(
             F.max_by("c_id", F.struct(F.col("a_cos"), (-F.col("c_id")).alias("nc"))).alias(
                 "list_id"
             ),
             F.first("e").alias("e"),
+            F.first("nrm").alias("nrm"),
         )
     )
     # Probe lists: each query's _N_PROBE nearest centroids.
     q = emb.filter(F.col("vec_id") % _QUERY_MOD == 0).select(
-        F.col("vec_id").alias("q_id"), F.col("e").alias("qe")
+        F.col("vec_id").alias("q_id"), F.col("e").alias("qe"), F.col("nrm").alias("qn")
     )
     wq = Window.partitionBy("q_id").orderBy(F.desc("p_cos"), F.asc("c_id"))
     probes = (
         q.crossJoin(F.broadcast(cents))
-        .select("q_id", "qe", "c_id", _cosine_expr("ce", "qe").alias("p_cos"))
+        .select(
+            "q_id", "qe", "qn", "c_id",
+            (_dot_expr("ce", "qe") / (F.col("cn") * F.col("qn"))).alias("p_cos"),
+        )
         .withColumn("pr", F.row_number().over(wq))
         .filter(F.col("pr") <= _N_PROBE)
-        .select("q_id", "qe", F.col("c_id").alias("list_id"))
+        .select("q_id", "qe", "qn", F.col("c_id").alias("list_id"))
     )
     cands = assigned.join(F.broadcast(probes), "list_id").filter(
         F.col("vec_id") != F.col("q_id")
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("cos_raw"), F.asc("vec_id"))
-    cos = _cosine_expr("qe", "e")
+    cos = _dot_expr("qe", "e") / (F.col("qn") * F.col("nrm"))
     return (
         cands.select("q_id", "vec_id", cos.alias("cos_raw"))
         .withColumn("rank", F.row_number().over(w))
