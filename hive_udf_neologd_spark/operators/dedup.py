@@ -62,10 +62,16 @@ def _mutated(base: DataFrame) -> DataFrame:
     oracle's corpus is bit-identical)."""
     return base.select(
         (F.col("doc_id") + MUT_OFF).alias("doc_id"),
-        F.expr(
-            "array_join(slice(split(text, ' '), 1,"
-            " greatest(1, (size(split(text, ' ')) * 4) DIV 5)), ' ')"
-        ).alias("text"),
+        F.split("text", " ").alias("ts"),
+        "lang",
+        "source",
+    ).select(
+        "doc_id",
+        # ts is a bound attribute here, so split() runs once per row (inline
+        # it and the lambda-free double reference re-splits per use).
+        F.expr("array_join(slice(ts, 1, greatest(1, (size(ts) * 4) DIV 5)), ' ')").alias(
+            "text"
+        ),
         "lang",
         "source",
     )
@@ -105,17 +111,24 @@ _N_BANDS = 4  # rows-per-band = 2
 def d02_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     prepare(spark)
     corpus = _corpus(spark, sf_dir, with_exact=False)
-    toks = F.split(F.col("text"), " ")
-    shingles = F.expr(
-        "transform(sequence(1, size(split(text, ' ')) - 2),"
-        " i -> concat_ws(' ', slice(split(text, ' '), i, 3)))"
-    )
     # Explode shingles to rows, then min-aggregate the salted hashes: each
     # md5 is computed exactly once (array-lambda formulations re-evaluate
     # the shingle array per hash function under projection collapse), and
     # the min() aggregate combines map-side — the formulation that scales.
-    sh_rows = corpus.filter(F.size(toks) >= 3).select(
-        "doc_id", F.explode(shingles).alias("s")
+    # split() is hoisted into its own projection: inside the lambda it would
+    # re-run per shingle (O(tokens^2) character work per document).
+    sh_rows = (
+        corpus.select("doc_id", F.split("text", " ").alias("ts"))
+        .filter(F.size("ts") >= 3)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(ts) - 2),"
+                    " i -> concat_ws(' ', slice(ts, i, 3)))"
+                )
+            ).alias("s"),
+        )
     )
     sigs = sh_rows.groupBy("doc_id").agg(
         *[

@@ -214,15 +214,17 @@ def t05_fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     per doc.  One shuffle (window on doc_id), map-side shingling."""
     prepare(spark)
     docs = read_table(spark, sf_dir, "documents")
-    toks = F.split(F.col("text"), " ")
+    # split() hoisted to its own projection — inside the lambda it re-runs
+    # per shingle (O(tokens^2) per document).
     shingled = (
-        docs.filter(F.size(toks) >= 3)
+        docs.select("doc_id", F.split("text", " ").alias("ts"))
+        .filter(F.size("ts") >= 3)
         .select(
             "doc_id",
             F.posexplode(
                 F.expr(
-                    "transform(sequence(1, size(split(text, ' ')) - 2),"
-                    " i -> md5(concat_ws(' ', slice(split(text, ' '), i, 3))))"
+                    "transform(sequence(1, size(ts) - 2),"
+                    " i -> md5(concat_ws(' ', slice(ts, i, 3))))"
                 )
             ).alias("pos", "h"),
         )
@@ -312,11 +314,11 @@ def t07_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     prepare(spark)
     docs = read_table(spark, sf_dir, "documents")
     bigrams = F.expr(
-        "transform(sequence(1, size(split(text, ' ')) - 1),"
-        " i -> concat_ws(' ', slice(split(text, ' '), i, 2)))"
+        "transform(sequence(1, size(ts) - 1), i -> concat_ws(' ', slice(ts, i, 2)))"
     )
     return (
-        docs.filter(F.size(F.split("text", " ")) >= 2)
+        docs.select(F.split("text", " ").alias("ts"))
+        .filter(F.size("ts") >= 2)
         .select(F.explode(bigrams).alias("bigram"))
         .groupBy("bigram")
         .agg(F.count(F.lit(1)).alias("n"))
