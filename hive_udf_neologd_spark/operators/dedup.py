@@ -130,9 +130,20 @@ def d02_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("s"),
         )
     )
-    sigs = sh_rows.groupBy("doc_id").agg(
+    # 8 minhash functions from TWO salted digests (4 non-overlapping 32-bit
+    # slices each): 4x fewer md5 evaluations per shingle, and the min()
+    # aggregates compare BIGINTs instead of 32-char strings.  Digests are
+    # hoisted to their own projection so each md5 runs once per shingle.
+    digests = sh_rows.select(
+        "doc_id",
+        F.md5(F.concat(F.lit("a|"), F.col("s"))).alias("da"),
+        F.md5(F.concat(F.lit("b|"), F.col("s"))).alias("db"),
+    )
+    def _slice(col: str, k: int) -> F.Column:
+        return F.expr(f"CAST(conv(substr({col}, {1 + 8 * k}, 8), 16, 10) AS BIGINT)")
+    sigs = digests.groupBy("doc_id").agg(
         *[
-            F.min(F.md5(F.concat(F.lit(f"{j}|"), F.col("s")))).alias(f"h{j}")
+            F.min(_slice("da" if j < 4 else "db", j % 4)).alias(f"h{j}")
             for j in range(_N_HASHES)
         ]
     )
@@ -141,7 +152,13 @@ def d02_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.posexplode(
             F.array(
                 *[
-                    F.md5(F.concat(F.col(f"h{2 * b}"), F.col(f"h{2 * b + 1}")))
+                    F.md5(
+                        F.concat(
+                            F.col(f"h{2 * b}").cast("string"),
+                            F.lit("|"),
+                            F.col(f"h{2 * b + 1}").cast("string"),
+                        )
+                    )
                     for b in range(_N_BANDS)
                 ]
             )
@@ -175,17 +192,22 @@ sh AS (
                         i -> array_to_string(ts[i:i+2], ' ')) AS shingles
   FROM toks
 ),
+digests AS (
+  SELECT doc_id, unnest(list_transform(shingles, s -> md5('a|' || s))) AS da,
+         unnest(list_transform(shingles, s -> md5('b|' || s))) AS db
+  FROM sh
+),
 sigs AS (
   SELECT doc_id,
          {", ".join(
-             f"list_aggregate(list_transform(shingles, s -> md5('{j}|' || s)), 'min') AS h{j}"
+             f"MIN(CAST(CAST(concat('0x', substr({'da' if j < 4 else 'db'}, {1 + 8 * (j % 4)}, 8)) AS UBIGINT) AS BIGINT)) AS h{j}"
              for j in range(_N_HASHES)
          )}
-  FROM sh
+  FROM digests GROUP BY doc_id
 ),
 bands AS (
   SELECT doc_id, u.b AS band,
-         CASE u.b {" ".join(f"WHEN {b} THEN md5(h{2 * b} || h{2 * b + 1})" for b in range(_N_BANDS))} END AS bucket
+         CASE u.b {" ".join(f"WHEN {b} THEN md5(CAST(h{2 * b} AS VARCHAR) || '|' || CAST(h{2 * b + 1} AS VARCHAR))" for b in range(_N_BANDS))} END AS bucket
   FROM sigs, unnest(range(0, {_N_BANDS})) AS u(b)
 )
 SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b

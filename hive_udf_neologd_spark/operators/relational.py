@@ -752,6 +752,53 @@ FROM orders ORDER BY o_orderkey
 """
 
 
+# --- star join: fact ⋈ snowflaked dimensions (TPC-H Q5 shape) -------------
+def q26_star_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Four-way star: lineitem ⋈ orders (shuffle, fact-to-fact) ⋈ customer
+    (shuffle) ⋈ nation ⋈ region (both broadcast).  The canonical 100 TB
+    shape: only the two fact joins shuffle, the snowflaked dimension chain
+    rides along broadcast; Catalyst orders the joins, AQE re-plans sizes at
+    runtime."""
+    prepare(spark)
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    orders = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = read_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = F.broadcast(
+        read_table(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey", "n_name")
+    )
+    region = F.broadcast(
+        read_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    )
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(nation, F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(region, F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum(revenue), 2).alias("revenue"),
+        )
+        .orderBy("r_name", "n_name")
+    )
+
+
+Q26_SQL = """
+SELECT r_name, n_name, COUNT(*) AS n_items,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey  = o_orderkey
+JOIN customer ON o_custkey   = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+ORDER BY r_name, n_name
+"""
+
+
 RELATIONAL_QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_orders": q02_top_orders,
@@ -778,6 +825,7 @@ RELATIONAL_QUERIES = {
     "s02_session_windows": s02_session_windows,
     "q24_small_quantity_revenue": q24_small_quantity_revenue,
     "q25_trailing_window": q25_trailing_window,
+    "q26_star_join": q26_star_join,
 }
 
 RELATIONAL_ORACLES = {
@@ -806,4 +854,5 @@ RELATIONAL_ORACLES = {
     "s02_session_windows": S02_SQL,
     "q24_small_quantity_revenue": Q24_SQL,
     "q25_trailing_window": Q25_SQL,
+    "q26_star_join": Q26_SQL,
 }
