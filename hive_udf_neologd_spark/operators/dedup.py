@@ -21,6 +21,8 @@ Families (each a first-class ``queries()`` entry with a full oracle):
 * d05 bucketed n-gram Jaccard all-pairs within (lang, source) buckets —
   bounded quadratic: the bucket key caps pair growth at scale.
 * d06 embedding-cosine near-dup pairs within label buckets.
+* d07 duplicate clusters — iterative min-label connected components over
+  d02's pairs (recursive-CTE oracle).
 
 All hashing is md5 (identical hex in Spark and DuckDB) so signatures are
 bit-identical across engines.
@@ -420,6 +422,73 @@ ORDER BY id_a, id_b
 """
 
 
+# --- d07: duplicate clusters (iterative connected components) --------------
+_MAX_CC_ITERS = 10
+
+
+def d07_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resolve d02's candidate pairs into duplicate CLUSTERS via iterative
+    min-label propagation (distributed connected components — the
+    large-star/small-star idea of Kiveris et al., SoCC 2014, simplified to
+    neighbor-min since dup components are shallow).
+
+    Each iteration is one join + one min-aggregate, both distributed;
+    ``localCheckpoint`` truncates the growing lineage (the thing that kills
+    iterative DataFrame jobs at scale).  Converges in O(diameter)
+    iterations — dup clusters are near-cliques, so 2-3 in practice; capped
+    at {_MAX_CC_ITERS}.  The DuckDB oracle computes the same fixpoint with
+    a recursive CTE — the driver thereby gates a genuinely iterative
+    distributed algorithm."""
+    prepare(spark)
+    pairs = d02_minhash_lsh_pairs(spark, sf_dir).select("id_a", "id_b")
+    edges = pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v")).unionByName(
+        pairs.select(F.col("id_b").alias("u"), F.col("id_a").alias("v"))
+    )
+    edges = edges.localCheckpoint()  # d02 runs once, not once per iteration
+    labels = edges.select("u").distinct().select(
+        F.col("u").alias("n"), F.col("u").alias("lbl")
+    )
+    for _ in range(_MAX_CC_ITERS):
+        nbr = edges.join(labels, edges["v"] == labels["n"]).select(
+            edges["u"].alias("n"), F.col("lbl")
+        )
+        new_labels = (
+            labels.unionByName(nbr).groupBy("n").agg(F.min("lbl").alias("lbl"))
+        ).localCheckpoint()
+        changed = (
+            new_labels.alias("a")
+            .join(labels.alias("b"), "n")
+            .filter(F.col("a.lbl") != F.col("b.lbl"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return (
+        labels.groupBy(F.col("lbl").alias("cluster_root"))
+        .agg(F.count(F.lit(1)).alias("n_members"), F.max("n").alias("max_member"))
+        .orderBy("cluster_root")
+    )
+
+
+D07_SQL = f"""
+WITH RECURSIVE pairs AS ({D02_SQL}),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION ALL
+  SELECT id_b, id_a FROM pairs
+),
+reach(n, m) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+  UNION
+  SELECT e.u, r.m FROM edges e JOIN reach r ON e.v = r.n
+),
+labels AS (SELECT n, MIN(m) AS lbl FROM reach GROUP BY n)
+SELECT lbl AS cluster_root, COUNT(*) AS n_members, MAX(n) AS max_member
+FROM labels GROUP BY lbl ORDER BY cluster_root
+"""
+
+
 DEDUP_QUERIES = {
     "d01_dedup_exact": d01_dedup_exact,
     "d02_minhash_lsh_pairs": d02_minhash_lsh_pairs,
@@ -427,6 +496,7 @@ DEDUP_QUERIES = {
     "d04_jaccard_near_dup": d04_jaccard_near_dup,
     "d05_bucket_jaccard_pairs": d05_bucket_jaccard_pairs,
     "d06_embedding_dup_pairs": d06_embedding_dup_pairs,
+    "d07_dup_clusters": d07_dup_clusters,
 }
 
 DEDUP_ORACLES = {
@@ -436,4 +506,5 @@ DEDUP_ORACLES = {
     "d04_jaccard_near_dup": D04_SQL,
     "d05_bucket_jaccard_pairs": D05_SQL,
     "d06_embedding_dup_pairs": D06_SQL,
+    "d07_dup_clusters": D07_SQL,
 }
