@@ -339,6 +339,36 @@ ORDER BY n DESC, bigram ASC LIMIT 20
 """
 
 
+# --- sql01: the reference's SQL usage pattern, end-to-end ------------------
+def sql01_lateral_view_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's exact usage shape (README.md:22-29: ``create
+    temporary function tokenize_ja_neologd`` → ``select tokenize_ja_neologd
+    (...)``), executed through Spark SQL: register the UDF + a temp view,
+    then ``LATERAL VIEW explode(tokenize_ja_neologd(text))`` — Hive SQL
+    that runs unchanged on this engine.  Same oracle as the flagship t01
+    (the corpus-equivalence argument)."""
+    from hive_udf_neologd_spark.functions.tokenize import register_udfs
+    from hive_udf_neologd_spark.sources import read_table as _rt
+
+    prepare(spark)
+    register_udfs(spark)
+    _rt(spark, sf_dir, "documents").createOrReplaceTempView("documents_v")
+    return spark.sql(
+        """
+        SELECT token, COUNT(*) AS n
+        FROM documents_v
+        LATERAL VIEW explode(tokenize_ja_neologd(text)) t AS token
+        WHERE text IS NOT NULL
+        GROUP BY token
+        ORDER BY n DESC, token ASC
+        LIMIT 20
+        """
+    )
+
+
+SQL01_SQL = T01_SQL
+
+
 # --- t09: stopword/punctuation-ratio quality features ----------------------
 _STOP_EN = ("the", "of", "and", "to", "in", "is", "a", "for", "on", "with")
 
@@ -450,6 +480,7 @@ TEXT_QUERIES = {
     "t07_bigram_topk": t07_bigram_topk,
     "t08_tokenize_modes": t08_tokenize_modes,
     "t09_quality_ratios": t09_quality_ratios,
+    "sql01_lateral_view_tokenize": sql01_lateral_view_tokenize,
 }
 
 # t08 has no oracle entry: Japanese morphological tokenization is not
@@ -464,4 +495,5 @@ TEXT_ORACLES = {
     "t06_tfidf": T06_SQL,
     "t07_bigram_topk": T07_SQL,
     "t09_quality_ratios": T09_SQL,
+    "sql01_lateral_view_tokenize": SQL01_SQL,
 }
