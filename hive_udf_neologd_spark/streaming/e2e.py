@@ -147,12 +147,110 @@ ORDER BY window_start, token
 """
 
 
+def _stage_events(spark: SparkSession, sf_dir: str, name: str, df) -> str:
+    stage = f"/tmp/spark_graft_stream/{os.path.basename(sf_dir.rstrip('/'))}/{name}"
+    df.coalesce(4).write.mode("overwrite").parquet(stage)
+    return stage
+
+
+def _run_append(out, name_prefix: str):
+    name = f"{name_prefix}_{next(_RUN_IDS)}_{os.getpid()}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return name
+
+
+def s05_stream_static_join_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream–static join: the event stream enriched against the static
+    ``customer`` dimension (broadcast — no state, no stream-side shuffle
+    for the join), then watermarked windowed revenue per market segment.
+    The canonical streaming-enrichment shape at 100 TB: dimensions stay
+    batch tables, only the windowed aggregate keeps state."""
+    prepare(spark)
+    from hive_udf_neologd_spark.streaming.term_counts import read_event_stream
+
+    stage = _stage_events(
+        spark, sf_dir, "events_s05", read_table(spark, sf_dir, "events")
+    )
+    cust = F.broadcast(
+        read_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    )
+    out = (
+        read_event_stream(spark, stage)
+        .withWatermark("ts", "2 hours")
+        .join(cust, F.col("user_id") == F.col("c_custkey"))
+        .groupBy(F.window("ts", "1 hour").alias("w"), "c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(F.col("w.start").alias("ws"), "c_mktsegment", "n", "total_value")
+    )
+    name = _run_append(out, "s05_sink")
+    return (
+        spark.table(name)
+        .select(
+            F.unix_timestamp("ws").alias("window_start"), "c_mktsegment", "n", "total_value"
+        )
+        .orderBy("window_start", "c_mktsegment")
+    )
+
+
+S05_SQL = """
+WITH mx AS (SELECT max(ts) AS m FROM events),
+j AS (
+  SELECT time_bucket(INTERVAL '1 hour', ts) AS ws, c_mktsegment,
+         COUNT(*) AS n, ROUND(SUM(value), 2) AS total_value
+  FROM events JOIN customer ON user_id = c_custkey
+  GROUP BY ws, c_mktsegment
+)
+SELECT CAST(epoch(ws) AS BIGINT) AS window_start, c_mktsegment, n, total_value
+FROM j, mx
+WHERE ws + INTERVAL '1 hour' <= m - INTERVAL '2 hours'
+ORDER BY window_start, c_mktsegment
+"""
+
+
+def s06_streaming_dedup_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact deduplication: the staged input contains every event
+    TWICE; ``dropDuplicates("event_id")`` under a watermark emits each
+    exactly once.  State is bounded by the watermark (the streaming analog
+    of d01's batch hash-dedup — the first pass of a streaming ingest
+    pipeline).  The oracle is plain DISTINCT."""
+    prepare(spark)
+    from hive_udf_neologd_spark.streaming.term_counts import read_event_stream
+
+    ev = read_table(spark, sf_dir, "events")
+    stage = _stage_events(spark, sf_dir, "events_s06", ev.unionByName(ev))
+    out = (
+        read_event_stream(spark, stage)
+        .withWatermark("ts", "2 hours")
+        .dropDuplicates(["event_id"])
+        .select("event_id", "user_id", "event_type")
+    )
+    name = _run_append(out, "s06_sink")
+    return spark.table(name).orderBy("event_id")
+
+
+S06_SQL = """
+SELECT DISTINCT event_id, user_id, event_type
+FROM events ORDER BY event_id
+"""
+
+
 STREAMING_QUERIES = {
     "s03_streaming_event_counts_e2e": s03_streaming_event_counts_e2e,
     "s04_streaming_term_counts_e2e": s04_streaming_term_counts_e2e,
+    "s05_stream_static_join_e2e": s05_stream_static_join_e2e,
+    "s06_streaming_dedup_e2e": s06_streaming_dedup_e2e,
 }
 
 STREAMING_ORACLES = {
     "s03_streaming_event_counts_e2e": S03_SQL,
     "s04_streaming_term_counts_e2e": S04_SQL,
+    "s05_stream_static_join_e2e": S05_SQL,
+    "s06_streaming_dedup_e2e": S06_SQL,
 }
