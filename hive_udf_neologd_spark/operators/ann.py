@@ -277,14 +277,53 @@ ORDER BY q_id, rank
 """
 
 
+# --- a04: recall of the IVF index against exact ground truth --------------
+def a04_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@k of a03 (IVF) measured against a01 (exact brute force) —
+    the measurement loop an ANN deployment runs when tuning
+    nlist/nprobe.  Ground truth and index results are both DataFrames, so
+    the comparison is one tiny join; both pipelines execute distributed."""
+    prepare(spark)
+    exact = a01_ann_bruteforce(spark, sf_dir).select("q_id", "neighbor_id")
+    ivf = a03_ann_ivf(spark, sf_dir).select(
+        F.col("q_id").alias("iq"), F.col("neighbor_id").alias("inb")
+    )
+    return (
+        exact.join(
+            ivf,
+            (F.col("q_id") == F.col("iq")) & (F.col("neighbor_id") == F.col("inb")),
+            "left",
+        )
+        .groupBy("q_id")
+        .agg(
+            F.count("inb").alias("n_matched"),
+            F.round(F.count("inb") / float(_TOP_K), 4).alias("recall"),
+        )
+        .orderBy("q_id")
+    )
+
+
+A04_SQL = f"""
+WITH exact AS ({A01_SQL}),
+ivf AS ({A03_SQL})
+SELECT exact.q_id, COUNT(ivf.neighbor_id) AS n_matched,
+       ROUND(COUNT(ivf.neighbor_id) / {float(_TOP_K)}, 4) AS recall
+FROM exact LEFT JOIN ivf
+  ON exact.q_id = ivf.q_id AND exact.neighbor_id = ivf.neighbor_id
+GROUP BY exact.q_id ORDER BY exact.q_id
+"""
+
+
 ANN_QUERIES = {
     "a01_ann_bruteforce": a01_ann_bruteforce,
     "a02_ann_lsh": a02_ann_lsh,
     "a03_ann_ivf": a03_ann_ivf,
+    "a04_ann_recall": a04_ann_recall,
 }
 
 ANN_ORACLES = {
     "a01_ann_bruteforce": A01_SQL,
     "a02_ann_lsh": A02_SQL,
     "a03_ann_ivf": A03_SQL,
+    "a04_ann_recall": A04_SQL,
 }
