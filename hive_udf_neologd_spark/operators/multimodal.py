@@ -287,11 +287,69 @@ FROM dims ORDER BY asset_id
 """
 
 
+# --- m05: fixed-size chunk planning for blob shipping ---------------------
+_CHUNK = 1024
+
+
+def m05_chunk_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Plan fixed-{_CHUNK}-byte chunks per payload (how blobs get split for
+    GPU/feature workers): posexplode over a computed offset sequence, then
+    per-kind totals.  Narrow until the tiny final aggregate; the actual
+    byte slicing would use ``substring(payload, off, len)`` in the same
+    projection."""
+    prepare(spark)
+    assets = synthetic_assets(spark, sf_dir)
+    chunks = assets.select(
+        "asset_id",
+        "kind",
+        F.length("payload").alias("byte_len"),
+        F.posexplode(
+            F.expr(f"sequence(0, greatest(length(payload) - 1, 0), {_CHUNK})")
+        ).alias("chunk_idx", "offset"),
+    ).select(
+        "asset_id",
+        "kind",
+        "chunk_idx",
+        "offset",
+        F.least(F.lit(_CHUNK), F.col("byte_len") - F.col("offset")).alias("chunk_bytes"),
+    )
+    return (
+        chunks.groupBy("kind")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum("chunk_bytes").alias("total_bytes"),
+            F.max("chunk_idx").alias("max_chunks_per_asset"),
+        )
+        .orderBy("kind")
+    )
+
+
+M05_SQL = f"""
+WITH assets AS (
+  SELECT doc_id AS asset_id,
+         CASE WHEN doc_id % 3 = 0 THEN 'image'
+              WHEN doc_id % 3 = 1 THEN 'audio'
+              ELSE 'video' END AS kind,
+         octet_length(encode(text)) AS byte_len
+  FROM documents
+),
+chunks AS (
+  SELECT asset_id, kind, byte_len, u.i AS chunk_idx, u.i * {_CHUNK} AS off
+  FROM assets, unnest(range(0, (GREATEST(byte_len - 1, 0)) // {_CHUNK} + 1)) AS u(i)
+)
+SELECT kind, COUNT(*) AS n_chunks,
+       CAST(SUM(LEAST({_CHUNK}, byte_len - off)) AS BIGINT) AS total_bytes,
+       CAST(MAX(chunk_idx) AS INTEGER) AS max_chunks_per_asset
+FROM chunks GROUP BY kind ORDER BY kind
+"""
+
+
 MM_QUERIES = {
     "m01_binary_meta": m01_binary_meta,
     "m02_decoded_meta_stats": m02_decoded_meta_stats,
     "m03_frame_sample": m03_frame_sample,
     "m04_resize_plan": m04_resize_plan,
+    "m05_chunk_plan": m05_chunk_plan,
 }
 
 MM_ORACLES = {
@@ -299,4 +357,5 @@ MM_ORACLES = {
     "m02_decoded_meta_stats": M02_SQL,
     "m03_frame_sample": M03_SQL,
     "m04_resize_plan": M04_SQL,
+    "m05_chunk_plan": M05_SQL,
 }

@@ -799,6 +799,71 @@ ORDER BY r_name, n_name
 """
 
 
+# --- ntile quartiles ------------------------------------------------------
+def q27_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE over a total order (price, then key — unique, so both engines
+    assign identical tiles), then per-quartile price stats by priority."""
+    prepare(spark)
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        read_table(spark, sf_dir, "orders")
+        .select(
+            "o_orderpriority",
+            "o_totalprice",
+            F.ntile(4).over(w).alias("quartile"),
+        )
+        .groupBy("o_orderpriority", "quartile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("o_totalprice"), 2).alias("avg_price"),
+        )
+        .orderBy("o_orderpriority", "quartile")
+    )
+
+
+Q27_SQL = """
+SELECT o_orderpriority, quartile, COUNT(*) AS n, ROUND(AVG(o_totalprice), 2) AS avg_price
+FROM (
+  SELECT o_orderpriority, o_totalprice,
+         NTILE(4) OVER (PARTITION BY o_orderpriority
+                        ORDER BY o_totalprice DESC, o_orderkey ASC) AS quartile
+  FROM orders
+)
+GROUP BY o_orderpriority, quartile
+ORDER BY o_orderpriority, quartile
+"""
+
+
+# --- from_json struct parsing ---------------------------------------------
+def q28_from_json_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``from_json`` with a declared schema (the idiomatic Spark JSON path —
+    one parse into a typed struct, unlike q11's per-field
+    ``get_json_object``); bucket the extracted value and aggregate."""
+    prepare(spark)
+    ev = read_table(spark, sf_dir, "events")
+    parsed = ev.select(
+        "event_type",
+        F.from_json("props", "k INT").alias("p"),
+    )
+    return (
+        parsed.select("event_type", (F.col("p.k") % 10).alias("k_bucket"))
+        .groupBy("event_type", "k_bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("event_type", "k_bucket")
+    )
+
+
+Q28_SQL = """
+SELECT event_type, CAST(json_extract(props, '$.k') AS INTEGER) % 10 AS k_bucket,
+       COUNT(*) AS n
+FROM events
+GROUP BY event_type, k_bucket
+ORDER BY event_type, k_bucket
+"""
+
+
 RELATIONAL_QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_orders": q02_top_orders,
@@ -826,6 +891,8 @@ RELATIONAL_QUERIES = {
     "q24_small_quantity_revenue": q24_small_quantity_revenue,
     "q25_trailing_window": q25_trailing_window,
     "q26_star_join": q26_star_join,
+    "q27_ntile_quartiles": q27_ntile_quartiles,
+    "q28_from_json_struct": q28_from_json_struct,
 }
 
 RELATIONAL_ORACLES = {
@@ -855,4 +922,6 @@ RELATIONAL_ORACLES = {
     "q24_small_quantity_revenue": Q24_SQL,
     "q25_trailing_window": Q25_SQL,
     "q26_star_join": Q26_SQL,
+    "q27_ntile_quartiles": Q27_SQL,
+    "q28_from_json_struct": Q28_SQL,
 }
