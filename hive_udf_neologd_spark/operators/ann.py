@@ -314,11 +314,63 @@ GROUP BY exact.q_id ORDER BY exact.q_id
 """
 
 
+# --- a05: label-centroid cohesion -----------------------------------------
+def a05_label_centroid_cohesion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid (element-wise mean, assembled back into an array
+    via sort-by-dimension) and mean member→centroid cosine — the cluster-
+    cohesion statistic an embedding pipeline monitors.  Centroid
+    components are rounded to 4 dp BEFORE the cosine so both engines run
+    the cosine over identical doubles.  Scale: one (label, dim) shuffle
+    with map-side partial averaging, centroids broadcast back."""
+    prepare(spark)
+    emb = _emb(spark, sf_dir)
+    dims = emb.select("label", F.posexplode("e").alias("dim", "x"))
+    cent = (
+        dims.groupBy("label", "dim")
+        .agg(F.round(F.avg("x"), 4).alias("cx"))
+        .groupBy("label")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(dim, cx))), s -> s.cx)"
+            ).alias("ce")
+        )
+    )
+    joined = emb.join(F.broadcast(cent), "label")
+    cos = _cosine_expr("e", "ce")
+    return (
+        joined.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(F.avg(cos), 4).alias("avg_cohesion"),
+        )
+        .orderBy("label")
+    )
+
+
+A05_SQL = """
+WITH emb AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+dims AS (
+  SELECT label, u.i - 1 AS dim, e[u.i] AS x
+  FROM emb, unnest(range(1, len(e) + 1)) AS u(i)
+),
+cent AS (
+  SELECT label, list(cx ORDER BY dim) AS ce
+  FROM (SELECT label, dim, ROUND(AVG(x), 4) AS cx FROM dims GROUP BY label, dim)
+  GROUP BY label
+)
+SELECT emb.label, COUNT(*) AS n_vecs,
+       ROUND(AVG(list_cosine_similarity(emb.e, cent.ce)), 4) AS avg_cohesion
+FROM emb JOIN cent ON emb.label = cent.label
+GROUP BY emb.label ORDER BY emb.label
+"""
+
+
 ANN_QUERIES = {
     "a01_ann_bruteforce": a01_ann_bruteforce,
     "a02_ann_lsh": a02_ann_lsh,
     "a03_ann_ivf": a03_ann_ivf,
     "a04_ann_recall": a04_ann_recall,
+    "a05_label_centroid_cohesion": a05_label_centroid_cohesion,
 }
 
 ANN_ORACLES = {
@@ -326,4 +378,5 @@ ANN_ORACLES = {
     "a02_ann_lsh": A02_SQL,
     "a03_ann_ivf": A03_SQL,
     "a04_ann_recall": A04_SQL,
+    "a05_label_centroid_cohesion": A05_SQL,
 }
