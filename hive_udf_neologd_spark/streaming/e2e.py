@@ -153,12 +153,12 @@ def _stage_events(spark: SparkSession, sf_dir: str, name: str, df) -> str:
     return stage
 
 
-def _run_append(out, name_prefix: str):
+def _run_append(out, name_prefix: str, mode: str = "append"):
     name = f"{name_prefix}_{next(_RUN_IDS)}_{os.getpid()}"
     q = (
         out.writeStream.format("memory")
         .queryName(name)
-        .outputMode("append")
+        .outputMode(mode)
         .trigger(availableNow=True)
         .start()
     )
@@ -241,11 +241,52 @@ FROM events ORDER BY event_id
 """
 
 
+def s07_stateful_running_totals_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The custom stateful operator (``applyInPandasWithState``) across
+    REAL micro-batch boundaries: ``maxFilesPerTrigger=1`` over 4 staged
+    files forces 4 batches, so per-user state must survive batch
+    transitions.  Update mode appends one row per (user, batch); the final
+    state per user is the row with the highest running count (strictly
+    monotone), which must equal the plain batch aggregate — the oracle."""
+    prepare(spark)
+    from pyspark.sql import Window
+
+    from hive_udf_neologd_spark.streaming.term_counts import (
+        EVENT_SCHEMA,
+        streaming_user_running_totals,
+    )
+
+    stage = _stage_events(
+        spark, sf_dir, "events_s07", read_table(spark, sf_dir, "events")
+    )
+    src = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stage)
+    )
+    name = _run_append(streaming_user_running_totals(src), "s07_sink", mode="update")
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    return (
+        spark.table(name)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "n_events", "total_value")
+        .orderBy("user_id")
+    )
+
+
+S07_SQL = """
+SELECT user_id, COUNT(*) AS n_events, ROUND(SUM(value), 2) AS total_value
+FROM events GROUP BY user_id ORDER BY user_id
+"""
+
+
 STREAMING_QUERIES = {
     "s03_streaming_event_counts_e2e": s03_streaming_event_counts_e2e,
     "s04_streaming_term_counts_e2e": s04_streaming_term_counts_e2e,
     "s05_stream_static_join_e2e": s05_stream_static_join_e2e,
     "s06_streaming_dedup_e2e": s06_streaming_dedup_e2e,
+    "s07_stateful_running_totals_e2e": s07_stateful_running_totals_e2e,
 }
 
 STREAMING_ORACLES = {
@@ -253,4 +294,5 @@ STREAMING_ORACLES = {
     "s04_streaming_term_counts_e2e": S04_SQL,
     "s05_stream_static_join_e2e": S05_SQL,
     "s06_streaming_dedup_e2e": S06_SQL,
+    "s07_stateful_running_totals_e2e": S07_SQL,
 }
