@@ -92,22 +92,31 @@ ORDER BY q_id, rank
 
 
 # --- a02: LSH-bucketed ANN ------------------------------------------------
-def _plane_sign_expr(p: int) -> str:
-    """±1 weight for plane p at dimension i (0-based), from md5 parity —
-    identical in both engines: odd first hex nibble of md5('p|i') → +1."""
-    return (
-        f"CASE WHEN CAST(conv(substr(md5(concat('{p}|', CAST(i AS STRING))), 1, 1), 16, 10)"
-        f" AS INT) % 2 = 1 THEN 1.0 ELSE -1.0 END"
-    )
+_EMB_DIM = 64  # embeddings table contract (TESTDATA.md)
+
+
+def _plane_signs(p: int) -> list[float]:
+    """±1 weight vector for plane p, from md5 parity (odd first hex nibble
+    of md5('p|i') → +1).  The weights are CONSTANTS, so they're computed
+    here once with hashlib (bit-identical to the engines' md5) and embedded
+    as array literals — the previous formulation evaluated md5 inside the
+    zip_with lambda, i.e. planes×dims×rows times."""
+    import hashlib
+
+    return [
+        1.0 if int(hashlib.md5(f"{p}|{i}".encode()).hexdigest()[0], 16) % 2 == 1 else -1.0
+        for i in range(_EMB_DIM)
+    ]
 
 
 def _signature_expr() -> str:
     """Bucket id: sum over planes of (dot(w_p, e) > 0) << p."""
     parts = []
     for p in range(_N_PLANES):
+        w = ", ".join(f"CAST({v} AS DOUBLE)" for v in _plane_signs(p))
         dot = (
-            "aggregate(zip_with(e, sequence(0, size(e) - 1),"
-            f" (x, i) -> x * ({_plane_sign_expr(p)})), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+            f"aggregate(zip_with(e, array({w}), (x, s) -> x * s),"
+            " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
         )
         parts.append(f"(CASE WHEN ({dot}) > 0 THEN CAST(1 AS BIGINT) << {p} ELSE 0 END)")
     return " + ".join(parts)

@@ -864,6 +864,40 @@ ORDER BY event_type, k_bucket
 """
 
 
+# --- conditional aggregates -----------------------------------------------
+def q29_conditional_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional-aggregate surface: count_if, bool_and/bool_or, and
+    FILTER-style conditional sums — all fold into the same partial-agg
+    shuffle as the plain aggregates beside them."""
+    prepare(spark)
+    orders = read_table(spark, sf_dir, "orders")
+    big = F.col("o_totalprice") > 200000
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.count_if(big).alias("n_big"),
+            F.round(F.sum(F.when(big, F.col("o_totalprice")).otherwise(0.0)), 2).alias(
+                "big_revenue"
+            ),
+            F.bool_or(F.col("o_orderstatus") == "F").alias("any_final"),
+            F.bool_and(F.col("o_totalprice") > 0).alias("all_positive"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+Q29_SQL = """
+SELECT o_orderpriority, COUNT(*) AS n,
+       COUNT(*) FILTER (WHERE o_totalprice > 200000) AS n_big,
+       ROUND(SUM(CASE WHEN o_totalprice > 200000 THEN o_totalprice ELSE 0.0 END), 2)
+         AS big_revenue,
+       BOOL_OR(o_orderstatus = 'F') AS any_final,
+       BOOL_AND(o_totalprice > 0) AS all_positive
+FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
 RELATIONAL_QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_orders": q02_top_orders,
@@ -893,6 +927,7 @@ RELATIONAL_QUERIES = {
     "q26_star_join": q26_star_join,
     "q27_ntile_quartiles": q27_ntile_quartiles,
     "q28_from_json_struct": q28_from_json_struct,
+    "q29_conditional_aggs": q29_conditional_aggs,
 }
 
 RELATIONAL_ORACLES = {
@@ -924,4 +959,5 @@ RELATIONAL_ORACLES = {
     "q26_star_join": Q26_SQL,
     "q27_ntile_quartiles": Q27_SQL,
     "q28_from_json_struct": Q28_SQL,
+    "q29_conditional_aggs": Q29_SQL,
 }
