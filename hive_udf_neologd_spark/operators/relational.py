@@ -898,6 +898,55 @@ FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
 """
 
 
+# --- scalar-function breadth (SURVEY.md §2.3 scalars row) ------------------
+def q30_scalar_breadth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String / date / math / array / map scalars in one narrow projection
+    — the §2.3 'scalars' inventory row made executable.  All built-ins,
+    whole-stage codegen'd, zero shuffles before the final order."""
+    prepare(spark)
+    nation = read_table(spark, sf_dir, "nation")
+    return (
+        nation.select(
+            "n_nationkey",
+            # string
+            F.concat_ws("-", F.lower("n_name"), F.lpad(F.col("n_nationkey").cast("string"), 3, "0")).alias("slug"),
+            F.substring("n_name", 1, 3).alias("prefix"),
+            F.translate("n_name", "AEIOU", "aeiou").alias("xlated"),
+            # math
+            F.round(F.sqrt(F.col("n_nationkey") + 1), 4).alias("rooted"),
+            F.pmod(F.col("n_nationkey") * 7, F.lit(5)).alias("pm"),
+            # array
+            F.array_contains(F.split("n_name", "A"), "").alias("starts_or_ends_a"),
+            F.length("n_name").alias("n_chars"),
+            # map
+            F.element_at(
+                F.map_from_arrays(
+                    F.array(F.lit("key"), F.lit("region")),
+                    F.array(F.col("n_nationkey").cast("string"), F.col("n_regionkey").cast("string")),
+                ),
+                "region",
+            ).alias("region_str"),
+        )
+        .orderBy("n_nationkey")
+    )
+
+
+Q30_SQL = """
+SELECT n_nationkey,
+       concat_ws('-', lower(n_name), lpad(CAST(n_nationkey AS VARCHAR), 3, '0')) AS slug,
+       substring(n_name, 1, 3) AS prefix,
+       translate(n_name, 'AEIOU', 'aeiou') AS xlated,
+       ROUND(sqrt(n_nationkey + 1), 4) AS rooted,
+       ((n_nationkey * 7) % 5 + 5) % 5 AS pm,
+       list_contains(string_split(n_name, 'A'), '') AS starts_or_ends_a,
+       length(n_name) AS n_chars,
+       (MAP(['key', 'region'],
+            [CAST(n_nationkey AS VARCHAR), CAST(n_regionkey AS VARCHAR)])['region'])[1]
+         AS region_str
+FROM nation ORDER BY n_nationkey
+"""
+
+
 RELATIONAL_QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_orders": q02_top_orders,
@@ -928,6 +977,7 @@ RELATIONAL_QUERIES = {
     "q27_ntile_quartiles": q27_ntile_quartiles,
     "q28_from_json_struct": q28_from_json_struct,
     "q29_conditional_aggs": q29_conditional_aggs,
+    "q30_scalar_breadth": q30_scalar_breadth,
 }
 
 RELATIONAL_ORACLES = {
@@ -960,4 +1010,5 @@ RELATIONAL_ORACLES = {
     "q27_ntile_quartiles": Q27_SQL,
     "q28_from_json_struct": Q28_SQL,
     "q29_conditional_aggs": Q29_SQL,
+    "q30_scalar_breadth": Q30_SQL,
 }
