@@ -23,6 +23,8 @@ Families (each a first-class ``queries()`` entry with a full oracle):
 * d06 embedding-cosine near-dup pairs within label buckets.
 * d07 duplicate clusters — iterative min-label connected components over
   d02's pairs (recursive-CTE oracle).
+* d08 incremental ingest — left-anti hash join of a new batch against the
+  existing corpus (only new content admitted).
 
 All hashing is md5 (identical hex in Spark and DuckDB) so signatures are
 bit-identical across engines.
@@ -489,6 +491,44 @@ FROM labels GROUP BY lbl ORDER BY cluster_root
 """
 
 
+# --- d08: incremental ingest dedup (new batch vs existing corpus) ----------
+def d08_incremental_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ingest-time pattern: an incoming batch (base docs + the mutated
+    variants) is deduplicated against the EXISTING corpus by content hash
+    with a left-anti join — only genuinely new content survives.  At
+    100 TB the corpus side is a bucketed hash index, making this a
+    co-located anti join; counts per lang summarize the admission."""
+    prepare(spark)
+    existing = _base(spark, sf_dir).select(F.md5("text").alias("h"))
+    batch = _base(spark, sf_dir).unionByName(_mutated(_base(spark, sf_dir)))
+    admitted = (
+        batch.withColumn("h", F.md5("text"))
+        .join(existing, "h", "left_anti")
+    )
+    return (
+        admitted.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_admitted"),
+            F.min("doc_id").alias("min_id"),
+            F.max("doc_id").alias("max_id"),
+        )
+        .orderBy("lang")
+    )
+
+
+D08_SQL = f"""
+WITH {_CORPUS_SQL},
+existing AS (SELECT md5(text) AS h FROM base),
+batch AS (SELECT * FROM base UNION ALL SELECT * FROM mut),
+admitted AS (
+  SELECT b.* FROM batch b
+  WHERE md5(b.text) NOT IN (SELECT h FROM existing)
+)
+SELECT lang, COUNT(*) AS n_admitted, MIN(doc_id) AS min_id, MAX(doc_id) AS max_id
+FROM admitted GROUP BY lang ORDER BY lang
+"""
+
+
 DEDUP_QUERIES = {
     "d01_dedup_exact": d01_dedup_exact,
     "d02_minhash_lsh_pairs": d02_minhash_lsh_pairs,
@@ -497,6 +537,7 @@ DEDUP_QUERIES = {
     "d05_bucket_jaccard_pairs": d05_bucket_jaccard_pairs,
     "d06_embedding_dup_pairs": d06_embedding_dup_pairs,
     "d07_dup_clusters": d07_dup_clusters,
+    "d08_incremental_ingest": d08_incremental_ingest,
 }
 
 DEDUP_ORACLES = {
@@ -507,4 +548,5 @@ DEDUP_ORACLES = {
     "d05_bucket_jaccard_pairs": D05_SQL,
     "d06_embedding_dup_pairs": D06_SQL,
     "d07_dup_clusters": D07_SQL,
+    "d08_incremental_ingest": D08_SQL,
 }

@@ -9,6 +9,8 @@ generic Hive external tables.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 
 TABLES = (
@@ -73,6 +75,39 @@ def write_parquet(df: DataFrame, path: str, partition_by: list[str] | None = Non
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.parquet(path)
+
+
+def write_partition_overwrite(df: DataFrame, path: str, partition_by: list[str]) -> None:
+    """Sink: dynamic partition overwrite — replaces ONLY the partitions
+    present in ``df``, leaving others untouched (the idempotent
+    re-ingest/backfill pattern; static mode would wipe the whole table)."""
+    (
+        df.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(*partition_by)
+        .parquet(path)
+    )
+
+
+def compact_parquet(
+    spark: SparkSession, in_path: str, out_path: str, target_mb: int = 128
+) -> int:
+    """Small-file compaction: rewrite a directory into ~``target_mb`` files.
+
+    Long-running ingest (especially streaming sinks) accumulates small
+    files that poison scan parallelism and NameNode/listing costs at
+    100 TB; periodic compaction back to ~128 MB files is standard
+    pipeline hygiene.  File count is computed from actual input bytes —
+    no driver-side data collection.  Returns the output file count."""
+    import glob as _glob
+
+    total_bytes = sum(
+        os.path.getsize(f)
+        for f in _glob.glob(os.path.join(in_path, "**", "*.parquet"), recursive=True)
+    )
+    n_files = max(1, int(total_bytes / (target_mb * 1024 * 1024)) + 1)
+    spark.read.parquet(in_path).repartition(n_files).write.mode("overwrite").parquet(out_path)
+    return n_files
 
 
 def write_bucketed(

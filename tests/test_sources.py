@@ -72,3 +72,33 @@ def test_partitioned_sink_prunes_on_read(spark, tmp_path):
     # lang predicate is a partition filter, not a data filter.
     assert "PartitionFilters" in plan
     assert back.count() == docs.filter(F.col("lang") == one).count()
+
+
+def test_dynamic_partition_overwrite(spark, tmp_path):
+    from hive_udf_neologd_spark.sources import write_partition_overwrite
+
+    path = str(tmp_path / "dpo")
+    full = spark.createDataFrame(
+        [(1, "en"), (2, "en"), (3, "fr")], "id long, lang string"
+    )
+    full.write.partitionBy("lang").mode("overwrite").parquet(path)
+    # Overwrite ONLY lang=en with new content; fr must survive.
+    patch = spark.createDataFrame([(9, "en")], "id long, lang string")
+    write_partition_overwrite(patch, path, ["lang"])
+    back = {(r.id, r.lang) for r in spark.read.parquet(path).collect()}
+    assert back == {(9, "en"), (3, "fr")}
+
+
+def test_compact_parquet(spark, tmp_path):
+    from hive_udf_neologd_spark.sources import compact_parquet
+
+    src = str(tmp_path / "many")
+    out = str(tmp_path / "compacted")
+    docs = read_table(spark, SF_DIR, "documents")
+    docs.repartition(16).write.mode("overwrite").parquet(src)  # 16 small files
+    n = compact_parquet(spark, src, out, target_mb=128)
+    assert n == 1  # tiny input → single output file
+    import glob
+
+    assert len(glob.glob(f"{out}/*.parquet")) == 1
+    assert spark.read.parquet(out).count() == docs.count()
