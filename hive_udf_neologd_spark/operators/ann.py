@@ -374,12 +374,114 @@ GROUP BY emb.label ORDER BY emb.label
 """
 
 
+# --- a06: distributed k-means (two Lloyd iterations) -----------------------
+_KM_SEED_MOD = 29  # same deterministic seed set as a03's centroids
+_KM_ITERS = 2
+
+
+def _assign(emb: DataFrame, cents: DataFrame) -> DataFrame:
+    """Nearest centroid by squared euclidean (tie → min c_id): broadcast
+    nested loop + map-side partial min_by, one row per vector on the
+    shuffle."""
+    d2 = F.expr(
+        "aggregate(zip_with(e, ce, (x, y) -> (x - y) * (x - y)),"
+        " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    return (
+        emb.crossJoin(F.broadcast(cents))
+        .select("vec_id", "e", "c_id", d2.alias("d2"))
+        .groupBy("vec_id")
+        .agg(
+            F.min_by("c_id", F.struct(F.col("d2"), F.col("c_id"))).alias("c_id"),
+            F.first("e").alias("e"),
+            F.min("d2").alias("d2"),
+        )
+    )
+
+
+def a06_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two Lloyd iterations of distributed k-means over the embeddings
+    (the k-means|| refinement pass a03's sampled-centroid IVF would use in
+    production).  Deterministic end-to-end: seeds are the fixed sample
+    (``vec_id % {_KM_SEED_MOD} == 1``), and recomputed centroids are
+    ROUNDED to 4 dp before the next assignment, so the DuckDB oracle can
+    replay both steps bit-for-bit.  Per iteration: one broadcast
+    assignment (no shuffle of the corpus) + one (cluster, dim) partial-avg
+    shuffle.  Output: final cluster sizes and inertia."""
+    prepare(spark)
+    emb = _emb(spark, sf_dir).select("vec_id", "e")
+    cents = emb.filter(F.col("vec_id") % _KM_SEED_MOD == 1).select(
+        F.col("vec_id").alias("c_id"), F.col("e").alias("ce")
+    )
+    assigned = None
+    for _ in range(_KM_ITERS):
+        assigned = _assign(emb, cents)
+        cents = (
+            assigned.select("c_id", F.posexplode("e").alias("dim", "x"))
+            .groupBy("c_id", "dim")
+            .agg(F.round(F.avg("x"), 4).alias("cx"))
+            .groupBy("c_id")
+            .agg(
+                F.expr(
+                    "transform(array_sort(collect_list(struct(dim, cx))), s -> s.cx)"
+                ).alias("ce")
+            )
+        )
+    # Final stats against the *last recomputed* centroids.
+    final = _assign(emb, cents)
+    return (
+        final.groupBy(F.col("c_id").alias("cluster"))
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.round(F.sum("d2"), 2).alias("inertia"),
+        )
+        .orderBy("cluster")
+    )
+
+
+def _km_sql() -> str:
+    assign = """
+  SELECT vec_id, e, c_id, d2 FROM (
+    SELECT emb.vec_id, emb.e, c.c_id,
+           list_aggregate(list_transform(range(1, len(emb.e) + 1),
+                          i -> (emb.e[i] - c.ce[i]) * (emb.e[i] - c.ce[i])), 'sum') AS d2,
+           ROW_NUMBER() OVER (PARTITION BY emb.vec_id ORDER BY
+             list_aggregate(list_transform(range(1, len(emb.e) + 1),
+                            i -> (emb.e[i] - c.ce[i]) * (emb.e[i] - c.ce[i])), 'sum') ASC,
+             c.c_id ASC) AS r
+    FROM emb CROSS JOIN {cents} c
+  ) WHERE r = 1
+"""
+    recompute = """
+  SELECT c_id, list(cx ORDER BY dim) AS ce FROM (
+    SELECT c_id, u.i - 1 AS dim, ROUND(AVG(e[u.i]), 4) AS cx
+    FROM {assigned}, unnest(range(1, len(e) + 1)) AS u(i)
+    GROUP BY c_id, u.i
+  ) GROUP BY c_id
+"""
+    return f"""
+WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+seeds AS (SELECT vec_id AS c_id, e AS ce FROM emb WHERE vec_id % {_KM_SEED_MOD} = 1),
+a1 AS ({assign.format(cents="seeds")}),
+c1 AS ({recompute.format(assigned="a1")}),
+a2 AS ({assign.format(cents="c1")}),
+c2 AS ({recompute.format(assigned="a2")}),
+fin AS ({assign.format(cents="c2")})
+SELECT c_id AS cluster, COUNT(*) AS n_members, ROUND(SUM(d2), 2) AS inertia
+FROM fin GROUP BY c_id ORDER BY cluster
+"""
+
+
+A06_SQL = _km_sql()
+
+
 ANN_QUERIES = {
     "a01_ann_bruteforce": a01_ann_bruteforce,
     "a02_ann_lsh": a02_ann_lsh,
     "a03_ann_ivf": a03_ann_ivf,
     "a04_ann_recall": a04_ann_recall,
     "a05_label_centroid_cohesion": a05_label_centroid_cohesion,
+    "a06_kmeans_lloyd": a06_kmeans_lloyd,
 }
 
 ANN_ORACLES = {
@@ -388,4 +490,5 @@ ANN_ORACLES = {
     "a03_ann_ivf": A03_SQL,
     "a04_ann_recall": A04_SQL,
     "a05_label_centroid_cohesion": A05_SQL,
+    "a06_kmeans_lloyd": A06_SQL,
 }
