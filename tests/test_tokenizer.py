@@ -234,3 +234,48 @@ class TestAsciiFastPath:
     def test_mixed_line_falls_back_to_lattice(self):
         ana = JapaneseAnalyzer()
         assert ana.tokenize("日本 abc") == self._lattice_only(ana, "日本 abc")
+
+
+class TestExpandedLexicon:
+    """Coverage pins for the round-1 lexicon expansion: adjectives,
+    katakana loanwords, pronouns, interjections, NEologd-style neologisms
+    (lexicon.py sections added alongside the original core)."""
+
+    @pytest.fixture(scope="class")
+    def raw(self):
+        # Disable both stop filters to observe raw analyzer output.
+        return JapaneseAnalyzer(stop_words=[], stop_tags=[])
+
+    def test_adjective_base_form_folding(self, analyzer):
+        # JapaneseBaseFormFilter applies to adjectives too: 高かった → 高い
+        # (the adjectival analog of 明かし→明かす, SURVEY.md §2.2 row 2).
+        assert analyzer.tokenize("高かった商品") == ["高い", "商品"]
+        assert analyzer.tokenize("新しく安い") == ["新しい", "安い"]
+
+    def test_katakana_compound_splits_at_word_boundaries(self, analyzer):
+        # Without dictionary entries the whole katakana run would group into
+        # one unknown token; loanword entries split it like Kuromoji does.
+        assert analyzer.tokenize("データベースサービス") == ["データベース", "サービス"]
+
+    def test_neologd_neologism_coheres(self, analyzer):
+        assert analyzer.tokenize("機械学習") == ["機械学習"]
+        assert analyzer.tokenize("自然言語処理と機械学習") == ["自然言語処理", "機械学習"]
+
+    def test_pronoun_pos_and_interjection(self, raw):
+        toks = {t["surface"]: t["pos"] for t in raw.analyze_rich("私はありがとう")}
+        assert toks["私"] == "名詞-代名詞-一般"
+        assert toks["ありがとう"] == "感動詞"
+
+    def test_adjectival_noun_stem_pos(self, raw):
+        toks = {t["surface"]: t["pos"] for t in raw.analyze_rich("便利な道具")}
+        assert toks["便利"] == "名詞-形容動詞語幹"
+
+    def test_katakana_stem_on_loanwords(self, analyzer):
+        # JapaneseKatakanaStemFilter: trailing ー stripped when len >= 4.
+        assert analyzer.tokenize("コーヒー") == ["コーヒ"]
+        assert analyzer.tokenize("サーバーとユーザー") == ["サーバ", "ユーザ"]
+
+    def test_goldens_unchanged_by_expansion(self, analyzer):
+        # The reference anchors must be insensitive to lexicon breadth.
+        assert analyzer.tokenize("きゃりーぱみゅぱみゅ。") == ["きゃりーぱみゅぱみゅ"]
+        assert len(analyzer.tokenize(GOLDEN_SENTENCE)) == 12
