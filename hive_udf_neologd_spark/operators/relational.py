@@ -947,6 +947,139 @@ FROM nation ORDER BY n_nationkey
 """
 
 
+# --- correlated EXISTS (TPC-H Q4 shape) -----------------------------------
+def q31_priority_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-priority checking: orders in one quarter that had at least one
+    late-shipped line (l_shipdate > o_orderdate + 60 days) — the TPC-H Q4
+    correlated-EXISTS shape, adapted to this schema's columns.  Expressed as
+    a LEFT SEMI join whose condition mixes the orderkey equality (hashable,
+    drives the shuffle) with the date inequality (residual filter), so Spark
+    plans a plain shuffled-hash/sort-merge semi join — no per-row subquery.
+    Scale: the quarter filter pushes down to the orders scan, shrinking the
+    probe side before the semi join; lineitem prunes to two columns."""
+    prepare(spark)
+    orders = read_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1995-01-01") & (F.col("o_orderdate") < "1995-04-01")
+    )
+    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    cond = (F.col("o_orderkey") == F.col("l_orderkey")) & (
+        F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 60)
+    )
+    return (
+        orders.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
+Q31_SQL = """
+SELECT o_orderpriority, COUNT(*) AS n_orders
+FROM orders o
+WHERE o_orderdate >= DATE '1995-01-01' AND o_orderdate < DATE '1995-04-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey
+      AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+  )
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+# --- HAVING against a global scalar (TPC-H Q11 shape) ----------------------
+def q32_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parts whose revenue exceeds a fraction of TOTAL revenue: per-group
+    aggregate filtered by a global scalar aggregate (TPC-H Q11's HAVING
+    ``> SUM(...) * fraction`` shape).  The total is re-aggregated from the
+    per-part sums (exact under DECIMAL), broadcast as a 1-row cross join —
+    at 100 TB the fact table is scanned ONCE; the threshold side reuses the
+    already-shuffled per-part aggregate instead of a second scan."""
+    prepare(spark)
+    li = read_table(spark, sf_dir, "lineitem")
+    per_part = li.groupBy("l_partkey").agg(
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).alias("rev_dec")
+    )
+    total = per_part.agg(
+        F.sum("rev_dec").cast("double").alias("total_rev")
+    )
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("rev_dec").cast("double") > F.col("total_rev") * 0.0005)
+        .select(
+            "l_partkey",
+            F.round(F.col("rev_dec").cast("double"), 2).alias("part_rev"),
+        )
+        .orderBy(F.desc("part_rev"), "l_partkey")
+    )
+
+
+Q32_SQL = """
+WITH per_part AS (
+  SELECT l_partkey, SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS rev_dec
+  FROM lineitem GROUP BY l_partkey
+), total AS (
+  SELECT CAST(SUM(rev_dec) AS DOUBLE) AS total_rev FROM per_part
+)
+SELECT l_partkey, ROUND(CAST(rev_dec AS DOUBLE), 2) AS part_rev
+FROM per_part, total
+WHERE CAST(rev_dec AS DOUBLE) > total_rev * 0.0005
+ORDER BY part_rev DESC, l_partkey
+"""
+
+
+# --- scalar-subquery threshold + anti join (TPC-H Q22 shape) ---------------
+def q33_rich_inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with above-average balance and no high-value order, per
+    nation — TPC-H Q22 adapted (no phone column → group by nation; "never
+    ordered" is vacuous in this data, so the anti side is high-value orders).
+    Composes a global scalar subquery (avg positive balance, exact via
+    DECIMAL sum / count), a broadcast 1-row cross join, and a LEFT ANTI join
+    against filtered orders.  Scale: the anti join shuffles on custkey only
+    after the balance filter has cut the customer side; the scalar is one
+    broadcast row, not a recomputed subquery per row."""
+    prepare(spark)
+    cust = read_table(spark, sf_dir, "customer")
+    orders = (
+        read_table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 300000)
+        .select("o_custkey")
+    )
+    thr = cust.filter(F.col("c_acctbal") > 0).agg(
+        (
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_bal")
+    )
+    return (
+        cust.crossJoin(F.broadcast(thr))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            F.round(
+                F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double"), 2
+            ).alias("total_bal"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+Q33_SQL = """
+WITH thr AS (
+  SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_bal
+  FROM customer WHERE c_acctbal > 0
+)
+SELECT c_nationkey, COUNT(*) AS n_cust,
+       ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE), 2) AS total_bal
+FROM customer, thr
+WHERE c_acctbal > avg_bal
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+GROUP BY c_nationkey ORDER BY c_nationkey
+"""
+
+
 RELATIONAL_QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_orders": q02_top_orders,
@@ -978,6 +1111,9 @@ RELATIONAL_QUERIES = {
     "q28_from_json_struct": q28_from_json_struct,
     "q29_conditional_aggs": q29_conditional_aggs,
     "q30_scalar_breadth": q30_scalar_breadth,
+    "q31_priority_exists": q31_priority_exists,
+    "q32_revenue_share": q32_revenue_share,
+    "q33_rich_inactive_customers": q33_rich_inactive_customers,
 }
 
 RELATIONAL_ORACLES = {
@@ -1011,4 +1147,7 @@ RELATIONAL_ORACLES = {
     "q28_from_json_struct": Q28_SQL,
     "q29_conditional_aggs": Q29_SQL,
     "q30_scalar_breadth": Q30_SQL,
+    "q31_priority_exists": Q31_SQL,
+    "q32_revenue_share": Q32_SQL,
+    "q33_rich_inactive_customers": Q33_SQL,
 }

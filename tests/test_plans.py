@@ -65,6 +65,36 @@ def test_q23_range_join_is_broadcast_nested_loop(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_q31_semi_join_with_residual_condition(spark):
+    plan = _plan(spark, "q31_priority_exists")
+    # EXISTS plans as a semi join keyed on orderkey equality with the date
+    # inequality as a residual condition — never a per-row subquery.
+    assert "LeftSemi" in plan
+    # The quarter predicate reaches the orders parquet scan.
+    assert "GreaterThanOrEqual(o_orderdate" in plan
+
+
+def test_q32_scalar_threshold_is_one_row_broadcast(spark):
+    plan = _plan(spark, "q32_revenue_share")
+    # The global total joins as a broadcast 1-row cross join.
+    assert "BroadcastNestedLoopJoin" in plan
+    # The static plan duplicates the per-part aggregate subtree (threshold
+    # branch + probe branch); at execution ReuseExchange collapses them so
+    # the fact table is scanned and shuffled ONCE — the property that
+    # matters at 100 TB.
+    df = QUERIES["q32_revenue_share"](spark, SF_DIR)
+    df.collect()
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in executed
+
+
+def test_q33_anti_join_with_pushed_filter(spark):
+    plan = _plan(spark, "q33_rich_inactive_customers")
+    assert "LeftAnti" in plan
+    # The high-value filter prunes the anti side at its scan.
+    assert "GreaterThan(o_totalprice" in plan
+
+
 def test_m01_prunes_unread_columns(spark):
     plan = _plan(spark, "m01_binary_meta")
     # Only doc_id + text are read; lang/source/n_chars are pruned at the scan.
