@@ -73,6 +73,13 @@ except ImportError:
     pass
 
 try:
+    from hive_udf_neologd_spark.operators.io import IO_ORACLES, IO_QUERIES
+
+    _register(IO_QUERIES, IO_ORACLES)
+except ImportError:
+    pass
+
+try:
     from hive_udf_neologd_spark.streaming.e2e import (
         STREAMING_ORACLES,
         STREAMING_QUERIES,

@@ -1,0 +1,157 @@
+"""Source/sink format breadth as driver-visible catalog entries.
+
+The reference delegates all storage handling to Hive (SURVEY.md §2.3 row 1:
+scans/sources "delegated (Hive tables)") — Hive tables can be text/CSV/JSON
+SerDes as well as columnar formats.  These entries prove the Spark engine's
+equivalents end-to-end: write a table out through a non-parquet format,
+read it back through the format's parser, and aggregate — the oracle runs
+on the original parquet, so any fidelity loss in the round-trip (schema,
+quoting, timestamp encoding) breaks the value hash.
+
+Scale notes: CSV/JSON are line-splittable, so a 100 TB staged directory
+still parallelizes per-file/per-split; schemas are always declared (never
+inferred — inference is a full extra scan at scale).  Parquet remains the
+canonical interchange; these paths exist for ingest interop.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from hive_udf_neologd_spark.session import prepare
+from hive_udf_neologd_spark.sources import read_csv, read_json, read_table
+
+_STAGE_ROOT = "/tmp/spark_graft_io"
+
+
+def _stage(sf_dir: str, name: str) -> str:
+    return f"{_STAGE_ROOT}/{os.path.basename(sf_dir.rstrip('/'))}/{name}"
+
+
+ORDERS_CSV_SCHEMA = StructType(
+    [
+        StructField("o_orderkey", LongType(), True),
+        StructField("o_custkey", LongType(), True),
+        StructField("o_totalprice", DoubleType(), True),
+        StructField("o_orderdate", StringType(), True),
+        StructField("o_orderpriority", StringType(), True),
+    ]
+)
+
+
+def io01_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders → CSV (header, explicit date formatting) → read back with a
+    DECLARED schema → monthly revenue.  Doubles survive CSV via Spark's
+    shortest-round-trip float formatting; the oracle aggregates the
+    original parquet, so the compare proves lossless round-trip."""
+    prepare(spark)
+    stage = _stage(sf_dir, "orders_csv")
+    (
+        read_table(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "o_totalprice",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_orderpriority",
+        )
+        .coalesce(4)
+        .write.mode("overwrite")
+        .option("header", "true")
+        .csv(stage)
+    )
+    return (
+        read_csv(spark, stage, schema=ORDERS_CSV_SCHEMA)
+        .groupBy(F.substring("o_orderdate", 1, 7).alias("month"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double"), 2
+            ).alias("revenue"),
+        )
+        .orderBy("month")
+    )
+
+
+IO01_SQL = """
+SELECT strftime(o_orderdate, '%Y-%m') AS month, COUNT(*) AS n_orders,
+       ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS revenue
+FROM orders GROUP BY month ORDER BY month
+"""
+
+
+EVENTS_JSON_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType(), True),
+        StructField("epoch_us", LongType(), True),
+        StructField("user_id", LongType(), True),
+        StructField("event_type", StringType(), True),
+        StructField("value", DoubleType(), True),
+    ]
+)
+
+
+def io02_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events → JSON lines (timestamps as integer micros — JSON has no
+    timestamp type, so encode explicitly rather than trusting string
+    formatting) → read back with a declared schema → per-type stats over a
+    reconstructed event-time column."""
+    prepare(spark)
+    stage = _stage(sf_dir, "events_json")
+    (
+        read_table(spark, sf_dir, "events")
+        .select(
+            "event_id",
+            F.unix_micros("ts").alias("epoch_us"),
+            "user_id",
+            "event_type",
+            "value",
+        )
+        .coalesce(4)
+        .write.mode("overwrite")
+        .json(stage)
+    )
+    back = read_json(spark, stage, schema=EVENTS_JSON_SCHEMA)
+    return (
+        back.withColumn("ts", F.timestamp_micros(F.col("epoch_us")))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min(F.unix_micros("ts")).alias("first_us"),
+            F.max(F.unix_micros("ts")).alias("last_us"),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 4).alias(
+                "total_value"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+IO02_SQL = """
+SELECT event_type, COUNT(*) AS n,
+       MIN(epoch_us(ts)) AS first_us,
+       MAX(epoch_us(ts)) AS last_us,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS total_value
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+IO_QUERIES = {
+    "io01_csv_roundtrip": io01_csv_roundtrip,
+    "io02_json_roundtrip": io02_json_roundtrip,
+}
+
+IO_ORACLES = {
+    "io01_csv_roundtrip": IO01_SQL,
+    "io02_json_roundtrip": IO02_SQL,
+}

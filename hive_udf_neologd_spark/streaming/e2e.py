@@ -281,12 +281,82 @@ FROM events GROUP BY user_id ORDER BY user_id
 """
 
 
+def s08_stream_stream_join_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream–stream inner join: view events joined to the same user's
+    purchases within the following hour.  Both sides carry watermarks and
+    the join condition carries explicit event-time bounds — exactly what
+    Spark needs to bound join state (buffered rows age out once the other
+    side's watermark passes ``view_ts + 1h``).  On this bounded input every
+    qualifying pair is emitted, so the oracle is the equivalent batch
+    self-join.  Scale: state is per-user and time-bounded; the join
+    shuffles both streams once on user_id.  Epochs via unix_timestamp /
+    floor(epoch(...)) — both truncate the sub-second part identically."""
+    prepare(spark)
+    stage = _stage_events(
+        spark, sf_dir, "events_s08", read_table(spark, sf_dir, "events")
+    )
+    views = (
+        read_event_stream(spark, stage)
+        .filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            "user_id",
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", "2 hours")
+    )
+    purchases = (
+        read_event_stream(spark, stage)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+            "value",
+        )
+        .withWatermark("purchase_ts", "2 hours")
+    )
+    out = (
+        views.join(
+            purchases,
+            (F.col("user_id") == F.col("p_user_id"))
+            & (F.col("purchase_ts") >= F.col("view_ts"))
+            & (F.col("purchase_ts") <= F.col("view_ts") + F.expr("INTERVAL 1 HOUR")),
+            "inner",
+        )
+        .select(
+            "view_id",
+            "purchase_id",
+            "user_id",
+            F.unix_timestamp("view_ts").alias("view_epoch"),
+            F.unix_timestamp("purchase_ts").alias("purchase_epoch"),
+            F.round("value", 2).alias("purchase_value"),
+        )
+    )
+    name = _run_append(out, "s08_sink")
+    return spark.table(name).orderBy("view_id", "purchase_id")
+
+
+S08_SQL = """
+SELECT v.event_id AS view_id, p.event_id AS purchase_id, v.user_id AS user_id,
+       CAST(floor(epoch(v.ts)) AS BIGINT) AS view_epoch,
+       CAST(floor(epoch(p.ts)) AS BIGINT) AS purchase_epoch,
+       ROUND(p.value, 2) AS purchase_value
+FROM events v JOIN events p
+  ON v.user_id = p.user_id
+ AND v.event_type = 'view' AND p.event_type = 'purchase'
+ AND p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 1 HOUR
+ORDER BY view_id, purchase_id
+"""
+
+
 STREAMING_QUERIES = {
     "s03_streaming_event_counts_e2e": s03_streaming_event_counts_e2e,
     "s04_streaming_term_counts_e2e": s04_streaming_term_counts_e2e,
     "s05_stream_static_join_e2e": s05_stream_static_join_e2e,
     "s06_streaming_dedup_e2e": s06_streaming_dedup_e2e,
     "s07_stateful_running_totals_e2e": s07_stateful_running_totals_e2e,
+    "s08_stream_stream_join_e2e": s08_stream_stream_join_e2e,
 }
 
 STREAMING_ORACLES = {
@@ -295,4 +365,5 @@ STREAMING_ORACLES = {
     "s05_stream_static_join_e2e": S05_SQL,
     "s06_streaming_dedup_e2e": S06_SQL,
     "s07_stateful_running_totals_e2e": S07_SQL,
+    "s08_stream_stream_join_e2e": S08_SQL,
 }
