@@ -475,6 +475,75 @@ FROM fin GROUP BY c_id ORDER BY cluster
 A06_SQL = _km_sql()
 
 
+# --- a07: int8 embedding quantization (storage-compression path) ----------
+def a07_int8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization: scale = max|x| / 127,
+    q_i = floor(x_i / scale + 0.5) (explicit half-up — Spark round() and
+    DuckDB round() disagree on ties, floor(+0.5) does not), dequantized
+    error aggregated per label.  The 100 TB story: int8 cuts embedding
+    storage 4× and the scan bandwidth with it; this query measures the
+    reconstruction error that costs.  Per-vector max-error is
+    order-independent; the per-label mean goes through DECIMAL so the
+    aggregate matches the oracle bit-for-bit."""
+    prepare(spark)
+    emb = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("e"),
+    )
+    q = emb.select(
+        "vec_id",
+        "label",
+        F.expr("aggregate(transform(e, x -> abs(x)), CAST(0.0 AS DOUBLE), (a, v) -> greatest(a, v)) / 127.0").alias(
+            "scale"
+        ),
+        "e",
+    ).select(
+        "vec_id",
+        "label",
+        F.expr(
+            "aggregate(transform(e, x -> abs(floor(x / scale + 0.5) * scale - x)),"
+            " CAST(0.0 AS DOUBLE), (a, v) -> greatest(a, v))"
+        ).alias("max_err"),
+    )
+    return (
+        q.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(
+                (
+                    F.sum(F.col("max_err").cast("decimal(18,12)")).cast("double")
+                    / F.count(F.lit(1))
+                ),
+                8,
+            ).alias("mean_max_err"),
+            F.round(F.max("max_err"), 8).alias("worst_err"),
+        )
+        .orderBy("label")
+    )
+
+
+A07_SQL = """
+WITH emb AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings),
+scaled AS (
+  SELECT vec_id, label,
+         list_max(list_transform(e, x -> abs(x))) / 127.0 AS scale, e
+  FROM emb
+),
+errs AS (
+  SELECT vec_id, label,
+         list_max(list_transform(e, x -> abs(floor(x / scale + 0.5) * scale - x)))
+           AS max_err
+  FROM scaled
+)
+SELECT label, COUNT(*) AS n_vecs,
+       ROUND(CAST(SUM(CAST(max_err AS DECIMAL(18,12))) AS DOUBLE) / COUNT(*), 8)
+         AS mean_max_err,
+       ROUND(MAX(max_err), 8) AS worst_err
+FROM errs GROUP BY label ORDER BY label
+"""
+
+
 ANN_QUERIES = {
     "a01_ann_bruteforce": a01_ann_bruteforce,
     "a02_ann_lsh": a02_ann_lsh,
@@ -482,6 +551,7 @@ ANN_QUERIES = {
     "a04_ann_recall": a04_ann_recall,
     "a05_label_centroid_cohesion": a05_label_centroid_cohesion,
     "a06_kmeans_lloyd": a06_kmeans_lloyd,
+    "a07_int8_quantization": a07_int8_quantization,
 }
 
 ANN_ORACLES = {
@@ -491,4 +561,5 @@ ANN_ORACLES = {
     "a04_ann_recall": A04_SQL,
     "a05_label_centroid_cohesion": A05_SQL,
     "a06_kmeans_lloyd": A06_SQL,
+    "a07_int8_quantization": A07_SQL,
 }

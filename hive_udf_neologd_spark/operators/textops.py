@@ -470,6 +470,53 @@ def t08_tokenize_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- t10: deterministic train/val/test hash split --------------------------
+def t10_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic corpus splitting: md5(doc_id) mod 100 → 80/10/10
+    train/val/test.  THE way to split at 100 TB — no sampling state, no
+    seed coordination across executors, stable under re-runs and
+    incremental ingest (a document's split never changes as the corpus
+    grows, unlike fraction-based sample()).  Pure built-ins, one narrow
+    pass + one tiny agg shuffle; identical md5 byte semantics in DuckDB
+    makes the assignment itself oracle-checked."""
+    prepare(spark)
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    h = F.expr(
+        "pmod(CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT), 100)"
+    )
+    split = (
+        F.when(h < 80, F.lit("train")).when(h < 90, F.lit("val")).otherwise(F.lit("test"))
+    )
+    return (
+        docs.select(split.alias("split"), "doc_id", F.size(F.split("text", " ")).alias("n_toks"))
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_toks").alias("n_tokens"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
+        .orderBy("split")
+    )
+
+
+T10_SQL = """
+WITH assigned AS (
+  SELECT CASE
+           WHEN CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) AS BIGINT) % 100 < 80 THEN 'train'
+           WHEN CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) AS BIGINT) % 100 < 90 THEN 'val'
+           ELSE 'test'
+         END AS split,
+         doc_id,
+         len(string_split(text, ' ')) AS n_toks
+  FROM documents
+)
+SELECT split, COUNT(*) AS n_docs, CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+       MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+FROM assigned GROUP BY split ORDER BY split
+"""
+
+
 TEXT_QUERIES = {
     "t01_token_topk": t01_token_topk,
     "t02_token_stats": t02_token_stats,
@@ -480,6 +527,7 @@ TEXT_QUERIES = {
     "t07_bigram_topk": t07_bigram_topk,
     "t08_tokenize_modes": t08_tokenize_modes,
     "t09_quality_ratios": t09_quality_ratios,
+    "t10_hash_split": t10_hash_split,
     "sql01_lateral_view_tokenize": sql01_lateral_view_tokenize,
 }
 
@@ -495,5 +543,6 @@ TEXT_ORACLES = {
     "t06_tfidf": T06_SQL,
     "t07_bigram_topk": T07_SQL,
     "t09_quality_ratios": T09_SQL,
+    "t10_hash_split": T10_SQL,
     "sql01_lateral_view_tokenize": SQL01_SQL,
 }
