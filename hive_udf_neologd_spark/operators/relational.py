@@ -1080,6 +1080,29 @@ GROUP BY c_nationkey ORDER BY c_nationkey
 """
 
 
+# --- HLL sketch: approx_count_distinct (rows-only; bound-tested) ----------
+def q34_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct estimation per market segment — the sketch
+    that replaces exact countDistinct at 100 TB (exact needs a second
+    shuffle keyed on the value; HLL merges fixed-size sketches map-side).
+    DuckDB's HLL implementation yields different estimates, so this entry
+    is rows-only for the driver; tests/test_catalog.py bounds the estimate
+    against the exact count (rsd=0.01 → well within 5%)."""
+    prepare(spark)
+    cust = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders")
+    return (
+        orders.join(F.broadcast(cust.select("c_custkey", "c_mktsegment")),
+                    F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(
+            F.approx_count_distinct("o_custkey", rsd=0.01).alias("approx_customers"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
 RELATIONAL_QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_orders": q02_top_orders,
@@ -1114,6 +1137,7 @@ RELATIONAL_QUERIES = {
     "q31_priority_exists": q31_priority_exists,
     "q32_revenue_share": q32_revenue_share,
     "q33_rich_inactive_customers": q33_rich_inactive_customers,
+    "q34_approx_distinct": q34_approx_distinct,
 }
 
 RELATIONAL_ORACLES = {

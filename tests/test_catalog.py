@@ -47,3 +47,24 @@ def test_query_matches_oracle(name, spark, duck):
     assert len(sdf) == len(ddf)
     a, b = _canon(sdf), _canon(ddf)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_q34_hll_estimate_within_bound(spark, duck):
+    """q34 is rows-only for the driver (DuckDB's HLL differs); here the
+    estimate is bounded against the exact distinct count — rsd=0.01 means
+    the estimate should sit comfortably within 5% of truth."""
+    sdf = (
+        QUERIES["q34_approx_distinct"](spark, SF_DIR)
+        .toPandas()
+        .set_index("c_mktsegment")
+    )
+    exact = duck.execute(
+        """
+        SELECT c_mktsegment, COUNT(DISTINCT o_custkey) AS n
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment
+        """
+    ).fetch_df().set_index("c_mktsegment")
+    for seg, row in exact.iterrows():
+        est = sdf.loc[seg, "approx_customers"]
+        assert abs(est - row["n"]) <= max(1, 0.05 * row["n"])
