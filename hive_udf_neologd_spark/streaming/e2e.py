@@ -350,6 +350,52 @@ ORDER BY view_id, purchase_id
 """
 
 
+def s09_sliding_window_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (2 h length, 1 h slide) over the event stream —
+    each event lands in TWO overlapping windows, so emitted counts differ
+    structurally from s03's tumbling windows.  Same append-mode watermark
+    finalization; the oracle materializes both member windows per event
+    (the window start set is {bucket(ts), bucket(ts) - slide}) and applies
+    the same cutoff.  Scale: state is windows×keys, 2× tumbling for
+    overlap 2 — still watermark-bounded."""
+    prepare(spark)
+    stage = _stage_events(
+        spark, sf_dir, "events_s09", read_table(spark, sf_dir, "events")
+    )
+    out = (
+        read_event_stream(spark, stage)
+        .withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "2 hours", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .select(F.col("w.start").alias("ws"), "event_type", "n", "total_value")
+    )
+    name = _run_append(out, "s09_sink")
+    return (
+        spark.table(name)
+        .select(F.unix_timestamp("ws").alias("window_start"), "event_type", "n", "total_value")
+        .orderBy("window_start", "event_type")
+    )
+
+
+S09_SQL = """
+WITH mx AS (SELECT max(ts) AS m FROM events),
+member AS (
+  SELECT u.ws, event_type, value
+  FROM events,
+       unnest([time_bucket(INTERVAL '1 hour', ts),
+               time_bucket(INTERVAL '1 hour', ts) - INTERVAL '1 hour']) AS u(ws)
+),
+w AS (
+  SELECT ws, event_type, COUNT(*) AS n, ROUND(SUM(value), 2) AS total_value
+  FROM member GROUP BY ws, event_type
+)
+SELECT CAST(epoch(ws) AS BIGINT) AS window_start, event_type, n, total_value
+FROM w, mx
+WHERE ws + INTERVAL '2 hours' <= m - INTERVAL '2 hours'
+ORDER BY window_start, event_type
+"""
+
+
 STREAMING_QUERIES = {
     "s03_streaming_event_counts_e2e": s03_streaming_event_counts_e2e,
     "s04_streaming_term_counts_e2e": s04_streaming_term_counts_e2e,
@@ -357,6 +403,7 @@ STREAMING_QUERIES = {
     "s06_streaming_dedup_e2e": s06_streaming_dedup_e2e,
     "s07_stateful_running_totals_e2e": s07_stateful_running_totals_e2e,
     "s08_stream_stream_join_e2e": s08_stream_stream_join_e2e,
+    "s09_sliding_window_e2e": s09_sliding_window_e2e,
 }
 
 STREAMING_ORACLES = {
@@ -366,4 +413,5 @@ STREAMING_ORACLES = {
     "s06_streaming_dedup_e2e": S06_SQL,
     "s07_stateful_running_totals_e2e": S07_SQL,
     "s08_stream_stream_join_e2e": S08_SQL,
+    "s09_sliding_window_e2e": S09_SQL,
 }
