@@ -379,41 +379,35 @@ _KM_SEED_MOD = 29  # same deterministic seed set as a03's centroids
 _KM_ITERS = 2
 
 
-def _assign(emb: DataFrame, cents: DataFrame) -> DataFrame:
+def _assign(emb: DataFrame, cents: DataFrame, carry: tuple = ()) -> DataFrame:
     """Nearest centroid by squared euclidean (tie → min c_id): broadcast
     nested loop + map-side partial min_by, one row per vector on the
-    shuffle."""
+    shuffle.  ``carry`` columns of ``emb`` ride along via first()."""
     d2 = F.expr(
         "aggregate(zip_with(e, ce, (x, y) -> (x - y) * (x - y)),"
         " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
     )
     return (
         emb.crossJoin(F.broadcast(cents))
-        .select("vec_id", "e", "c_id", d2.alias("d2"))
+        .select("vec_id", "e", *carry, "c_id", d2.alias("d2"))
         .groupBy("vec_id")
         .agg(
             F.min_by("c_id", F.struct(F.col("d2"), F.col("c_id"))).alias("c_id"),
             F.first("e").alias("e"),
+            *[F.first(c).alias(c) for c in carry],
             F.min("d2").alias("d2"),
         )
     )
 
 
-def a06_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Two Lloyd iterations of distributed k-means over the embeddings
-    (the k-means|| refinement pass a03's sampled-centroid IVF would use in
-    production).  Deterministic end-to-end: seeds are the fixed sample
-    (``vec_id % {_KM_SEED_MOD} == 1``), and recomputed centroids are
-    ROUNDED to 4 dp before the next assignment, so the DuckDB oracle can
-    replay both steps bit-for-bit.  Per iteration: one broadcast
-    assignment (no shuffle of the corpus) + one (cluster, dim) partial-avg
-    shuffle.  Output: final cluster sizes and inertia."""
-    prepare(spark)
-    emb = _emb(spark, sf_dir).select("vec_id", "e")
+def _trained_centroids(emb: DataFrame) -> DataFrame:
+    """Two rounded Lloyd iterations from the deterministic seed sample —
+    shared by a06 (reports cluster stats) and a08 (uses the centroids as
+    an IVF coarse quantizer).  Rounding to 4 dp between iterations is what
+    lets the DuckDB oracle replay training bit-for-bit."""
     cents = emb.filter(F.col("vec_id") % _KM_SEED_MOD == 1).select(
         F.col("vec_id").alias("c_id"), F.col("e").alias("ce")
     )
-    assigned = None
     for _ in range(_KM_ITERS):
         assigned = _assign(emb, cents)
         cents = (
@@ -427,6 +421,21 @@ def a06_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("ce")
             )
         )
+    return cents
+
+
+def a06_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two Lloyd iterations of distributed k-means over the embeddings
+    (the k-means|| refinement pass a03's sampled-centroid IVF would use in
+    production).  Deterministic end-to-end: seeds are the fixed sample
+    (``vec_id % {_KM_SEED_MOD} == 1``), and recomputed centroids are
+    ROUNDED to 4 dp before the next assignment, so the DuckDB oracle can
+    replay both steps bit-for-bit.  Per iteration: one broadcast
+    assignment (no shuffle of the corpus) + one (cluster, dim) partial-avg
+    shuffle.  Output: final cluster sizes and inertia."""
+    prepare(spark)
+    emb = _emb(spark, sf_dir).select("vec_id", "e")
+    cents = _trained_centroids(emb)
     # Final stats against the *last recomputed* centroids.
     final = _assign(emb, cents)
     return (
@@ -473,6 +482,116 @@ FROM fin GROUP BY c_id ORDER BY cluster
 
 
 A06_SQL = _km_sql()
+
+
+# --- a08: IVF-Flat with a TRAINED coarse quantizer ------------------------
+def a08_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """a03's IVF with the production index: coarse centroids come from the
+    distributed k-means pass (a06's two rounded Lloyd iterations) instead
+    of a deterministic sample — the full Faiss-style train → assign →
+    probe → rescore pipeline, every stage oracle-replayed in DuckDB.
+
+    Scale shape mirrors a03 (assignment and probing broadcast the centroid
+    set; only candidates reach the top-k window) plus the training cost:
+    per iteration one broadcast assignment and one (cluster, dim)
+    partial-avg shuffle.  Train on a sample at 100 TB — centroid quality
+    doesn't need every vector, assignment does."""
+    prepare(spark)
+    emb = _emb(spark, sf_dir)
+    cents = _trained_centroids(emb.select("vec_id", "e"))
+    inv = _assign(emb, cents, carry=("nrm",)).select(
+        "vec_id", "e", "nrm", F.col("c_id").alias("list_id")
+    )
+    q = emb.filter(F.col("vec_id") % _QUERY_MOD == 0).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("e").alias("qe"),
+        F.col("nrm").alias("qn"),
+    )
+    # Probe by the same L2 metric the quantizer was trained with.
+    qd2 = F.expr(
+        "aggregate(zip_with(qe, ce, (x, y) -> (x - y) * (x - y)),"
+        " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    wq = Window.partitionBy("q_id").orderBy(F.asc("qd2"), F.asc("c_id"))
+    probes = (
+        q.crossJoin(F.broadcast(cents))
+        .select("q_id", "qe", "qn", "c_id", qd2.alias("qd2"))
+        .withColumn("pr", F.row_number().over(wq))
+        .filter(F.col("pr") <= _N_PROBE)
+        .select("q_id", "qe", "qn", F.col("c_id").alias("list_id"))
+    )
+    cands = inv.join(F.broadcast(probes), "list_id").filter(
+        F.col("vec_id") != F.col("q_id")
+    )
+    cos = _dot_expr("qe", "e") / (F.col("qn") * F.col("nrm"))
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_raw"), F.asc("vec_id"))
+    return (
+        cands.select("q_id", "vec_id", cos.alias("cos_raw"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _TOP_K)
+        .select("q_id", F.col("vec_id").alias("neighbor_id"),
+                F.round("cos_raw", 4).alias("cos"), "rank")
+        .orderBy("q_id", "rank")
+    )
+
+
+def _ivf_trained_sql() -> str:
+    assign = """
+  SELECT vec_id, e, c_id, d2 FROM (
+    SELECT emb.vec_id, emb.e, c.c_id,
+           list_aggregate(list_transform(range(1, len(emb.e) + 1),
+                          i -> (emb.e[i] - c.ce[i]) * (emb.e[i] - c.ce[i])), 'sum') AS d2,
+           ROW_NUMBER() OVER (PARTITION BY emb.vec_id ORDER BY
+             list_aggregate(list_transform(range(1, len(emb.e) + 1),
+                            i -> (emb.e[i] - c.ce[i]) * (emb.e[i] - c.ce[i])), 'sum') ASC,
+             c.c_id ASC) AS r
+    FROM emb CROSS JOIN {cents} c
+  ) WHERE r = 1
+"""
+    recompute = """
+  SELECT c_id, list(cx ORDER BY dim) AS ce FROM (
+    SELECT c_id, u.i - 1 AS dim, ROUND(AVG(e[u.i]), 4) AS cx
+    FROM {assigned}, unnest(range(1, len(e) + 1)) AS u(i)
+    GROUP BY c_id, u.i
+  ) GROUP BY c_id
+"""
+    return f"""
+WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+seeds AS (SELECT vec_id AS c_id, e AS ce FROM emb WHERE vec_id % {_KM_SEED_MOD} = 1),
+a1 AS ({assign.format(cents="seeds")}),
+c1 AS ({recompute.format(assigned="a1")}),
+a2 AS ({assign.format(cents="c1")}),
+c2 AS ({recompute.format(assigned="a2")}),
+inv AS (SELECT vec_id, e, c_id AS list_id FROM ({assign.format(cents="c2")})),
+q AS (SELECT vec_id AS q_id, e AS qe FROM emb WHERE vec_id % {_QUERY_MOD} = 0),
+probes AS (
+  SELECT q_id, list_id FROM (
+    SELECT q.q_id, c.c_id AS list_id,
+           ROW_NUMBER() OVER (PARTITION BY q.q_id ORDER BY
+             list_aggregate(list_transform(range(1, len(q.qe) + 1),
+                            i -> (q.qe[i] - c.ce[i]) * (q.qe[i] - c.ce[i])), 'sum') ASC,
+             c.c_id ASC) AS pr
+    FROM q CROSS JOIN c2 c
+  ) WHERE pr <= {_N_PROBE}
+),
+cands AS (
+  SELECT q.q_id, inv.vec_id, list_cosine_similarity(q.qe, inv.e) AS cos_raw
+  FROM inv JOIN probes p ON inv.list_id = p.list_id
+           JOIN q ON q.q_id = p.q_id
+  WHERE inv.vec_id <> q.q_id
+),
+ranked AS (
+  SELECT q_id, vec_id, cos_raw,
+         ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_raw DESC, vec_id ASC) AS rank
+  FROM cands
+)
+SELECT q_id, vec_id AS neighbor_id, ROUND(cos_raw, 4) AS cos, rank
+FROM ranked WHERE rank <= {_TOP_K}
+ORDER BY q_id, rank
+"""
+
+
+A08_SQL = _ivf_trained_sql()
 
 
 # --- a07: int8 embedding quantization (storage-compression path) ----------
@@ -552,6 +671,7 @@ ANN_QUERIES = {
     "a05_label_centroid_cohesion": a05_label_centroid_cohesion,
     "a06_kmeans_lloyd": a06_kmeans_lloyd,
     "a07_int8_quantization": a07_int8_quantization,
+    "a08_ivf_trained": a08_ivf_trained,
 }
 
 ANN_ORACLES = {
@@ -562,4 +682,5 @@ ANN_ORACLES = {
     "a05_label_centroid_cohesion": A05_SQL,
     "a06_kmeans_lloyd": A06_SQL,
     "a07_int8_quantization": A07_SQL,
+    "a08_ivf_trained": A08_SQL,
 }
