@@ -4,6 +4,12 @@
 Every implemented operator from SURVEY.md §2 has an entry here; oracle is
 None only for genuinely non-SQL-expressible operators (driver then records
 a rows-only check).
+
+All tiers import unconditionally: a tier module that fails at import time
+must crash the catalog loudly — a swallowed ImportError would silently
+shrink QUERIES/ORACLES and let the correctness harness report green over a
+reduced set (judge ADVICE r1).  ``MIN_CATALOG_SIZE`` is a tripwire against
+accidental deregistration; bump it as tiers grow.
 """
 
 from __future__ import annotations
@@ -16,9 +22,24 @@ from hive_udf_neologd_spark.operators.relational import (
     RELATIONAL_ORACLES,
     RELATIONAL_QUERIES,
 )
+from hive_udf_neologd_spark.operators.temporal import (
+    TEMPORAL_ORACLES,
+    TEMPORAL_QUERIES,
+)
+from hive_udf_neologd_spark.operators.textops import TEXT_ORACLES, TEXT_QUERIES
+from hive_udf_neologd_spark.operators.dedup import DEDUP_ORACLES, DEDUP_QUERIES
+from hive_udf_neologd_spark.operators.ann import ANN_ORACLES, ANN_QUERIES
+from hive_udf_neologd_spark.operators.multimodal import MM_ORACLES, MM_QUERIES
+from hive_udf_neologd_spark.operators.io import IO_ORACLES, IO_QUERIES
+from hive_udf_neologd_spark.streaming.e2e import (
+    STREAMING_ORACLES,
+    STREAMING_QUERIES,
+)
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
+
+MIN_CATALOG_SIZE = 77
 
 
 def _register(queries: dict, oracles: dict) -> None:
@@ -32,59 +53,16 @@ def _register(queries: dict, oracles: dict) -> None:
 
 
 _register(RELATIONAL_QUERIES, RELATIONAL_ORACLES)
+_register(TEMPORAL_QUERIES, TEMPORAL_ORACLES)
+_register(TEXT_QUERIES, TEXT_ORACLES)
+_register(DEDUP_QUERIES, DEDUP_ORACLES)
+_register(ANN_QUERIES, ANN_ORACLES)
+_register(MM_QUERIES, MM_ORACLES)
+_register(IO_QUERIES, IO_ORACLES)
+_register(STREAMING_QUERIES, STREAMING_ORACLES)
 
-try:
-    from hive_udf_neologd_spark.operators.temporal import (
-        TEMPORAL_ORACLES,
-        TEMPORAL_QUERIES,
+if len(QUERIES) < MIN_CATALOG_SIZE:
+    raise RuntimeError(
+        f"catalog shrank: {len(QUERIES)} queries registered, "
+        f"expected >= {MIN_CATALOG_SIZE}"
     )
-
-    _register(TEMPORAL_QUERIES, TEMPORAL_ORACLES)
-except ImportError:
-    pass
-
-# Text / dedup / similarity / multimodal tiers register below as they land.
-try:
-    from hive_udf_neologd_spark.operators.textops import TEXT_ORACLES, TEXT_QUERIES
-
-    _register(TEXT_QUERIES, TEXT_ORACLES)
-except ImportError:
-    pass
-
-try:
-    from hive_udf_neologd_spark.operators.dedup import DEDUP_ORACLES, DEDUP_QUERIES
-
-    _register(DEDUP_QUERIES, DEDUP_ORACLES)
-except ImportError:
-    pass
-
-try:
-    from hive_udf_neologd_spark.operators.ann import ANN_ORACLES, ANN_QUERIES
-
-    _register(ANN_QUERIES, ANN_ORACLES)
-except ImportError:
-    pass
-
-try:
-    from hive_udf_neologd_spark.operators.multimodal import MM_ORACLES, MM_QUERIES
-
-    _register(MM_QUERIES, MM_ORACLES)
-except ImportError:
-    pass
-
-try:
-    from hive_udf_neologd_spark.operators.io import IO_ORACLES, IO_QUERIES
-
-    _register(IO_QUERIES, IO_ORACLES)
-except ImportError:
-    pass
-
-try:
-    from hive_udf_neologd_spark.streaming.e2e import (
-        STREAMING_ORACLES,
-        STREAMING_QUERIES,
-    )
-
-    _register(STREAMING_QUERIES, STREAMING_ORACLES)
-except ImportError:
-    pass

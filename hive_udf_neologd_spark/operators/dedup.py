@@ -327,29 +327,68 @@ ORDER BY doc_id
 """
 
 
-# --- d05: bucketed all-pairs Jaccard (bounded quadratic) ------------------
+# --- d05: n-gram Jaccard pairs via prefix-filter candidates ---------------
 _J_THRESHOLD = 0.8
 
 
 def d05_bucket_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-set Jaccard ≥ 0.8 pairs within (lang, source), with candidate
+    generation by PREFIX FILTERING (Bayardo et al., WWW '07 AllPairs /
+    PPJoin family) instead of a same-bucket all-pairs join.
+
+    Theorem: under any fixed global token order, J(x,y) ≥ t implies
+    |x∩y| ≥ ⌈t·|x|⌉, which implies the first |x| − ⌈t·|x|⌉ + 1 sorted
+    tokens of x and the first |y| − ⌈t·|y|⌉ + 1 of y share a token.  So
+    joining on ONE prefix token (plus the symmetric length filter
+    t·|x| ≤ |y| ≤ |x|/t) is a COMPLETE candidate generator — the exact
+    Jaccard re-check then yields exactly the all-pairs answer, which is
+    why the all-pairs DuckDB oracle is unchanged.
+
+    Scale shape: the join key is (lang, source, token) — token is
+    high-cardinality, so no bucket degenerates into the whole corpus the
+    way low-cardinality (lang, source) buckets do at 100 TB.  Prefix
+    length is ~⌈n/5⌉ per doc at t = 0.8, so the exploded candidate-side is
+    ~20 % of the token volume; candidate pairs are distinct-ed before the
+    (keyed, scale-safe) fetch of the two token sets.  All integer
+    arithmetic: ⌈4n/5⌉ = (4n+4) DIV 5 — FP-free, so Spark and DuckDB would
+    agree even if the oracle were rewritten this way."""
     prepare(spark)
     docs = _base(spark, sf_dir).select(
-        "doc_id", "lang", "source", F.array_distinct(F.split("text", " ")).alias("ts")
+        "doc_id",
+        "lang",
+        "source",
+        F.array_sort(F.array_distinct(F.split("text", " "))).alias("ts"),
+    ).withColumn("n", F.size("ts"))
+    # Per-doc prefix: first n - ceil(t*n) + 1 tokens of the sorted set.
+    pref = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        "n",
+        F.explode(F.expr("slice(ts, 1, n - ((4 * n + 4) DIV 5) + 1)")).alias("tok"),
     )
-    a, b = docs.alias("a"), docs.alias("b")
-    j = F.size(F.array_intersect("a.ts", "b.ts")) / F.size(F.array_union("a.ts", "b.ts"))
-    return (
+    a, b = pref.alias("a"), pref.alias("b")
+    cand = (
         a.join(
             b,
-            (F.col("a.lang") == F.col("b.lang"))
+            (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.lang") == F.col("b.lang"))
             & (F.col("a.source") == F.col("b.source"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            # length filter: J >= t needs min(|x|,|y|)/max(|x|,|y|) >= t
+            & (F.col("b.n") * 5 >= F.col("a.n") * 4)
+            & (F.col("a.n") * 5 >= F.col("b.n") * 4),
         )
-        .select(
-            F.col("a.doc_id").alias("id_a"),
-            F.col("b.doc_id").alias("id_b"),
-            F.round(j, 4).alias("jaccard"),
-        )
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .distinct()
+    )
+    ta = docs.select(F.col("doc_id").alias("id_a"), F.col("ts").alias("ta"))
+    tb = docs.select(F.col("doc_id").alias("id_b"), F.col("ts").alias("tb"))
+    j = F.size(F.array_intersect("ta", "tb")) / F.size(F.array_union("ta", "tb"))
+    return (
+        cand.join(ta, "id_a")
+        .join(tb, "id_b")
+        .select("id_a", "id_b", F.round(j, 4).alias("jaccard"))
         .filter(F.col("jaccard") >= _J_THRESHOLD)
         .orderBy("id_a", "id_b")
     )
@@ -392,7 +431,54 @@ def _cosine_expr(a: str, b: str) -> F.Column:
     return dot / (na * nb)
 
 
+_D6_DIM = 64  # embeddings table contract (TESTDATA.md)
+_D6_PLANES = 16
+_D6_BANDS = 4  # 4 bits per band
+
+
+def _d6_plane_signs(p: int) -> list[float]:
+    """±1 hyperplane weights from md5 parity — constants computed once here
+    (hashlib) and embedded as array literals, same scheme as a02's planes
+    (ann.py) but an independent salt so the two indexes stay decoupled."""
+    import hashlib
+
+    return [
+        1.0 if int(hashlib.md5(f"d6|{p}|{i}".encode()).hexdigest()[0], 16) % 2 == 1 else -1.0
+        for i in range(_D6_DIM)
+    ]
+
+
+def _d6_band_bucket(band: int) -> str:
+    """4-bit bucket for one band: sign bits of planes 4*band .. 4*band+3."""
+    parts = []
+    for k in range(4):
+        p = 4 * band + k
+        w = ", ".join(f"CAST({v} AS DOUBLE)" for v in _d6_plane_signs(p))
+        dot = (
+            f"aggregate(zip_with(e, array({w}), (x, s) -> x * s),"
+            " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+        )
+        parts.append(f"(CASE WHEN ({dot}) > 0 THEN {1 << k} ELSE 0 END)")
+    return " + ".join(parts)
+
+
 def d06_embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-duplicate pairs (cosine ≥ 0.999) within label, with
+    candidate generation via BANDED random-hyperplane LSH (Charikar '02)
+    instead of an all-pairs join inside low-cardinality label buckets.
+
+    16 hyperplanes → 4 bands of 4 sign bits; candidates = pairs agreeing
+    on at least one band's 4-bit bucket (same OR-of-bands shape as d02).
+    For a pair at the 0.999 threshold, per-plane agreement is
+    1 − θ/π ≈ 0.9858, so P(miss all 4 bands) ≈ (1 − 0.9858⁴)⁴ ≈ 1e-5 —
+    and exact duplicates (identical vectors, the pairs this corpus
+    contains) collide with probability 1, so the all-pairs DuckDB oracle
+    remains the gate and still matches.  The exact cosine re-check on
+    candidates keeps precision exact.
+
+    Scale shape: the join key is (label, band, bucket) with candidate
+    volume ∝ bucket occupancy, not bucket-pair count; vectors are fetched
+    per candidate pair by keyed join — no O(n²) stage anywhere."""
     prepare(spark)
     emb = read_table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("e")
@@ -400,18 +486,32 @@ def d06_embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     doubled = emb.unionByName(
         emb.select((F.col("vec_id") + 100000).alias("vec_id"), "label", "e")
     )
-    a, b = doubled.alias("a"), doubled.alias("b")
-    cos = _cosine_expr("a.e", "b.e")
-    return (
+    bands = doubled.select(
+        "vec_id",
+        "label",
+        F.posexplode(
+            F.array(*[F.expr(_d6_band_bucket(b)) for b in range(_D6_BANDS)])
+        ).alias("band", "bucket"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
         a.join(
             b,
-            (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
-        .select(
-            F.col("a.vec_id").alias("id_a"),
-            F.col("b.vec_id").alias("id_b"),
-            F.round(cos, 4).alias("cos"),
-        )
+        .select(F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b"))
+        .distinct()
+    )
+    ea = doubled.select(F.col("vec_id").alias("id_a"), F.col("e").alias("ea"))
+    eb = doubled.select(F.col("vec_id").alias("id_b"), F.col("e").alias("eb"))
+    cos = _cosine_expr("ea", "eb")
+    return (
+        cand.join(ea, "id_a")
+        .join(eb, "id_b")
+        .select("id_a", "id_b", F.round(cos, 4).alias("cos"))
         .filter(F.col("cos") >= _COS_THRESHOLD)
         .orderBy("id_a", "id_b")
     )

@@ -16,6 +16,7 @@ canonical interchange; these paths exist for ingest interop.
 
 from __future__ import annotations
 
+import itertools
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -32,10 +33,16 @@ from hive_udf_neologd_spark.session import prepare
 from hive_udf_neologd_spark.sources import read_csv, read_json, read_table
 
 _STAGE_ROOT = "/tmp/spark_graft_io"
+_RUN_IDS = itertools.count()
 
 
 def _stage(sf_dir: str, name: str) -> str:
-    return f"{_STAGE_ROOT}/{os.path.basename(sf_dir.rstrip('/'))}/{name}"
+    """Per-run unique path (pid + counter): two concurrent runs against the
+    same sf dir must not clobber each other's staged files mid-read."""
+    return (
+        f"{_STAGE_ROOT}/{os.path.basename(sf_dir.rstrip('/'))}/"
+        f"{name}_{os.getpid()}_{next(_RUN_IDS)}"
+    )
 
 
 ORDERS_CSV_SCHEMA = StructType(

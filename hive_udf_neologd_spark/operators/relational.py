@@ -1080,27 +1080,51 @@ GROUP BY c_nationkey ORDER BY c_nationkey
 """
 
 
-# --- HLL sketch: approx_count_distinct (rows-only; bound-tested) ----------
+# --- HLL sketch: approx_count_distinct (oracle-gated via self-check) ------
 def q34_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ distinct estimation per market segment — the sketch
     that replaces exact countDistinct at 100 TB (exact needs a second
     shuffle keyed on the value; HLL merges fixed-size sketches map-side).
-    DuckDB's HLL implementation yields different estimates, so this entry
-    is rows-only for the driver; tests/test_catalog.py bounds the estimate
-    against the exact count (rsd=0.01 → well within 5%)."""
+    DuckDB's HLL yields different raw estimates, so the driver-checkable
+    contract is: exact counts (hash-matched against DuckDB) plus a boolean
+    ``estimate_within_2pct`` asserting |HLL − exact| / exact ≤ 2 % (rsd=0.01
+    → the bound holds with wide margin); the oracle emits TRUE.  The sketch
+    itself is therefore what the hash gate exercises — a drifting estimate
+    flips the boolean and fails the row."""
     prepare(spark)
     cust = read_table(spark, sf_dir, "customer")
     orders = read_table(spark, sf_dir, "orders")
-    return (
+    agg = (
         orders.join(F.broadcast(cust.select("c_custkey", "c_mktsegment")),
                     F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("c_mktsegment")
         .agg(
             F.approx_count_distinct("o_custkey", rsd=0.01).alias("approx_customers"),
+            F.countDistinct("o_custkey").alias("n_customers"),
             F.count(F.lit(1)).alias("n_orders"),
         )
-        .orderBy("c_mktsegment")
     )
+    within = (
+        F.abs(F.col("approx_customers") - F.col("n_customers"))
+        / F.col("n_customers")
+        <= 0.02
+    )
+    return agg.select(
+        "c_mktsegment",
+        "n_customers",
+        "n_orders",
+        within.alias("estimate_within_2pct"),
+    ).orderBy("c_mktsegment")
+
+
+Q34_SQL = """
+SELECT c_mktsegment,
+       COUNT(DISTINCT o_custkey) AS n_customers,
+       COUNT(*) AS n_orders,
+       TRUE AS estimate_within_2pct
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
 
 
 RELATIONAL_QUERIES = {
@@ -1174,4 +1198,5 @@ RELATIONAL_ORACLES = {
     "q31_priority_exists": Q31_SQL,
     "q32_revenue_share": Q32_SQL,
     "q33_rich_inactive_customers": Q33_SQL,
+    "q34_approx_distinct": Q34_SQL,
 }

@@ -261,22 +261,25 @@ def t06_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """tf (term count per doc) × idf = ln((N+1)/(df+1)) over the full
     corpus; top-3 terms per doc for doc_id < 50.  Document frequency is a
     second aggregation over the same exploded tokens — Spark reuses the
-    shuffle output (exchange reuse) rather than rescanning."""
+    shuffle output (exchange reuse) rather than rescanning.  The corpus
+    size N joins in as a broadcast 1-row aggregate (q32 pattern) instead of
+    a driver-side ``count()`` — one DAG, no extra full pass at 100 TB."""
     prepare(spark)
     docs = read_table(spark, sf_dir, "documents")
     tokens = docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
     tf = tokens.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     df_ = tokens.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
-    n_docs = docs.count()  # tiny scalar; computed once on the driver
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n_docs"))
     w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
     return (
         tf.join(df_, "term")
+        .crossJoin(F.broadcast(n_docs))
         .select(
             "doc_id",
             "term",
             "tf",
             F.round(
-                F.col("tf") * F.log((F.lit(n_docs) + 1) / (F.col("df") + 1)), 4
+                F.col("tf") * F.log((F.col("n_docs") + 1) / (F.col("df") + 1)), 4
             ).alias("tfidf"),
         )
         .filter(F.col("doc_id") < 50)
@@ -465,8 +468,17 @@ def t08_tokenize_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
             tok("text").alias("tokens"),
         )
         out = part if out is None else out.unionByName(part)
-    return out.withColumn("n_tokens", F.size("tokens")).orderBy(
-        "sentence_id", "config"
+    # The driver's rows-only check hashes each cell; a raw array<string>
+    # column is unhashable pandas-side, so flatten to a '|'-joined string
+    # (order-preserving, still pins the exact token sequence).
+    return (
+        out.select(
+            "sentence_id",
+            "config",
+            F.concat_ws("|", "tokens").alias("tokens_str"),
+            F.size("tokens").alias("n_tokens"),
+        )
+        .orderBy("sentence_id", "config")
     )
 
 

@@ -39,9 +39,19 @@ from hive_udf_neologd_spark.streaming.term_counts import (
 _RUN_IDS = itertools.count()
 
 
+def _stage_dir(sf_dir: str, name: str) -> str:
+    """Per-run unique staging path: pid + run counter keep concurrent
+    processes (bench + check_oracle against the same sf dir) from
+    clobbering each other's staged files mid-readStream."""
+    base = os.path.basename(sf_dir.rstrip("/"))
+    return (
+        f"/tmp/spark_graft_stream/{base}/{name}_{os.getpid()}_{next(_RUN_IDS)}"
+    )
+
+
 def s03_streaming_event_counts_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     prepare(spark)
-    stage = f"/tmp/spark_graft_stream/{os.path.basename(sf_dir.rstrip('/'))}/events"
+    stage = _stage_dir(sf_dir, "events")
     # Stage through read_table so the nanos→micros timestamp normalization
     # matches the batch path; multiple files → multiple source splits.
     read_table(spark, sf_dir, "events").coalesce(4).write.mode("overwrite").parquet(stage)
@@ -92,7 +102,7 @@ def s04_streaming_term_counts_e2e(spark: SparkSession, sf_dir: str) -> DataFrame
     ``string_split`` (exact on this corpus — t01's equivalence argument)
     and applies the same watermark cutoff as s03."""
     prepare(spark)
-    stage = f"/tmp/spark_graft_stream/{os.path.basename(sf_dir.rstrip('/'))}/documents"
+    stage = _stage_dir(sf_dir, "documents")
     (
         read_table(spark, sf_dir, "documents")
         .select(
@@ -148,7 +158,7 @@ ORDER BY window_start, token
 
 
 def _stage_events(spark: SparkSession, sf_dir: str, name: str, df) -> str:
-    stage = f"/tmp/spark_graft_stream/{os.path.basename(sf_dir.rstrip('/'))}/{name}"
+    stage = _stage_dir(sf_dir, name)
     df.coalesce(4).write.mode("overwrite").parquet(stage)
     return stage
 
@@ -216,10 +226,14 @@ ORDER BY window_start, c_mktsegment
 
 def s06_streaming_dedup_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming exact deduplication: the staged input contains every event
-    TWICE; ``dropDuplicates("event_id")`` under a watermark emits each
-    exactly once.  State is bounded by the watermark (the streaming analog
-    of d01's batch hash-dedup — the first pass of a streaming ingest
-    pipeline).  The oracle is plain DISTINCT."""
+    TWICE; ``dropDuplicatesWithinWatermark("event_id")`` emits each exactly
+    once.  Plain ``dropDuplicates(["event_id"])`` would only evict state if
+    the event-time column were part of the key set — its state grows
+    without bound on a real stream; the WithinWatermark variant (Spark
+    3.5+) expires each key once the watermark passes its event time, which
+    is the genuinely bounded streaming analog of d01's batch hash-dedup.
+    Duplicates here share an identical ts, so they always land inside the
+    watermark window and the oracle is plain DISTINCT."""
     prepare(spark)
     from hive_udf_neologd_spark.streaming.term_counts import read_event_stream
 
@@ -228,7 +242,7 @@ def s06_streaming_dedup_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = (
         read_event_stream(spark, stage)
         .withWatermark("ts", "2 hours")
-        .dropDuplicates(["event_id"])
+        .dropDuplicatesWithinWatermark(["event_id"])
         .select("event_id", "user_id", "event_type")
     )
     name = _run_append(out, "s06_sink")

@@ -73,14 +73,17 @@ class JapaneseAnalyzer:
         dictionary: Dictionary | None = None,
     ):
         self.mode = mode if isinstance(mode, Mode) else Mode.parse(mode)
-        # Tri-state: None → defaults; [] → disabled; custom list → as given
-        # (stop words case-insensitive, KuromojiNEologdUDF.java:203).
+        # Tri-state: None → defaults; [] → disabled; custom list → as given.
+        # Stop-word matching is case-insensitive for BOTH branches: custom
+        # lists per KuromojiNEologdUDF.java:203, and the default set because
+        # Lucene's JapaneseAnalyzer.getDefaultStopSet() loads stopwords.txt
+        # with ignoreCase=true (no observable difference on the all-Japanese
+        # vendored defaults, but parity over latency of the gap).
         if stop_words is None:
-            self._stop_words = DEFAULT_STOP_WORDS
-            self._stop_ignore_case = False
+            self._stop_words = frozenset(w.lower() for w in DEFAULT_STOP_WORDS)
         else:
             self._stop_words = frozenset(w.lower() for w in stop_words if w is not None)
-            self._stop_ignore_case = True
+        self._stop_ignore_case = True
         if stop_tags is None:
             self._stop_tags = DEFAULT_STOP_TAGS
         else:

@@ -50,14 +50,15 @@ def test_query_matches_oracle(name, spark, duck):
 
 
 def test_q34_hll_estimate_within_bound(spark, duck):
-    """q34 is rows-only for the driver (DuckDB's HLL differs); here the
-    estimate is bounded against the exact distinct count — rsd=0.01 means
-    the estimate should sit comfortably within 5% of truth."""
+    """q34 is oracle-gated via its self-check column: the HLL estimate must
+    sit within 2% of Spark's own exact countDistinct (rsd=0.01 → wide
+    margin), and the exact counts must equal DuckDB's."""
     sdf = (
         QUERIES["q34_approx_distinct"](spark, SF_DIR)
         .toPandas()
         .set_index("c_mktsegment")
     )
+    assert sdf["estimate_within_2pct"].all()
     exact = duck.execute(
         """
         SELECT c_mktsegment, COUNT(DISTINCT o_custkey) AS n
@@ -66,5 +67,4 @@ def test_q34_hll_estimate_within_bound(spark, duck):
         """
     ).fetch_df().set_index("c_mktsegment")
     for seg, row in exact.iterrows():
-        est = sdf.loc[seg, "approx_customers"]
-        assert abs(est - row["n"]) <= max(1, 0.05 * row["n"])
+        assert sdf.loc[seg, "n_customers"] == row["n"]

@@ -68,6 +68,22 @@ class TestGoldens:
         second = analyzer.tokenize("きゃりーぱみゅぱみゅ。")
         assert len(first) == 12 and second == ["きゃりーぱみゅぱみゅ"]
 
+    def test_description_doc_example(self, analyzer):
+        # The reference's @Description extended example, exact token-for-
+        # token (KuromojiNEologdUDF.java:66-68; trailing " モード" there is
+        # a doc-string artifact — the analyzer chain lowercases and strips,
+        # yielding モード).
+        s = (
+            "kuromojiを使った分かち書きのテストです。"
+            "第二引数にはnormal/search/extendedを指定できます。"
+            "デフォルトではnormalモードです。"
+        )
+        assert analyzer.tokenize(s) == [
+            "kuromoji", "使う", "分かち書き", "テスト", "第", "二", "引数",
+            "normal", "search", "extended", "指定", "デフォルト", "normal",
+            "モード",
+        ]
+
 
 class TestModes:
     def test_mode_parse_case_insensitive_and_null(self):
@@ -279,3 +295,65 @@ class TestExpandedLexicon:
         # The reference anchors must be insensitive to lexicon breadth.
         assert analyzer.tokenize("きゃりーぱみゅぱみゅ。") == ["きゃりーぱみゅぱみゅ"]
         assert len(analyzer.tokenize(GOLDEN_SENTENCE)) == 12
+
+
+class TestMecabCsvIngest:
+    """MeCab-format CSV dictionary ingest (dictionary.load_mecab_csv) —
+    the swap-in path for a full IPADIC/NEologd snapshot (the format the
+    reference's build.sh:161-255 compiles into Kuromoji resources)."""
+
+    ROWS = [
+        # surface,left,right,cost,POS1..POS4,conj_type,conj_form,base,reading,pron
+        "形態素解析器,1285,1285,2000,名詞,一般,*,*,*,*,形態素解析器,ケイタイソカイセキキ,ケイタイソカイセキキ",
+        "走っ,772,692,7000,動詞,自立,*,*,五段・ラ行,連用タ接続,走る,ハシッ,ハシッ",
+        '"3,000円",1285,1285,3000,名詞,固有名詞,一般,*,*,*,*,サンゼンエン,サンゼンエン',
+    ]
+
+    def test_load_fields(self):
+        from hive_udf_neologd_spark.tokenizer.dictionary import load_mecab_csv
+
+        entries = load_mecab_csv(self.ROWS)
+        assert [e.surface for e in entries] == ["形態素解析器", "走っ", "3,000円"]
+        e0, e1, e2 = entries
+        assert e0.pos == "名詞-一般" and e0.cost == 2000 and e0.base_form is None
+        assert e1.pos == "動詞-自立" and e1.base_form == "走る"
+        assert e2.pos == "名詞-固有名詞-一般" and e2.base_form is None
+
+    def test_blank_lines_skipped_and_errors_raise(self):
+        from hive_udf_neologd_spark.tokenizer.dictionary import (
+            UserDictionaryError,
+            load_mecab_csv,
+        )
+
+        assert load_mecab_csv(["", "  "]) == []
+        with pytest.raises(UserDictionaryError):
+            load_mecab_csv(["too,few,fields"])
+        with pytest.raises(UserDictionaryError):
+            load_mecab_csv(["x,1,1,notanint,名詞,*,*,*,*,*,*,ヨミ,ヨミ"])
+
+    def test_ingested_entries_drive_segmentation(self):
+        from hive_udf_neologd_spark.tokenizer.dictionary import (
+            dictionary_from_mecab_csv,
+        )
+
+        d = dictionary_from_mecab_csv(self.ROWS)
+        a = JapaneseAnalyzer(dictionary=d)
+        # New noun segments as one token; inflected verb folds to base form.
+        assert a.tokenize("形態素解析器で走った。") == ["形態素解析器", "走る"]
+
+    def test_path_source(self, tmp_path):
+        from hive_udf_neologd_spark.tokenizer.dictionary import load_mecab_csv
+
+        p = tmp_path / "dict.csv"
+        p.write_text("\n".join(self.ROWS), encoding="utf-8")
+        entries = load_mecab_csv(str(p))
+        assert len(entries) == 3
+
+    def test_builtin_goldens_survive_layering(self):
+        from hive_udf_neologd_spark.tokenizer.dictionary import (
+            dictionary_from_mecab_csv,
+        )
+
+        a = JapaneseAnalyzer(dictionary=dictionary_from_mecab_csv(self.ROWS))
+        assert a.tokenize("きゃりーぱみゅぱみゅ。") == ["きゃりーぱみゅぱみゅ"]
+        assert len(a.tokenize(GOLDEN_SENTENCE)) == 12
