@@ -38,6 +38,13 @@ HEADLINE = [
     "a03_ann_ivf",
     "t09_quality_ratios",
     "m02_decoded_meta_stats",
+    # Heavy late-tier entries, regression-gated from round 2 on:
+    "a08_ivf_trained",
+    "a09_ivf_np_kernel",
+    "d07_dup_clusters",
+    "d05_bucket_jaccard_pairs",
+    "d06_embedding_dup_pairs",
+    "s04_streaming_term_counts_e2e",
 ]
 
 

@@ -16,8 +16,10 @@ fold left-to-right over identical doubles.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
 
 from hive_udf_neologd_spark.operators.dedup import _cosine_expr
 from hive_udf_neologd_spark.session import prepare
@@ -594,6 +596,125 @@ ORDER BY q_id, rank
 A08_SQL = _ivf_trained_sql()
 
 
+# --- a09: IVF with a vectorized numpy assignment kernel (production path) --
+def a09_ivf_np_kernel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """a08's trained IVF with the PRODUCTION hot-path kernels: the N×K
+    centroid assignment and the candidate cosine rescoring run as
+    Arrow-batched numpy inside ``mapInPandas``/``pandas_udf`` instead of
+    interpreted ``zip_with``/``aggregate`` higher-order functions.  At
+    100 TB the assignment kernel dominates IVF cost and interpreted HOFs
+    evaluate a closure per element — the numpy kernel does the same math
+    as one vectorized op per dimension (~10-50× per vector; measured
+    side-by-side with a08 in bench.py).
+
+    Bit-parity with a08 (and therefore with a08's DuckDB oracle, reused
+    verbatim): accumulation loops over DIMENSIONS in array order (one
+    vectorized (rows × centroids) op per dim), which is the same
+    sequential left fold Spark's ``aggregate`` performs — so distances,
+    cosines, tie-breaks, and hence the final top-k are IDENTICAL doubles,
+    not merely close.  Centroids are collected to the driver and shipped
+    in the kernel closure — the coarse quantizer is driver-small BY
+    DESIGN (Faiss's assumption too); at 100 TB train fixed-K on a
+    sample, never K ∝ N."""
+    import numpy as np
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    prepare(spark)
+    emb = _emb(spark, sf_dir)
+    # Train ONCE: collect the (driver-small) centroids, then feed both the
+    # assignment kernel closure and the probe join from the collected rows
+    # — referencing the training DataFrame twice would re-run both Lloyd
+    # iterations per consumer.
+    cent_rows = sorted(
+        _trained_centroids(emb.select("vec_id", "e")).collect(),
+        key=lambda r: r["c_id"],
+    )
+    c_ids = np.array([r["c_id"] for r in cent_rows], dtype=np.int64)
+    C = np.array([r["ce"] for r in cent_rows], dtype=np.float64)  # (K, dim)
+    cents = spark.createDataFrame(
+        [(int(r["c_id"]), list(r["ce"])) for r in cent_rows],
+        "c_id long, ce array<double>",
+    )
+
+    out_schema = StructType(
+        [
+            StructField("vec_id", LongType()),
+            StructField("e", ArrayType(DoubleType())),
+            StructField("nrm", DoubleType()),
+            StructField("list_id", LongType()),
+        ]
+    )
+
+    def _assign_batches(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            E = np.array(pdf["e"].tolist(), dtype=np.float64)  # (B, dim)
+            # Dim-order accumulation == Spark aggregate's left fold, one
+            # fused (B, K) op per dimension.
+            d2 = np.zeros((E.shape[0], C.shape[0]), dtype=np.float64)
+            for d in range(E.shape[1]):
+                diff = E[:, d, None] - C[None, :, d]
+                d2 += diff * diff
+            # argmin returns the FIRST minimum; columns are sorted by c_id,
+            # so ties break to min c_id — min_by(struct(d2, c_id)) parity.
+            pdf = pdf[["vec_id", "e", "nrm"]].copy()
+            pdf["list_id"] = c_ids[np.argmin(d2, axis=1)]
+            yield pdf
+
+    inv = emb.select("vec_id", "e", "nrm").mapInPandas(_assign_batches, out_schema)
+
+    q = emb.filter(F.col("vec_id") % _QUERY_MOD == 0).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("e").alias("qe"),
+        F.col("nrm").alias("qn"),
+    )
+    # Probing is K-sized per query — not the hot path; keep a08's plan.
+    qd2 = F.expr(
+        "aggregate(zip_with(qe, ce, (x, y) -> (x - y) * (x - y)),"
+        " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    wq = Window.partitionBy("q_id").orderBy(F.asc("qd2"), F.asc("c_id"))
+    probes = (
+        q.crossJoin(F.broadcast(cents))
+        .select("q_id", "qe", "qn", "c_id", qd2.alias("qd2"))
+        .withColumn("pr", F.row_number().over(wq))
+        .filter(F.col("pr") <= _N_PROBE)
+        .select("q_id", "qe", "qn", F.col("c_id").alias("list_id"))
+    )
+    cands = inv.join(F.broadcast(probes), "list_id").filter(
+        F.col("vec_id") != F.col("q_id")
+    )
+
+    @pandas_udf("double")
+    def _cos_np(qe_s: pd.Series, e_s: pd.Series, qn_s: pd.Series, nrm_s: pd.Series) -> pd.Series:
+        if not len(qe_s):
+            return pd.Series([], dtype="float64")
+        Q = np.array(qe_s.tolist(), dtype=np.float64)
+        E = np.array(e_s.tolist(), dtype=np.float64)
+        P = Q * E
+        dot = np.zeros(len(P), dtype=np.float64)
+        for d in range(P.shape[1]):  # dim-order fold, a08 parity
+            dot += P[:, d]
+        return pd.Series(dot / (qn_s.to_numpy() * nrm_s.to_numpy()))
+
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_raw"), F.asc("vec_id"))
+    return (
+        cands.select("q_id", "vec_id", _cos_np("qe", "e", "qn", "nrm").alias("cos_raw"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _TOP_K)
+        .select("q_id", F.col("vec_id").alias("neighbor_id"),
+                F.round("cos_raw", 4).alias("cos"), "rank")
+        .orderBy("q_id", "rank")
+    )
+
+
 # --- a07: int8 embedding quantization (storage-compression path) ----------
 def a07_int8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric per-vector int8 quantization: scale = max|x| / 127,
@@ -672,6 +793,7 @@ ANN_QUERIES = {
     "a06_kmeans_lloyd": a06_kmeans_lloyd,
     "a07_int8_quantization": a07_int8_quantization,
     "a08_ivf_trained": a08_ivf_trained,
+    "a09_ivf_np_kernel": a09_ivf_np_kernel,
 }
 
 ANN_ORACLES = {
@@ -683,4 +805,7 @@ ANN_ORACLES = {
     "a06_kmeans_lloyd": A06_SQL,
     "a07_int8_quantization": A07_SQL,
     "a08_ivf_trained": A08_SQL,
+    # a09 computes the same index with numpy kernels — bit-identical to a08,
+    # so it is gated by the SAME oracle.
+    "a09_ivf_np_kernel": A08_SQL,
 }

@@ -432,8 +432,9 @@ def _cosine_expr(a: str, b: str) -> F.Column:
 
 
 _D6_DIM = 64  # embeddings table contract (TESTDATA.md)
-_D6_PLANES = 16
-_D6_BANDS = 4  # 4 bits per band
+_D6_PLANES = 24
+_D6_BANDS = 3  # 8 bits per band
+_D6_BAND_BITS = _D6_PLANES // _D6_BANDS
 
 
 def _d6_plane_signs(p: int) -> list[float]:
@@ -449,10 +450,13 @@ def _d6_plane_signs(p: int) -> list[float]:
 
 
 def _d6_band_bucket(band: int) -> str:
-    """4-bit bucket for one band: sign bits of planes 4*band .. 4*band+3."""
+    """Bucket for one band: the band's plane sign bits packed into an int.
+    8 bits/band → 256 buckets, so per-(label, band, bucket) occupancy — and
+    with it candidate-pair volume — stays small; fewer, wider bands beat
+    many narrow ones once the threshold is this high (θ ≈ 2.6°)."""
     parts = []
-    for k in range(4):
-        p = 4 * band + k
+    for k in range(_D6_BAND_BITS):
+        p = _D6_BAND_BITS * band + k
         w = ", ".join(f"CAST({v} AS DOUBLE)" for v in _d6_plane_signs(p))
         dot = (
             f"aggregate(zip_with(e, array({w}), (x, s) -> x * s),"
@@ -467,10 +471,10 @@ def d06_embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate generation via BANDED random-hyperplane LSH (Charikar '02)
     instead of an all-pairs join inside low-cardinality label buckets.
 
-    16 hyperplanes → 4 bands of 4 sign bits; candidates = pairs agreeing
-    on at least one band's 4-bit bucket (same OR-of-bands shape as d02).
+    24 hyperplanes → 3 bands of 8 sign bits; candidates = pairs agreeing
+    on at least one band's 8-bit bucket (same OR-of-bands shape as d02).
     For a pair at the 0.999 threshold, per-plane agreement is
-    1 − θ/π ≈ 0.9858, so P(miss all 4 bands) ≈ (1 − 0.9858⁴)⁴ ≈ 1e-5 —
+    1 − θ/π ≈ 0.9858, so P(miss all 3 bands) ≈ (1 − 0.9858⁸)³ ≈ 1.3e-3 —
     and exact duplicates (identical vectors, the pairs this corpus
     contains) collide with probability 1, so the all-pairs DuckDB oracle
     remains the gate and still matches.  The exact cosine re-check on

@@ -88,6 +88,45 @@ def test_q32_scalar_threshold_is_one_row_broadcast(spark):
     assert "ReusedExchange" in executed
 
 
+def test_d02_band_join_reuses_minhash_exchange(spark):
+    # The shuffle_hash hint makes both band-join sides shuffle through
+    # canonically-identical exchanges; at execution the whole minhash
+    # pipeline (scan → shingle → md5 → min-agg) must run ONCE, with the
+    # second side a ReusedExchange — otherwise the build side recomputes
+    # the pipeline, which doubles the dominant cost at 100 TB.
+    df = QUERIES["d02_minhash_lsh_pairs"](spark, SF_DIR)
+    df.collect()
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in executed
+
+
+def test_d05_candidate_join_keys_include_prefix_token(spark):
+    # Prefix-filter candidate generation: the join key must carry the
+    # high-cardinality token, never just the low-cardinality (lang,
+    # source) bucket — the thing that made the old all-pairs plan
+    # quadratic at scale.
+    plan = _plan(spark, "d05_bucket_jaccard_pairs")
+    assert "tok" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_d06_candidate_join_keys_include_lsh_bucket(spark):
+    # Banded hyperplane LSH: candidates join on (label, band, bucket),
+    # not all-pairs within label.
+    plan = _plan(spark, "d06_embedding_dup_pairs")
+    assert "bucket" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_t06_no_separate_count_job(spark):
+    # Corpus size N joins in as a broadcast 1-row aggregate inside ONE DAG
+    # (q32 pattern) — not a driver-side count() that re-scans the corpus.
+    plan = _plan(spark, "t06_tfidf")
+    assert "BroadcastNestedLoopJoin" in plan
+
+
 def test_q33_anti_join_with_pushed_filter(spark):
     plan = _plan(spark, "q33_rich_inactive_customers")
     assert "LeftAnti" in plan
