@@ -552,6 +552,18 @@ def d07_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     a recursive CTE — the driver thereby gates a genuinely iterative
     distributed algorithm."""
     prepare(spark)
+    labels = _cc_labels(spark, sf_dir)
+    return (
+        labels.groupBy(F.col("lbl").alias("cluster_root"))
+        .agg(F.count(F.lit(1)).alias("n_members"), F.max("n").alias("max_member"))
+        .orderBy("cluster_root")
+    )
+
+
+def _cc_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min-label fixpoint over d02's candidate pairs: (member n, component
+    label lbl) where lbl = the component's minimum doc_id.  Shared by d07
+    (cluster stats) and d09 (canonical-doc selection)."""
     pairs = d02_minhash_lsh_pairs(spark, sf_dir).select("id_a", "id_b")
     edges = pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v")).unionByName(
         pairs.select(F.col("id_b").alias("u"), F.col("id_a").alias("v"))
@@ -576,11 +588,7 @@ def d07_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
-    return (
-        labels.groupBy(F.col("lbl").alias("cluster_root"))
-        .agg(F.count(F.lit(1)).alias("n_members"), F.max("n").alias("max_member"))
-        .orderBy("cluster_root")
-    )
+    return labels
 
 
 D07_SQL = f"""
@@ -598,6 +606,52 @@ reach(n, m) AS (
 labels AS (SELECT n, MIN(m) AS lbl FROM reach GROUP BY n)
 SELECT lbl AS cluster_root, COUNT(*) AS n_members, MAX(n) AS max_member
 FROM labels GROUP BY lbl ORDER BY cluster_root
+"""
+
+
+# --- d09: canonical-document selection per duplicate cluster ---------------
+def d09_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The step after clustering (d07) in a real dedup pipeline: keep ONE
+    canonical document per duplicate cluster (the min-doc_id member — the
+    component label itself under min-label propagation) and account for
+    what gets dropped (member count and character volume — the dedup
+    savings a 100 TB ingest reports).  One keyed join of labels to the
+    corpus, then a small per-cluster aggregate."""
+    prepare(spark)
+    labels = _cc_labels(spark, sf_dir)
+    corpus = _corpus(spark, sf_dir, with_exact=False).select("doc_id", "text")
+    return (
+        labels.join(corpus, labels.n == corpus.doc_id)
+        .groupBy(F.col("lbl").alias("keep_id"))
+        .agg(
+            (F.count(F.lit(1)) - 1).alias("n_dropped"),
+            F.sum(
+                F.when(F.col("n") != F.col("lbl"), F.length("text")).otherwise(0)
+            ).alias("chars_dropped"),
+        )
+        .orderBy("keep_id")
+    )
+
+
+D09_SQL = f"""
+WITH RECURSIVE pairs AS ({D02_SQL}),
+edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION ALL
+  SELECT id_b, id_a FROM pairs
+),
+reach(n, m) AS (
+  SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+  UNION
+  SELECT e.u, r.m FROM edges e JOIN reach r ON e.v = r.n
+),
+labels AS (SELECT n, MIN(m) AS lbl FROM reach GROUP BY n),
+{_CORPUS_SQL.lstrip()},
+corpus2 AS (SELECT doc_id, text FROM corpus WHERE doc_id < 100000 OR doc_id >= 200000)
+SELECT lbl AS keep_id, COUNT(*) - 1 AS n_dropped,
+       CAST(SUM(CASE WHEN n <> lbl THEN length(text) ELSE 0 END) AS BIGINT) AS chars_dropped
+FROM labels JOIN corpus2 ON n = doc_id
+GROUP BY lbl ORDER BY keep_id
 """
 
 
@@ -648,6 +702,7 @@ DEDUP_QUERIES = {
     "d06_embedding_dup_pairs": d06_embedding_dup_pairs,
     "d07_dup_clusters": d07_dup_clusters,
     "d08_incremental_ingest": d08_incremental_ingest,
+    "d09_cluster_canonical": d09_cluster_canonical,
 }
 
 DEDUP_ORACLES = {
@@ -659,4 +714,5 @@ DEDUP_ORACLES = {
     "d06_embedding_dup_pairs": D06_SQL,
     "d07_dup_clusters": D07_SQL,
     "d08_incremental_ingest": D08_SQL,
+    "d09_cluster_canonical": D09_SQL,
 }

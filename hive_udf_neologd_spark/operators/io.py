@@ -153,12 +153,54 @@ FROM events GROUP BY event_type ORDER BY event_type
 """
 
 
+def io03_partition_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-style partitioned layout + partition-pruned read — THE
+    cardinal 100 TB storage pattern: events written partitioned by
+    ``event_type``, then a single-type read touches only that partition's
+    files (the plan's PartitionFilters prune the rest at planning time;
+    directory listing, not data scan — asserted in tests/test_plans.py).
+    Hourly revenue for purchases only."""
+    prepare(spark)
+    stage = _stage(sf_dir, "events_by_type")
+    (
+        read_table(spark, sf_dir, "events")
+        .repartition("event_type")
+        .write.mode("overwrite")
+        .partitionBy("event_type")
+        .parquet(stage)
+    )
+    back = spark.read.parquet(stage)
+    return (
+        back.filter(F.col("event_type") == "purchase")
+        .groupBy(F.date_trunc("hour", "ts").alias("h"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 4).alias(
+                "total_value"
+            ),
+        )
+        .select(F.unix_timestamp("h").alias("hour_epoch"), "n", "total_value")
+        .orderBy("hour_epoch")
+    )
+
+
+IO03_SQL = """
+SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_epoch,
+       COUNT(*) AS n,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS total_value
+FROM events WHERE event_type = 'purchase'
+GROUP BY hour_epoch ORDER BY hour_epoch
+"""
+
+
 IO_QUERIES = {
     "io01_csv_roundtrip": io01_csv_roundtrip,
     "io02_json_roundtrip": io02_json_roundtrip,
+    "io03_partition_pruned_read": io03_partition_pruned_read,
 }
 
 IO_ORACLES = {
     "io01_csv_roundtrip": IO01_SQL,
     "io02_json_roundtrip": IO02_SQL,
+    "io03_partition_pruned_read": IO03_SQL,
 }

@@ -1127,6 +1127,135 @@ GROUP BY c_mktsegment ORDER BY c_mktsegment
 """
 
 
+# --- q35: sequential conversion funnel ------------------------------------
+def q35_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """view → click → purchase funnel per market segment: a user advances a
+    stage only with a strictly-later event of the next type (min-timestamp
+    semantics).  Each stage is one keyed aggregate; all joins are on
+    user_id, so the three stages co-partition on the same key — one
+    logical shuffle key end-to-end, and the dimension joins in broadcast.
+    The canonical product-analytics query a warehouse replaces with three
+    correlated subqueries."""
+    prepare(spark)
+    ev = read_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    mv = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("mv"))
+    )
+    mc = (
+        ev.filter(F.col("event_type") == "click")
+        .join(mv, "user_id")
+        .filter(F.col("ts") > F.col("mv"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("mc"))
+    )
+    mp = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(mc, "user_id")
+        .filter(F.col("ts") > F.col("mc"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("mp"))
+    )
+    cust = read_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    return (
+        mv.join(mc, "user_id", "left")
+        .join(mp, "user_id", "left")
+        .join(F.broadcast(cust), "user_id")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("mv").alias("n_viewed"),
+            F.count("mc").alias("n_clicked_after_view"),
+            F.count("mp").alias("n_purchased_after_click"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+Q35_SQL = """
+WITH mv AS (
+  SELECT user_id, MIN(ts) AS mv FROM events WHERE event_type = 'view' GROUP BY user_id
+),
+mc AS (
+  SELECT e.user_id, MIN(e.ts) AS mc
+  FROM events e JOIN mv ON e.user_id = mv.user_id
+  WHERE e.event_type = 'click' AND e.ts > mv.mv
+  GROUP BY e.user_id
+),
+mp AS (
+  SELECT e.user_id, MIN(e.ts) AS mp
+  FROM events e JOIN mc ON e.user_id = mc.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > mc.mc
+  GROUP BY e.user_id
+)
+SELECT c_mktsegment,
+       COUNT(mv.mv) AS n_viewed,
+       COUNT(mc.mc) AS n_clicked_after_view,
+       COUNT(mp.mp) AS n_purchased_after_click
+FROM mv
+LEFT JOIN mc ON mv.user_id = mc.user_id
+LEFT JOIN mp ON mv.user_id = mp.user_id
+JOIN customer ON mv.user_id = c_custkey
+GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+
+# --- q36: calendar spine gap-fill ------------------------------------------
+def q36_calendar_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense daily revenue series: a generated date spine (min→max order
+    date) left-joined to the daily aggregate, gaps filled with zero — the
+    time-series shape reporting layers need (missing days must EXIST with
+    zeros, not be absent).  The spine derives from a 1-row min/max
+    aggregate and explodes driver-free via sequence(); days are broadcast
+    against the (already tiny) daily aggregate, so the only corpus-sized
+    stage is the first groupBy."""
+    prepare(spark)
+    orders = read_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("d")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double"), 2
+        ).alias("revenue"),
+    )
+    spine = (
+        orders.agg(
+            F.min(F.to_date("o_orderdate")).alias("lo"),
+            F.max(F.to_date("o_orderdate")).alias("hi"),
+        )
+        .select(F.explode(F.expr("sequence(lo, hi, interval 1 day)")).alias("day"))
+    )
+    return (
+        spine.join(F.broadcast(daily), spine.day == daily.d, "left")
+        .select(
+            F.col("day").cast("string").alias("day"),
+            F.coalesce("n", F.lit(0)).alias("n_orders"),
+            F.coalesce("revenue", F.lit(0.0)).alias("revenue"),
+        )
+        .orderBy("day")
+    )
+
+
+Q36_SQL = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS d, COUNT(*) AS n,
+         ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS revenue
+  FROM orders GROUP BY d
+),
+bounds AS (SELECT MIN(CAST(o_orderdate AS DATE)) AS lo, MAX(CAST(o_orderdate AS DATE)) AS hi FROM orders),
+spine AS (
+  SELECT CAST(u.day AS DATE) AS day
+  FROM bounds, unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS u(day)
+)
+SELECT CAST(day AS VARCHAR) AS day,
+       COALESCE(n, 0) AS n_orders,
+       COALESCE(revenue, 0.0) AS revenue
+FROM spine LEFT JOIN daily ON spine.day = daily.d
+ORDER BY day
+"""
+
+
 RELATIONAL_QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_orders": q02_top_orders,
@@ -1162,6 +1291,8 @@ RELATIONAL_QUERIES = {
     "q32_revenue_share": q32_revenue_share,
     "q33_rich_inactive_customers": q33_rich_inactive_customers,
     "q34_approx_distinct": q34_approx_distinct,
+    "q35_funnel": q35_funnel,
+    "q36_calendar_gap_fill": q36_calendar_gap_fill,
 }
 
 RELATIONAL_ORACLES = {
@@ -1199,4 +1330,6 @@ RELATIONAL_ORACLES = {
     "q32_revenue_share": Q32_SQL,
     "q33_rich_inactive_customers": Q33_SQL,
     "q34_approx_distinct": Q34_SQL,
+    "q35_funnel": Q35_SQL,
+    "q36_calendar_gap_fill": Q36_SQL,
 }

@@ -529,6 +529,53 @@ FROM assigned GROUP BY split ORDER BY split
 """
 
 
+# --- t11: Zipf frequency spectrum ------------------------------------------
+def t11_zipf_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus frequency-of-frequencies (the Zipf spectrum a tokenizer/BPE
+    vocabulary build inspects): term → tf over the whole corpus, then how
+    many distinct terms share each tf, with the share of total token mass
+    per class.  Two aggregations; the second operates on the (tiny)
+    distinct-term set — the first shuffle is the only corpus-sized one,
+    with map-side partial counts."""
+    prepare(spark)
+    docs = read_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select(F.explode(F.split("text", " ")).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    total = tf.agg(F.sum("tf").alias("total_tokens"))
+    return (
+        tf.groupBy("tf")
+        .agg(F.count(F.lit(1)).alias("n_terms"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "tf",
+            "n_terms",
+            F.round((F.col("tf") * F.col("n_terms")) / F.col("total_tokens"), 6).alias(
+                "mass_share"
+            ),
+        )
+        .orderBy(F.desc("tf"))
+        .limit(30)
+    )
+
+
+T11_SQL = """
+WITH tf AS (
+  SELECT term, COUNT(*) AS tf FROM (
+    SELECT unnest(string_split(text, ' ')) AS term FROM documents
+  ) WHERE term <> '' GROUP BY term
+),
+total AS (SELECT SUM(tf) AS total_tokens FROM tf)
+SELECT tf, COUNT(*) AS n_terms,
+       ROUND((tf * COUNT(*)) * 1.0 / ANY_VALUE(total_tokens), 6) AS mass_share
+FROM tf CROSS JOIN total
+GROUP BY tf ORDER BY tf DESC LIMIT 30
+"""
+
+
 TEXT_QUERIES = {
     "t01_token_topk": t01_token_topk,
     "t02_token_stats": t02_token_stats,
@@ -540,6 +587,7 @@ TEXT_QUERIES = {
     "t08_tokenize_modes": t08_tokenize_modes,
     "t09_quality_ratios": t09_quality_ratios,
     "t10_hash_split": t10_hash_split,
+    "t11_zipf_spectrum": t11_zipf_spectrum,
     "sql01_lateral_view_tokenize": sql01_lateral_view_tokenize,
 }
 
@@ -556,5 +604,6 @@ TEXT_ORACLES = {
     "t07_bigram_topk": T07_SQL,
     "t09_quality_ratios": T09_SQL,
     "t10_hash_split": T10_SQL,
+    "t11_zipf_spectrum": T11_SQL,
     "sql01_lateral_view_tokenize": SQL01_SQL,
 }

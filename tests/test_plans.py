@@ -120,6 +120,15 @@ def test_d06_candidate_join_keys_include_lsh_bucket(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_io03_partition_pruning(spark):
+    # The event_type predicate must prune partitions at the scan (directory
+    # listing, not data read) — the cardinal storage pattern at 100 TB.
+    plan = _plan(spark, "io03_partition_pruned_read")
+    assert "PartitionFilters" in plan
+    pf_lines = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert any("purchase" in ln for ln in pf_lines)
+
+
 def test_t06_no_separate_count_job(spark):
     # Corpus size N joins in as a broadcast 1-row aggregate inside ONE DAG
     # (q32 pattern) — not a driver-side count() that re-scans the corpus.
