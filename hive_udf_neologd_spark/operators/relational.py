@@ -1256,6 +1256,54 @@ ORDER BY day
 """
 
 
+# --- q37: t-digest approx percentile, self-check gated ---------------------
+def q37_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The percentile SKETCH path for 100 TB (q20's exact rank method
+    sorts within groups; ``percentile_approx``'s t-digest merges
+    fixed-size summaries map-side, one pass).  Gated the q34 way: the
+    exact rank-based median hash-matches the DuckDB oracle, and
+    ``approx_within_2pct`` asserts |t-digest − exact| / exact ≤ 2 % —
+    sketch drift flips the boolean and fails the row."""
+    prepare(spark)
+    orders = read_table(spark, sf_dir, "orders")
+    cust = read_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    j = orders.join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+    grp = Window.partitionBy("c_mktsegment")
+    ranked = (
+        j.select("c_mktsegment", "o_totalprice")
+        .withColumn("rn", F.row_number().over(grp.orderBy("o_totalprice")))
+        .withColumn("n", F.count(F.lit(1)).over(grp))
+    )
+    agg = ranked.groupBy("c_mktsegment").agg(
+        F.max(
+            F.when(F.col("rn") == F.ceil(F.col("n") * 0.5), F.col("o_totalprice"))
+        ).alias("p50_exact"),
+        F.percentile_approx("o_totalprice", 0.5, 10000).alias("p50_approx"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+    within = (
+        F.abs(F.col("p50_approx") - F.col("p50_exact")) / F.col("p50_exact") <= 0.02
+    )
+    return agg.select(
+        "c_mktsegment", "p50_exact", "n_orders", within.alias("approx_within_2pct")
+    ).orderBy("c_mktsegment")
+
+
+Q37_SQL = """
+WITH ranked AS (
+  SELECT c_mktsegment, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY c_mktsegment ORDER BY o_totalprice) AS rn,
+         COUNT(*) OVER (PARTITION BY c_mktsegment) AS n
+  FROM orders JOIN customer ON o_custkey = c_custkey
+)
+SELECT c_mktsegment,
+       MAX(CASE WHEN rn = CEIL(n * 0.5) THEN o_totalprice END) AS p50_exact,
+       COUNT(*) AS n_orders,
+       TRUE AS approx_within_2pct
+FROM ranked GROUP BY c_mktsegment ORDER BY c_mktsegment
+"""
+
+
 RELATIONAL_QUERIES = {
     "q01_pricing_summary": q01_pricing_summary,
     "q02_top_orders": q02_top_orders,
@@ -1293,6 +1341,7 @@ RELATIONAL_QUERIES = {
     "q34_approx_distinct": q34_approx_distinct,
     "q35_funnel": q35_funnel,
     "q36_calendar_gap_fill": q36_calendar_gap_fill,
+    "q37_approx_percentile": q37_approx_percentile,
 }
 
 RELATIONAL_ORACLES = {
@@ -1332,4 +1381,5 @@ RELATIONAL_ORACLES = {
     "q34_approx_distinct": Q34_SQL,
     "q35_funnel": Q35_SQL,
     "q36_calendar_gap_fill": Q36_SQL,
+    "q37_approx_percentile": Q37_SQL,
 }

@@ -529,6 +529,32 @@ FROM assigned GROUP BY split ORDER BY split
 """
 
 
+# --- t12: language-ID confusion matrix --------------------------------------
+def t12_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Evaluation of the t03 classifier against the labeled corpus: the
+    (actual, predicted) confusion matrix — the QA loop any heuristic
+    filter in a training-data pipeline needs before it gates 100 TB of
+    documents.  Composition of the t03 operator + one tiny aggregate;
+    the corpus-sized work is t03's single narrow pass."""
+    pred = t03_langid(spark, sf_dir).select("lang", "lang_pred")
+    return (
+        pred.groupBy("lang", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("lang", "lang_pred")
+    )
+
+
+def _t12_sql() -> str:
+    return f"""
+WITH scored AS ({_t03_sql()})
+SELECT lang, lang_pred, COUNT(*) AS n
+FROM scored GROUP BY lang, lang_pred ORDER BY lang, lang_pred
+"""
+
+
+T12_SQL = _t12_sql()
+
+
 # --- t11: Zipf frequency spectrum ------------------------------------------
 def t11_zipf_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus frequency-of-frequencies (the Zipf spectrum a tokenizer/BPE
@@ -588,6 +614,7 @@ TEXT_QUERIES = {
     "t09_quality_ratios": t09_quality_ratios,
     "t10_hash_split": t10_hash_split,
     "t11_zipf_spectrum": t11_zipf_spectrum,
+    "t12_langid_confusion": t12_langid_confusion,
     "sql01_lateral_view_tokenize": sql01_lateral_view_tokenize,
 }
 
@@ -605,5 +632,6 @@ TEXT_ORACLES = {
     "t09_quality_ratios": T09_SQL,
     "t10_hash_split": T10_SQL,
     "t11_zipf_spectrum": T11_SQL,
+    "t12_langid_confusion": T12_SQL,
     "sql01_lateral_view_tokenize": SQL01_SQL,
 }
