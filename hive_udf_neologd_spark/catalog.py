@@ -39,7 +39,7 @@ from hive_udf_neologd_spark.streaming.e2e import (
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
 
-MIN_CATALOG_SIZE = 85
+MIN_CATALOG_SIZE = 87
 
 
 def _register(queries: dict, oracles: dict) -> None:

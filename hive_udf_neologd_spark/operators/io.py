@@ -193,14 +193,53 @@ GROUP BY hour_epoch ORDER BY hour_epoch
 """
 
 
+def io04_small_file_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The small-files problem, end-to-end: events deliberately sprayed
+    into 64 tiny files (the shape a streaming sink leaves behind), then
+    compacted back toward ~128 MB files with ``compact_parquet`` and read
+    for a daily aggregate.  At 100 TB uncompacted sinks poison listing
+    and scan parallelism; this entry makes the hygiene op itself
+    driver-checked (the aggregate proves the rewrite lost nothing)."""
+    from hive_udf_neologd_spark.sources import compact_parquet
+
+    prepare(spark)
+    sprayed = _stage(sf_dir, "events_sprayed")
+    compacted = _stage(sf_dir, "events_compacted")
+    read_table(spark, sf_dir, "events").repartition(64).write.mode(
+        "overwrite"
+    ).parquet(sprayed)
+    compact_parquet(spark, sprayed, compacted, target_mb=128)
+    return (
+        spark.read.parquet(compacted)
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 4).alias(
+                "total_value"
+            ),
+        )
+        .select(F.col("day").cast("string").alias("day"), "n", "total_value")
+        .orderBy("day")
+    )
+
+
+IO04_SQL = """
+SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day, COUNT(*) AS n,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS total_value
+FROM events GROUP BY day ORDER BY day
+"""
+
+
 IO_QUERIES = {
     "io01_csv_roundtrip": io01_csv_roundtrip,
     "io02_json_roundtrip": io02_json_roundtrip,
     "io03_partition_pruned_read": io03_partition_pruned_read,
+    "io04_small_file_compaction": io04_small_file_compaction,
 }
 
 IO_ORACLES = {
     "io01_csv_roundtrip": IO01_SQL,
     "io02_json_roundtrip": IO02_SQL,
     "io03_partition_pruned_read": IO03_SQL,
+    "io04_small_file_compaction": IO04_SQL,
 }

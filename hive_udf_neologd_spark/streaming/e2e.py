@@ -410,6 +410,60 @@ ORDER BY window_start, event_type
 """
 
 
+def s10_foreachbatch_merge_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``foreachBatch`` merge sink — the production pattern for sinks with
+    no native streaming writer (warehouse MERGE, idempotent upsert): each
+    micro-batch is deduplicated against the accumulated target by
+    left-anti join on event_id, then appended.  ``maxFilesPerTrigger=1``
+    over a double-written 4-file stage forces multiple batches, so the
+    anti-join must actually see earlier batches' output (batch-boundary
+    dedup, not single-batch).  The final target equals DISTINCT events —
+    the oracle.  At 100 TB the target side is a bucketed hash index on the
+    key, making each micro-batch merge a co-located anti join."""
+    prepare(spark)
+    from hive_udf_neologd_spark.streaming.term_counts import EVENT_SCHEMA
+
+    ev = read_table(spark, sf_dir, "events")
+    stage = _stage_events(spark, sf_dir, "events_s10", ev.unionByName(ev))
+    target = _stage_dir(sf_dir, "s10_target")
+
+    def _merge(batch_df: DataFrame, batch_id: int) -> None:
+        batch = batch_df.dropDuplicates(["event_id"])
+        try:
+            existing = batch_df.sparkSession.read.parquet(target).select("event_id")
+            batch = batch.join(existing, "event_id", "left_anti")
+        except Exception:
+            pass  # first batch: target does not exist yet
+        batch.write.mode("append").parquet(target)
+
+    src = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stage)
+    )
+    q = src.writeStream.foreachBatch(_merge).trigger(availableNow=True).start()
+    q.awaitTermination(300)
+    return (
+        spark.read.parquet(target)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 4).alias(
+                "total_value"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+S10_SQL = """
+WITH dedup AS (SELECT DISTINCT * FROM events)
+SELECT event_type, COUNT(*) AS n,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS total_value
+FROM dedup GROUP BY event_type ORDER BY event_type
+"""
+
+
 STREAMING_QUERIES = {
     "s03_streaming_event_counts_e2e": s03_streaming_event_counts_e2e,
     "s04_streaming_term_counts_e2e": s04_streaming_term_counts_e2e,
@@ -418,6 +472,7 @@ STREAMING_QUERIES = {
     "s07_stateful_running_totals_e2e": s07_stateful_running_totals_e2e,
     "s08_stream_stream_join_e2e": s08_stream_stream_join_e2e,
     "s09_sliding_window_e2e": s09_sliding_window_e2e,
+    "s10_foreachbatch_merge_e2e": s10_foreachbatch_merge_e2e,
 }
 
 STREAMING_ORACLES = {
@@ -428,4 +483,5 @@ STREAMING_ORACLES = {
     "s07_stateful_running_totals_e2e": S07_SQL,
     "s08_stream_stream_join_e2e": S08_SQL,
     "s09_sliding_window_e2e": S09_SQL,
+    "s10_foreachbatch_merge_e2e": S10_SQL,
 }
