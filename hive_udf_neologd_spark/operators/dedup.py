@@ -229,6 +229,13 @@ ORDER BY id_a, id_b
 
 # --- d03: SimHash signatures + Hamming to the near-dup copy ---------------
 def d03_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Charikar SimHash with the shuffle-lean formulation: each token row
+    carries 32 ±1 vote COLUMNS (one per bit) instead of exploding into 32
+    bit-ROWS — the per-doc aggregate then partial-sums map-side and the
+    shuffle moves one 32-column row per (doc, partition) rather than 32×
+    the token count (the r1 plan-audit flag).  Votes and the final sign
+    pack are integer math, so the bit-row DuckDB oracle still matches
+    exactly."""
     prepare(spark)
     corpus = _corpus(spark, sf_dir, with_exact=False)
     tokens = corpus.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
@@ -236,23 +243,30 @@ def d03_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.expr("CAST(conv(substr(md5(tok), 1, 8), 16, 10) AS BIGINT)").alias("v"),
     )
-    bits = hashed.select(
-        "doc_id", "v", F.explode(F.sequence(F.lit(0), F.lit(31))).alias("b")
-    ).select(
+    votes = hashed.select(
         "doc_id",
-        "b",
-        F.expr("CASE WHEN (v >> b) & 1 = 1 THEN 1 ELSE -1 END").alias("contrib"),
+        *[
+            F.expr(f"CASE WHEN (v >> {b}) & 1 = 1 THEN 1 ELSE -1 END").alias(f"c{b}")
+            for b in range(32)
+        ],
     )
     sims = (
-        bits.groupBy("doc_id", "b")
-        .agg(F.sum("contrib").alias("s"))
-        .groupBy("doc_id")
-        .agg(
-            F.sum(F.expr("CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << b ELSE 0 END")).alias(
-                "simhash"
-            )
+        votes.groupBy("doc_id")
+        .agg(*[F.sum(f"c{b}").alias(f"s{b}") for b in range(32)])
+        .select(
+            "doc_id",
+            sum(
+                [
+                    F.expr(f"CASE WHEN s{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END")
+                    for b in range(32)
+                ],
+                F.lit(0).cast("bigint"),
+            ).alias("simhash"),
         )
     )
+    # The doc_id range filters push below the aggregates into the scans
+    # (doc_id is the grouping key), so the two branches hash DISJOINT halves
+    # of the corpus — no duplicated pipeline work, no reuse needed.
     base = sims.filter(F.col("doc_id") < EXACT_OFF).alias("x")
     mut = sims.filter(F.col("doc_id") >= MUT_OFF).alias("y")
     return (

@@ -120,6 +120,15 @@ def test_d06_candidate_join_keys_include_lsh_bucket(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_d03_no_bit_row_inflation(spark):
+    # SimHash votes travel as 32 columns, not 32 exploded rows: each sims
+    # branch has exactly ONE hashpartitioning (the per-doc agg) — the old
+    # bit-row plan needed a second (doc_id, bit) shuffle carrying 32× the
+    # token count.
+    plan = _plan(spark, "d03_simhash")
+    assert plan.count("hashpartitioning") == 2  # one per disjoint branch
+
+
 def test_io03_partition_pruning(spark):
     # The event_type predicate must prune partitions at the scan (directory
     # listing, not data read) — the cardinal storage pattern at 100 TB.
