@@ -31,6 +31,10 @@ from hive_udf_neologd_spark.operators.dedup import DEDUP_ORACLES, DEDUP_QUERIES
 from hive_udf_neologd_spark.operators.ann import ANN_ORACLES, ANN_QUERIES
 from hive_udf_neologd_spark.operators.multimodal import MM_ORACLES, MM_QUERIES
 from hive_udf_neologd_spark.operators.io import IO_ORACLES, IO_QUERIES
+from hive_udf_neologd_spark.operators.pandas_ops import (
+    PANDAS_OPS_ORACLES,
+    PANDAS_OPS_QUERIES,
+)
 from hive_udf_neologd_spark.streaming.e2e import (
     STREAMING_ORACLES,
     STREAMING_QUERIES,
@@ -39,7 +43,7 @@ from hive_udf_neologd_spark.streaming.e2e import (
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
 
-MIN_CATALOG_SIZE = 87
+MIN_CATALOG_SIZE = 89
 
 
 def _register(queries: dict, oracles: dict) -> None:
@@ -59,6 +63,7 @@ _register(DEDUP_QUERIES, DEDUP_ORACLES)
 _register(ANN_QUERIES, ANN_ORACLES)
 _register(MM_QUERIES, MM_ORACLES)
 _register(IO_QUERIES, IO_ORACLES)
+_register(PANDAS_OPS_QUERIES, PANDAS_OPS_ORACLES)
 _register(STREAMING_QUERIES, STREAMING_ORACLES)
 
 if len(QUERIES) < MIN_CATALOG_SIZE:
