@@ -43,7 +43,7 @@ from hive_udf_neologd_spark.streaming.e2e import (
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
 
-MIN_CATALOG_SIZE = 89
+MIN_CATALOG_SIZE = 91
 
 
 def _register(queries: dict, oracles: dict) -> None:

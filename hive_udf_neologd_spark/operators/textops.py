@@ -342,6 +342,56 @@ ORDER BY n DESC, bigram ASC LIMIT 20
 """
 
 
+# --- sql02: full CTE + window + join query through the SQL parser ----------
+def sql02_cte_window_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Breadth check on the SQL text surface (not just DataFrame calls):
+    a CTE + broadcast-join + window-rank query submitted as one SQL
+    string over temp views — the way a Hive user of the reference writes
+    everything.  Catalyst plans it identically to the DataFrame twin."""
+    from hive_udf_neologd_spark.sources import read_table as _rt
+
+    prepare(spark)
+    _rt(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    _rt(spark, sf_dir, "customer").createOrReplaceTempView("customer_v")
+    return spark.sql(
+        """
+        WITH rev AS (
+          SELECT o_custkey, COUNT(*) AS n_orders,
+                 ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2)
+                   AS revenue
+          FROM orders_v GROUP BY o_custkey
+        ),
+        ranked AS (
+          SELECT c_mktsegment, c_custkey, n_orders, revenue,
+                 ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                                    ORDER BY revenue DESC, c_custkey ASC) AS rnk
+          FROM rev JOIN customer_v ON o_custkey = c_custkey
+        )
+        SELECT c_mktsegment, c_custkey, n_orders, revenue, rnk
+        FROM ranked WHERE rnk <= 5
+        ORDER BY c_mktsegment, rnk
+        """
+    )
+
+
+SQL02_SQL = """
+WITH rev AS (
+  SELECT o_custkey, COUNT(*) AS n_orders,
+         ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS revenue
+  FROM orders GROUP BY o_custkey
+),
+ranked AS (
+  SELECT c_mktsegment, c_custkey, n_orders, revenue,
+         ROW_NUMBER() OVER (PARTITION BY c_mktsegment
+                            ORDER BY revenue DESC, c_custkey ASC) AS rnk
+  FROM rev JOIN customer ON o_custkey = c_custkey
+)
+SELECT c_mktsegment, c_custkey, n_orders, revenue, rnk
+FROM ranked WHERE rnk <= 5
+ORDER BY c_mktsegment, rnk
+"""
+
+
 # --- sql01: the reference's SQL usage pattern, end-to-end ------------------
 def sql01_lateral_view_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's exact usage shape (README.md:22-29: ``create
@@ -482,6 +532,58 @@ def t08_tokenize_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- t13: greedy sequence packing ------------------------------------------
+_PACK_BIN = 2048  # tokens per packed training sequence
+
+
+def t13_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy contiguous sequence packing — the batch-shaping step before
+    LLM training: documents (in deterministic doc_id order, per lang
+    stream) are packed into ~2048-token bins; a document starts in the bin
+    its running prefix sum falls into.  Pure integer window math, so the
+    SQL oracle is bit-exact.  Scale: packing is per-(lang) stream — the
+    window partitions by lang, never a global single-partition sort; at
+    100 TB add a shard key to the partition for more parallelism (the
+    assignment stays deterministic per shard)."""
+    prepare(spark)
+    docs = read_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy("doc_id")
+    toks = F.size(F.split("text", " "))
+    packed = (
+        docs.select("doc_id", "lang", toks.alias("n_toks"))
+        .withColumn("cum", F.sum("n_toks").over(w))
+        .withColumn("bin", F.floor((F.col("cum") - F.col("n_toks")) / _PACK_BIN))
+    )
+    return (
+        packed.groupBy("lang", "bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_toks").alias("n_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("lang", "bin")
+    )
+
+
+T13_SQL = f"""
+WITH sized AS (
+  SELECT doc_id, lang, len(string_split(text, ' ')) AS n_toks
+  FROM documents
+),
+packed AS (
+  SELECT doc_id, lang, n_toks,
+         SUM(n_toks) OVER (PARTITION BY lang ORDER BY doc_id
+                           ROWS UNBOUNDED PRECEDING) AS cum
+  FROM sized
+)
+SELECT lang, CAST(FLOOR((cum - n_toks) / {_PACK_BIN}) AS BIGINT) AS bin,
+       COUNT(*) AS n_docs, CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+       MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+FROM packed GROUP BY lang, bin ORDER BY lang, bin
+"""
+
+
 # --- t10: deterministic train/val/test hash split --------------------------
 def t10_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic corpus splitting: md5(doc_id) mod 100 → 80/10/10
@@ -615,7 +717,9 @@ TEXT_QUERIES = {
     "t10_hash_split": t10_hash_split,
     "t11_zipf_spectrum": t11_zipf_spectrum,
     "t12_langid_confusion": t12_langid_confusion,
+    "t13_sequence_packing": t13_sequence_packing,
     "sql01_lateral_view_tokenize": sql01_lateral_view_tokenize,
+    "sql02_cte_window_sql": sql02_cte_window_sql,
 }
 
 # t08 has no oracle entry: Japanese morphological tokenization is not
@@ -633,5 +737,7 @@ TEXT_ORACLES = {
     "t10_hash_split": T10_SQL,
     "t11_zipf_spectrum": T11_SQL,
     "t12_langid_confusion": T12_SQL,
+    "t13_sequence_packing": T13_SQL,
     "sql01_lateral_view_tokenize": SQL01_SQL,
+    "sql02_cte_window_sql": SQL02_SQL,
 }
