@@ -59,28 +59,33 @@ def main() -> None:
     spark = get_spark("bench")
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in HEADLINE:
         builder = QUERIES[name]
-        _materialize(builder(spark, SF_DIR))  # warmup (plan + JIT + cache)
-        best = None
-        for _ in range(2):  # best-of-2 timed runs — damps shared-host noise
-            t0 = time.time()
-            _materialize(builder(spark, SF_DIR))
-            dt = time.time() - t0
-            best = dt if best is None or dt < best else best
-        timings[name] = round(best, 3)
+        # One failing query must not zero out the whole bench — record the
+        # error and keep timing the rest.
+        try:
+            _materialize(builder(spark, SF_DIR))  # warmup (plan + JIT + cache)
+            best = None
+            for _ in range(2):  # best-of-2 timed runs — damps shared-host noise
+                t0 = time.time()
+                _materialize(builder(spark, SF_DIR))
+                dt = time.time() - t0
+                best = dt if best is None or dt < best else best
+            timings[name] = round(best, 3)
+        except Exception as exc:  # noqa: BLE001
+            errors[name] = f"{type(exc).__name__}: {str(exc)[:200]}"
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_wall_clock",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    payload = {
+        "metric": "headline_queries_wall_clock",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    if errors:
+        payload["errors"] = errors
+    print(json.dumps(payload))
     spark.stop()
 
 

@@ -39,17 +39,23 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     if name not in TABLES:
         raise ValueError(f"unknown table {name!r}; expected one of {TABLES}")
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS); Spark (with
-        # spark.sql.legacy.parquet.nanosAsLong, set in session.prepare)
-        # surfaces it as long nanos — normalize to a timestamp (micros,
-        # integer division so no double rounding).
-        from pyspark.sql import functions as F
-        from pyspark.sql.types import LongType
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType, TimestampNTZType
 
-        if isinstance(df.schema["ts"].dataType, LongType):
-            df = df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
+        # Legacy shape: parquet TIMESTAMP(NANOS) surfaced as long nanos
+        # under spark.sql.legacy.parquet.nanosAsLong — normalize to a
+        # timestamp (micros, integer division so no double rounding).
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    # Parquet timestamps without a timezone annotation read back as
+    # TIMESTAMP_NTZ; normalize to TIMESTAMP so epoch functions
+    # (unix_micros & friends) resolve.  The session timezone is pinned to
+    # UTC (session.prepare), so wall-clock values are unchanged and match
+    # DuckDB's naive-timestamp semantics bit-for-bit.
+    for field in df.schema.fields:
+        if isinstance(field.dataType, TimestampNTZType):
+            df = df.withColumn(field.name, F.col(field.name).cast("timestamp"))
     return df
 
 
