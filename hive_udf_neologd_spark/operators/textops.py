@@ -483,7 +483,7 @@ FROM feat GROUP BY lang ORDER BY lang
 """
 
 
-# --- t08: tokenizer mode matrix (rows-only — not SQL-expressible) ---------
+# --- t08: tokenizer mode matrix (constant-golden oracle) -------------------
 _MODE_SENTENCES = (
     (1, "関西国際空港へ行った。"),
     (2, "きゃりーぱみゅぱみゅの新曲を聴く。"),
@@ -498,8 +498,8 @@ def t08_tokenize_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
     unigrams) and NORMAL+user-dict (SURVEY.md §2.1-2.2).  Mode and user
     dict are construction-time constants (one UDF per config, like the
     reference's const arguments), so this is four narrow UDF columns over a
-    3-row frame — no shuffle at any scale.  DuckDB cannot tokenize
-    Japanese → rows-only check."""
+    3-row frame — no shuffle at any scale.  Oracle: T08_SQL replays the
+    pinned-lexicon golden constants as a VALUES table (full hash check)."""
     prepare(spark)
     df = spark.createDataFrame(
         list(_MODE_SENTENCES), "sentence_id long, text string"
@@ -532,55 +532,91 @@ def t08_tokenize_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# t08 outputs are FIXED CONSTANTS under the pinned lexicon: the 3 golden
+# sentences × 4 configs always yield the same token sequences (the very same
+# constants tests/test_tokenizer.py pins against the reference goldens,
+# KuromojiNEologdUDFTest.java:213-299).  DuckDB cannot tokenize Japanese,
+# but it can replay the constants — which makes t08 fully hash-checkable by
+# the driver instead of rows-only.  If the lexicon ever changes these
+# sentences' segmentation, BOTH pytest goldens and this table must move
+# together (that is the point: a silent tokenizer drift breaks the hash).
+T08_SQL = """
+SELECT * FROM (VALUES
+  (CAST(1 AS BIGINT), 'extended',        '関西|国際|空港|行く', CAST(4 AS INTEGER)),
+  (CAST(1 AS BIGINT), 'normal',          '関西国際空港|行く', CAST(2 AS INTEGER)),
+  (CAST(1 AS BIGINT), 'normal+userdict', '関西国際空港|行く', CAST(2 AS INTEGER)),
+  (CAST(1 AS BIGINT), 'search',          '関西|国際|空港|行く', CAST(4 AS INTEGER)),
+  (CAST(2 AS BIGINT), 'extended',        'きゃりーぱみゅぱみゅ|新|曲|聴|く', CAST(5 AS INTEGER)),
+  (CAST(2 AS BIGINT), 'normal',          'きゃりーぱみゅぱみゅ|新曲|聴|く', CAST(4 AS INTEGER)),
+  (CAST(2 AS BIGINT), 'normal+userdict', 'きゃりーぱみゅぱみゅ|新曲|聴|く', CAST(4 AS INTEGER)),
+  (CAST(2 AS BIGINT), 'search',          'きゃりーぱみゅぱみゅ|新曲|聴|く', CAST(4 AS INTEGER)),
+  (CAST(3 AS BIGINT), 'extended',        '日本|経済|新聞|読む', CAST(4 AS INTEGER)),
+  (CAST(3 AS BIGINT), 'normal',          '日本経済新聞|読む', CAST(2 AS INTEGER)),
+  (CAST(3 AS BIGINT), 'normal+userdict', '日本|経済|新聞|読む', CAST(4 AS INTEGER)),
+  (CAST(3 AS BIGINT), 'search',          '日本|経済|新聞|読む', CAST(4 AS INTEGER))
+) AS t(sentence_id, config, tokens_str, n_tokens)
+ORDER BY sentence_id, config
+"""
+
+
 # --- t13: greedy sequence packing ------------------------------------------
 _PACK_BIN = 2048  # tokens per packed training sequence
+_PACK_SHARD = 128  # doc_ids per packing shard (deterministic integer split)
 
 
 def t13_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy contiguous sequence packing — the batch-shaping step before
-    LLM training: documents (in deterministic doc_id order, per lang
-    stream) are packed into ~2048-token bins; a document starts in the bin
-    its running prefix sum falls into.  Pure integer window math, so the
-    SQL oracle is bit-exact.  Scale: packing is per-(lang) stream — the
-    window partitions by lang, never a global single-partition sort; at
-    100 TB add a shard key to the partition for more parallelism (the
-    assignment stays deterministic per shard)."""
+    LLM training: within each (lang, shard) stream, documents in
+    deterministic doc_id order are packed into ~2048-token bins; a document
+    starts in the bin its running prefix sum falls into.  Pure integer
+    window math, so the SQL oracle is bit-exact.
+
+    Scale: the window partitions by (lang, shard) with
+    ``shard = doc_id DIV 128`` — a deterministic integer split, so the
+    partition-key cardinality grows linearly with the corpus instead of
+    being capped at n_languages.  At 100 TB each window partition is a
+    bounded ~128-document sort, never "one language = one task"; packing
+    restarts per shard, which is exactly what a distributed trainer wants
+    (shards are independent, re-runnable units)."""
     prepare(spark)
     docs = read_table(spark, sf_dir, "documents")
-    w = Window.partitionBy("lang").orderBy("doc_id")
+    shard = F.expr(f"doc_id DIV {_PACK_SHARD}")  # exact integer division
+    w = Window.partitionBy("lang", "shard").orderBy("doc_id")
     toks = F.size(F.split("text", " "))
     packed = (
-        docs.select("doc_id", "lang", toks.alias("n_toks"))
+        docs.select("doc_id", "lang", shard.alias("shard"), toks.alias("n_toks"))
         .withColumn("cum", F.sum("n_toks").over(w))
         .withColumn("bin", F.floor((F.col("cum") - F.col("n_toks")) / _PACK_BIN))
     )
     return (
-        packed.groupBy("lang", "bin")
+        packed.groupBy("lang", "shard", "bin")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_toks").alias("n_tokens"),
             F.min("doc_id").alias("first_doc"),
             F.max("doc_id").alias("last_doc"),
         )
-        .orderBy("lang", "bin")
+        .orderBy("lang", "shard", "bin")
     )
 
 
 T13_SQL = f"""
 WITH sized AS (
-  SELECT doc_id, lang, len(string_split(text, ' ')) AS n_toks
+  SELECT doc_id, lang,
+         CAST(FLOOR(doc_id / {_PACK_SHARD}) AS BIGINT) AS shard,
+         len(string_split(text, ' ')) AS n_toks
   FROM documents
 ),
 packed AS (
-  SELECT doc_id, lang, n_toks,
-         SUM(n_toks) OVER (PARTITION BY lang ORDER BY doc_id
+  SELECT doc_id, lang, shard, n_toks,
+         SUM(n_toks) OVER (PARTITION BY lang, shard ORDER BY doc_id
                            ROWS UNBOUNDED PRECEDING) AS cum
   FROM sized
 )
-SELECT lang, CAST(FLOOR((cum - n_toks) / {_PACK_BIN}) AS BIGINT) AS bin,
+SELECT lang, shard, CAST(FLOOR((cum - n_toks) / {_PACK_BIN}) AS BIGINT) AS bin,
        COUNT(*) AS n_docs, CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
        MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
-FROM packed GROUP BY lang, bin ORDER BY lang, bin
+FROM packed GROUP BY lang, shard, bin ORDER BY lang, shard, bin
 """
 
 
@@ -722,9 +758,10 @@ TEXT_QUERIES = {
     "sql02_cte_window_sql": sql02_cte_window_sql,
 }
 
-# t08 has no oracle entry: Japanese morphological tokenization is not
-# expressible in DuckDB SQL — the driver records a rows-only check, and
-# tests/test_tokenizer.py carries the exact-token goldens.
+# t08's oracle is a constant-literal VALUES table (see T08_SQL): DuckDB
+# cannot tokenize Japanese, but t08's outputs are fixed constants under the
+# pinned lexicon, so replaying them gives the driver a full hash check;
+# tests/test_tokenizer.py carries the same exact-token goldens.
 TEXT_ORACLES = {
     "t01_token_topk": T01_SQL,
     "t02_token_stats": T02_SQL,
@@ -733,6 +770,7 @@ TEXT_ORACLES = {
     "t05_fingerprint_winnow": T05_SQL,
     "t06_tfidf": T06_SQL,
     "t07_bigram_topk": T07_SQL,
+    "t08_tokenize_modes": T08_SQL,
     "t09_quality_ratios": T09_SQL,
     "t10_hash_split": T10_SQL,
     "t11_zipf_spectrum": T11_SQL,
