@@ -546,10 +546,10 @@ SELECT * FROM (VALUES
   (CAST(1 AS BIGINT), 'normal',          '関西国際空港|行く', CAST(2 AS INTEGER)),
   (CAST(1 AS BIGINT), 'normal+userdict', '関西国際空港|行く', CAST(2 AS INTEGER)),
   (CAST(1 AS BIGINT), 'search',          '関西|国際|空港|行く', CAST(4 AS INTEGER)),
-  (CAST(2 AS BIGINT), 'extended',        'きゃりーぱみゅぱみゅ|新|曲|聴|く', CAST(5 AS INTEGER)),
-  (CAST(2 AS BIGINT), 'normal',          'きゃりーぱみゅぱみゅ|新曲|聴|く', CAST(4 AS INTEGER)),
-  (CAST(2 AS BIGINT), 'normal+userdict', 'きゃりーぱみゅぱみゅ|新曲|聴|く', CAST(4 AS INTEGER)),
-  (CAST(2 AS BIGINT), 'search',          'きゃりーぱみゅぱみゅ|新曲|聴|く', CAST(4 AS INTEGER)),
+  (CAST(2 AS BIGINT), 'extended',        'きゃりーぱみゅぱみゅ|新|曲|聴く', CAST(4 AS INTEGER)),
+  (CAST(2 AS BIGINT), 'normal',          'きゃりーぱみゅぱみゅ|新曲|聴く', CAST(3 AS INTEGER)),
+  (CAST(2 AS BIGINT), 'normal+userdict', 'きゃりーぱみゅぱみゅ|新曲|聴く', CAST(3 AS INTEGER)),
+  (CAST(2 AS BIGINT), 'search',          'きゃりーぱみゅぱみゅ|新曲|聴く', CAST(3 AS INTEGER)),
   (CAST(3 AS BIGINT), 'extended',        '日本|経済|新聞|読む', CAST(4 AS INTEGER)),
   (CAST(3 AS BIGINT), 'normal',          '日本経済新聞|読む', CAST(2 AS INTEGER)),
   (CAST(3 AS BIGINT), 'normal+userdict', '日本|経済|新聞|読む', CAST(4 AS INTEGER)),
