@@ -45,6 +45,35 @@ ORACLES: dict[str, str] = {}
 
 MIN_CATALOG_SIZE = 91
 
+# DRIVER-VISIBILITY CONTRACT (VERDICT r3 'what's wrong' #3): the driver's
+# correctness harness gates exactly ``list(QUERIES)[:50]`` — the first 50
+# names in registration order.  Registration below is therefore APPEND-ONLY:
+# reordering _register calls or inserting entries mid-tier would silently
+# rotate green entries out of the driver's hard signal.  The frozen list is
+# pinned here and asserted both at import and in tests/test_catalog.py;
+# entries beyond the first 50 are regression-gated by
+# tests/test_oracles_full.py (the pytest twin of tools/check_oracle.py).
+DRIVER_GATED_50 = (
+    "q01_pricing_summary", "q02_top_orders", "q03_segment_revenue",
+    "q04_region_nation_rollup", "q05_topk_orders_per_customer",
+    "q06_running_totals", "q07_distinct_counts", "q08_set_ops",
+    "q09_parts_sold_semi", "q10_customers_without_orders",
+    "q11_json_extract", "q12_events_daily", "q13_brand_quantity",
+    "q14_cube_flags", "q15_priority_share", "q16_top_suppliers",
+    "q17_grouping_sets", "q18_topk_skew_safe", "q19_pivot_status",
+    "q20_percentiles", "q21_date_arithmetic", "s01_tumbling_event_counts",
+    "s02_session_windows", "q24_small_quantity_revenue",
+    "q25_trailing_window", "q26_star_join", "q27_ntile_quartiles",
+    "q28_from_json_struct", "q29_conditional_aggs", "q30_scalar_breadth",
+    "q31_priority_exists", "q32_revenue_share",
+    "q33_rich_inactive_customers", "q34_approx_distinct", "q35_funnel",
+    "q36_calendar_gap_fill", "q37_approx_percentile", "q22_asof_join",
+    "q23_range_join", "t01_token_topk", "t02_token_stats", "t03_langid",
+    "t04_quality_score", "t05_fingerprint_winnow", "t06_tfidf",
+    "t07_bigram_topk", "t08_tokenize_modes", "t09_quality_ratios",
+    "t10_hash_split", "t11_zipf_spectrum",
+)
+
 
 def _register(queries: dict, oracles: dict) -> None:
     for name, fn in queries.items():
@@ -70,4 +99,15 @@ if len(QUERIES) < MIN_CATALOG_SIZE:
     raise RuntimeError(
         f"catalog shrank: {len(QUERIES)} queries registered, "
         f"expected >= {MIN_CATALOG_SIZE}"
+    )
+
+if tuple(QUERIES)[:50] != DRIVER_GATED_50:
+    _drift = [
+        (i, got, want)
+        for i, (got, want) in enumerate(zip(tuple(QUERIES)[:50], DRIVER_GATED_50))
+        if got != want
+    ]
+    raise RuntimeError(
+        "driver-gated first-50 registration order drifted (see "
+        f"DRIVER_GATED_50 contract): {_drift[:5]}"
     )
