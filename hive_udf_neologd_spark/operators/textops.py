@@ -740,6 +740,213 @@ GROUP BY tf ORDER BY tf DESC LIMIT 30
 """
 
 
+# --- t14: repetition-based quality gate (Gopher-style) ---------------------
+def t14_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition filters from the Gopher/MassiveText quality rules (Rae et
+    al. 2021 §A1.1): a document whose single most-frequent token carries an
+    outsized share of its token mass is boilerplate/spam-shaped and gets
+    gated before training.  Per doc: top-token count vs total tokens; the
+    flag uses integer math (top_cnt*5 >= n ⇔ share ≥ 20%) so the oracle is
+    exact; shares are rounded only at the final per-lang aggregate (the t02
+    pattern).
+
+    Scale: explode → (doc_id, token) count → (doc_id) max/sum → (lang) tiny
+    agg.  Both corpus-sized shuffles are keyed on high-cardinality doc_id
+    (+token) with map-side partial aggregation — the same shape as t01, no
+    skew risk beyond Zipf tokens already absorbed by partial agg."""
+    prepare(spark)
+    docs = read_table(spark, sf_dir, "documents")
+    per_token = (
+        docs.select("doc_id", "lang", F.explode(F.split("text", " ")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("doc_id", "lang", "token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    per_doc = per_token.groupBy("doc_id", "lang").agg(
+        F.max("cnt").alias("top_cnt"), F.sum("cnt").alias("n_toks")
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("top_cnt") * 5 >= F.col("n_toks")).cast("long")).alias(
+                "n_flagged"
+            ),
+            F.round(F.avg(F.col("top_cnt") / F.col("n_toks")), 4).alias(
+                "avg_top_share"
+            ),
+            F.max("top_cnt").alias("max_top_cnt"),
+        )
+        .orderBy("lang")
+    )
+
+
+T14_SQL = """
+WITH per_token AS (
+  SELECT doc_id, lang, token, COUNT(*) AS cnt
+  FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token FROM documents)
+  WHERE token <> ''
+  GROUP BY doc_id, lang, token
+),
+per_doc AS (
+  SELECT doc_id, lang, MAX(cnt) AS top_cnt, SUM(cnt) AS n_toks
+  FROM per_token GROUP BY doc_id, lang
+)
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN top_cnt*5 >= n_toks THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+       ROUND(AVG(top_cnt * 1.0 / n_toks), 4) AS avg_top_share,
+       MAX(top_cnt) AS max_top_cnt
+FROM per_doc GROUP BY lang ORDER BY lang
+"""
+
+
+# --- t15: PII detection / redaction accounting -----------------------------
+# The corpus is synthetic [a-z ] text with no PII, so the operator seeds a
+# deterministic injection first (doc_id-keyed), then detects and redacts —
+# the full scrub pipeline with a non-trivial, fully SQL-replayable oracle.
+_EMAIL_RE = "[a-z0-9]+@[a-z]+[.][a-z]+"
+_PHONE_RE = "555-[0-9]{4}"
+
+
+def t15_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing — the compliance pass every training-data pipeline
+    runs before the tokenizer: regex detection + redaction of emails and
+    phone-shaped strings, with per-lang accounting of documents touched,
+    matches found, and bytes removed.  Patterns use only simple character
+    classes so Java regex (Spark) and RE2-ish (DuckDB) agree.
+
+    Scale: one narrow projection pass (regexp built-ins, whole-stage
+    codegen, no Python) + a tiny per-lang aggregate; the injection CASE is
+    a stand-in for real text and vanishes in production use."""
+    prepare(spark)
+    docs = read_table(spark, sf_dir, "documents")
+    injected = F.when(
+        F.col("doc_id") % 10 == 0,
+        F.concat(F.col("text"), F.lit(" contact "), F.concat(F.lit("user"), F.col("doc_id").cast("string"), F.lit("@example.com"))),
+    ).when(
+        F.col("doc_id") % 10 == 1,
+        F.concat(F.col("text"), F.lit(" call 555-0199 now")),
+    ).otherwise(F.col("text"))
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(F.col("txt"), _EMAIL_RE, "<email>"), _PHONE_RE, "<phone>"
+    )
+    per_doc = docs.select("doc_id", "lang", injected.alias("txt")).select(
+        "doc_id",
+        "lang",
+        F.size(F.regexp_extract_all("txt", F.lit(_EMAIL_RE), 0)).alias("n_email"),
+        F.size(F.regexp_extract_all("txt", F.lit(_PHONE_RE), 0)).alias("n_phone"),
+        (F.length("txt") - F.length(scrubbed)).alias("bytes_removed"),
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("n_email") + F.col("n_phone") > 0).cast("long")).alias(
+                "n_docs_with_pii"
+            ),
+            F.sum("n_email").alias("total_emails"),
+            F.sum("n_phone").alias("total_phones"),
+            F.sum("bytes_removed").alias("total_bytes_removed"),
+        )
+        .orderBy("lang")
+    )
+
+
+T15_SQL = f"""
+WITH injected AS (
+  SELECT doc_id, lang,
+         CASE
+           WHEN doc_id % 10 = 0 THEN text || ' contact ' || 'user' || CAST(doc_id AS VARCHAR) || '@example.com'
+           WHEN doc_id % 10 = 1 THEN text || ' call 555-0199 now'
+           ELSE text
+         END AS txt
+  FROM documents
+),
+per_doc AS (
+  SELECT doc_id, lang,
+         len(regexp_extract_all(txt, '{_EMAIL_RE}')) AS n_email,
+         len(regexp_extract_all(txt, '{_PHONE_RE}')) AS n_phone,
+         length(txt) - length(
+           regexp_replace(regexp_replace(txt, '{_EMAIL_RE}', '<email>', 'g'),
+                          '{_PHONE_RE}', '<phone>', 'g')
+         ) AS bytes_removed
+  FROM injected
+)
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN n_email + n_phone > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_with_pii,
+       CAST(SUM(n_email) AS BIGINT) AS total_emails,
+       CAST(SUM(n_phone) AS BIGINT) AS total_phones,
+       CAST(SUM(bytes_removed) AS BIGINT) AS total_bytes_removed
+FROM per_doc GROUP BY lang ORDER BY lang
+"""
+
+
+# --- t16: corpus token-rarity scoring --------------------------------------
+def t16_token_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Importance/rarity scoring against the corpus unigram model (the
+    integer-exact core of a CCNet-style LM filter): every token occurrence
+    is weighted by its corpus-wide frequency; documents dominated by
+    ultra-common tokens score high (boilerplate), rare-token documents
+    score low.  All outputs are integers (total/min/max of corpus tf), so
+    the oracle is bit-exact with no rounding anywhere.
+
+    Scale: one corpus tf aggregation (map-side combined), then a keyed
+    join token→tf back onto occurrences — vocab is far smaller than the
+    corpus, and the join key is the high-cardinality token (skew from
+    Zipf heads handled by AQE skew-join), then per-doc and per-lang aggs.
+    No driver-side state: the unigram "model" stays distributed."""
+    prepare(spark)
+    docs = read_table(spark, sf_dir, "documents")
+    occ = (
+        docs.select("doc_id", "lang", F.explode(F.split("text", " ")).alias("token"))
+        .filter(F.col("token") != "")
+    )
+    tf = occ.groupBy("token").agg(F.count(F.lit(1)).alias("tf"))
+    per_doc = (
+        occ.join(tf, "token")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_toks"),
+            F.sum("tf").alias("total_tf"),
+            F.min("tf").alias("rarest_tf"),
+            F.max("tf").alias("commonest_tf"),
+        )
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("total_tf").alias("sum_total_tf"),
+            F.min("rarest_tf").alias("min_rarest_tf"),
+            F.max("commonest_tf").alias("max_commonest_tf"),
+            F.sum("n_toks").alias("sum_n_toks"),
+        )
+        .orderBy("lang")
+    )
+
+
+T16_SQL = """
+WITH occ AS (
+  SELECT doc_id, lang, token
+  FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS token FROM documents)
+  WHERE token <> ''
+),
+tf AS (SELECT token, COUNT(*) AS tf FROM occ GROUP BY token),
+per_doc AS (
+  SELECT o.doc_id, o.lang, COUNT(*) AS n_toks, SUM(t.tf) AS total_tf,
+         MIN(t.tf) AS rarest_tf, MAX(t.tf) AS commonest_tf
+  FROM occ o JOIN tf t USING (token)
+  GROUP BY o.doc_id, o.lang
+)
+SELECT lang, COUNT(*) AS n_docs,
+       CAST(SUM(total_tf) AS BIGINT) AS sum_total_tf,
+       MIN(rarest_tf) AS min_rarest_tf,
+       MAX(commonest_tf) AS max_commonest_tf,
+       CAST(SUM(n_toks) AS BIGINT) AS sum_n_toks
+FROM per_doc GROUP BY lang ORDER BY lang
+"""
+
+
 TEXT_QUERIES = {
     "t01_token_topk": t01_token_topk,
     "t02_token_stats": t02_token_stats,
@@ -754,6 +961,9 @@ TEXT_QUERIES = {
     "t11_zipf_spectrum": t11_zipf_spectrum,
     "t12_langid_confusion": t12_langid_confusion,
     "t13_sequence_packing": t13_sequence_packing,
+    "t14_repetition_quality": t14_repetition_quality,
+    "t15_pii_scrub": t15_pii_scrub,
+    "t16_token_rarity": t16_token_rarity,
     "sql01_lateral_view_tokenize": sql01_lateral_view_tokenize,
     "sql02_cte_window_sql": sql02_cte_window_sql,
 }
@@ -776,6 +986,9 @@ TEXT_ORACLES = {
     "t11_zipf_spectrum": T11_SQL,
     "t12_langid_confusion": T12_SQL,
     "t13_sequence_packing": T13_SQL,
+    "t14_repetition_quality": T14_SQL,
+    "t15_pii_scrub": T15_SQL,
+    "t16_token_rarity": T16_SQL,
     "sql01_lateral_view_tokenize": SQL01_SQL,
     "sql02_cte_window_sql": SQL02_SQL,
 }
