@@ -181,3 +181,44 @@ def test_whole_stage_codegen_present(spark, name):
     first = codegen.splitlines()[0]
     assert "WholeStageCodegen subtrees" in first
     assert not first.startswith("Found 0 WholeStageCodegen")
+
+
+def test_t13_window_partitioned_by_lang_and_shard(spark):
+    plan = _plan(spark, "t13_sequence_packing")
+    # The packing window must shuffle on (lang, shard), not lang alone —
+    # lang-only partitioning serializes one language per task at 100 TB
+    # (VERDICT r3).  One shuffle serves both the window and the aggregate.
+    assert plan.count("hashpartitioning") == 1
+    assert "shard" in plan
+    read_schema_lines = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert not any("n_chars" in ln or "source" in ln for ln in read_schema_lines)
+
+
+def test_t15_single_shuffle_and_pruned_scan(spark):
+    plan = _plan(spark, "t15_pii_scrub")
+    # Regex detect/redact is a narrow codegen'd projection; the only
+    # exchange is the tiny per-lang aggregate (map-side partials first).
+    assert plan.count("hashpartitioning") == 1
+    read_schema_lines = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert any("doc_id" in ln and "text" in ln and "lang" in ln for ln in read_schema_lines)
+    assert not any("n_chars" in ln for ln in read_schema_lines)
+
+
+def test_t14_partial_aggregation_before_shuffle(spark):
+    plan = _plan(spark, "t14_repetition_quality")
+    # The (doc,lang,token) count combines map-side BEFORE its exchange —
+    # the shuffle carries (doc,token,cnt) partials, not raw exploded
+    # occurrences (the volume that matters on a Zipf corpus).
+    assert "partial_count" in plan
+    read_schema_lines = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert not any("n_chars" in ln or "source" in ln for ln in read_schema_lines)
+
+
+def test_t16_joins_tf_model_distributed(spark):
+    plan = _plan(spark, "t16_token_rarity")
+    # The unigram model joins back by token key (broadcast at test scale,
+    # shuffle-hash/SMJ at corpus scale — either way keyed, never collected
+    # to the driver), and both scans prune to the used columns.
+    assert "Join" in plan
+    read_schema_lines = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert all("n_chars" not in ln for ln in read_schema_lines)
