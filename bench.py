@@ -53,6 +53,10 @@ HEADLINE = [
     "io03_partition_pruned_read",
     "io04_small_file_compaction",
     "sql02_cte_window_sql",
+    # Round-4 new operators, gated from birth:
+    "t14_repetition_quality",
+    "t15_pii_scrub",
+    "t16_token_rarity",
 ]
 
 
