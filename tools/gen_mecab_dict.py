@@ -73,17 +73,21 @@ _RESERVED = {
 
 # --- godan (五段) verbs: dict form → conjugated rows ------------------------
 # Ending row determines the stem mutations (IPADIC conj-type names kept for
-# format fidelity; the loader ignores fields 8-9).
+# format fidelity; the loader ignores fields 8-9).  仮定形 (stem+え-row) is
+# deliberately NOT generated: without a connection-cost matrix the lattice
+# cannot disambiguate godan 仮定形 from an ichidan stem sharing the same
+# surface (入る→入れ vs 入れる→入れ before た), and the ichidan reading is
+# the overwhelmingly common one in running text.
 _GODAN = {
-    "う": ("五段・ワ行促音便", [("い", "連用形"), ("っ", "連用タ接続"), ("わ", "未然形"), ("え", "仮定形")]),
-    "く": ("五段・カ行イ音便", [("き", "連用形"), ("い", "連用タ接続"), ("か", "未然形"), ("け", "仮定形")]),
-    "ぐ": ("五段・ガ行", [("ぎ", "連用形"), ("い", "連用タ接続"), ("が", "未然形"), ("げ", "仮定形")]),
-    "す": ("五段・サ行", [("し", "連用形"), ("さ", "未然形"), ("せ", "仮定形")]),
-    "つ": ("五段・タ行", [("ち", "連用形"), ("っ", "連用タ接続"), ("た", "未然形"), ("て", "仮定形")]),
-    "ぬ": ("五段・ナ行", [("に", "連用形"), ("ん", "連用タ接続"), ("な", "未然形"), ("ね", "仮定形")]),
-    "ぶ": ("五段・バ行", [("び", "連用形"), ("ん", "連用タ接続"), ("ば", "未然形"), ("べ", "仮定形")]),
-    "む": ("五段・マ行", [("み", "連用形"), ("ん", "連用タ接続"), ("ま", "未然形"), ("め", "仮定形")]),
-    "る": ("五段・ラ行", [("り", "連用形"), ("っ", "連用タ接続"), ("ら", "未然形"), ("れ", "仮定形")]),
+    "う": ("五段・ワ行促音便", [("い", "連用形"), ("っ", "連用タ接続"), ("わ", "未然形")]),
+    "く": ("五段・カ行イ音便", [("き", "連用形"), ("い", "連用タ接続"), ("か", "未然形")]),
+    "ぐ": ("五段・ガ行", [("ぎ", "連用形"), ("い", "連用タ接続"), ("が", "未然形")]),
+    "す": ("五段・サ行", [("し", "連用形"), ("さ", "未然形")]),
+    "つ": ("五段・タ行", [("ち", "連用形"), ("っ", "連用タ接続"), ("た", "未然形")]),
+    "ぬ": ("五段・ナ行", [("に", "連用形"), ("ん", "連用タ接続"), ("な", "未然形")]),
+    "ぶ": ("五段・バ行", [("び", "連用形"), ("ん", "連用タ接続"), ("ば", "未然形")]),
+    "む": ("五段・マ行", [("み", "連用形"), ("ん", "連用タ接続"), ("ま", "未然形")]),
+    "る": ("五段・ラ行", [("り", "連用形"), ("っ", "連用タ接続"), ("ら", "未然形")]),
 }
 
 # Seed lemmas.  Kanji-based dictionary forms only (hiragana function words
@@ -291,6 +295,41 @@ ADVERBS = """
 """.split()
 
 
+# Core-lexicon lemmas re-fed through the conjugator so every known lemma
+# carries a COMPLETE paradigm (the hand-built lexicon lists only the forms
+# its goldens need — e.g. it has 速い/速く but not 速かっ).  Dict-form and
+# any form the lexicon already lists tie on cost and lose to the lexicon
+# entry (strict < in Viterbi), so goldens cannot move; only the missing
+# inflections become reachable.  する/来る are irregular and excluded.
+CORE_GODAN = """
+使う 思う 言う 行う 会う 買う 売る 取る 守る 残る 戻る 回る 測る
+行く 書く 聞く 歩く 働く 開く 置く 続く 着く 泣く 驚く 動く 描く 吹く
+泳ぐ 脱ぐ 学ぶ 遊ぶ 呼ぶ 飛ぶ 並ぶ 喜ぶ 運ぶ 選ぶ
+話す 試す 探す 渡す 返す 示す 表す 残す 戻す 回す 流す 隠す 壊す
+消す 直す 落とす 明かす 動かす 過ごす
+待つ 持つ 立つ 打つ 育つ 勝つ
+死ぬ
+飲む 読む 進む 住む 含む 頼む 休む 楽しむ
+走る 入る 知る 作る 送る 座る 降る 光る 触る 曲がる 集まる 始まる
+終わる 変わる 伝わる 頑張る 分かる 止まる 治る 通る 帰る 限る
+""".split()
+CORE_ICHIDAN = """
+見る いる 出る 食べる 考える 覚える 忘れる 教える 始める 続ける
+変える 調べる 比べる 分ける 決める 付ける 受ける 見つける 答える
+数える 集める 並べる 得る 与える 加える 求める 用いる 閉じる
+感じる 信じる 捨てる 育てる 建てる 投げる 任せる 認める 迎える
+向ける 届ける 助ける 伝える 越える 超える 過ぎる 生きる 起きる
+着る 切れる 消える 落ちる 上げる 下げる 止める 進める 戻れる
+壊れる 割れる 流れる 現れる 隠れる 触れる 晴れる 生まれる
+""".split()
+CORE_I_ADJ = """
+高い 安い 新しい 古い 良い よい 悪い 多い 少ない 大きい 小さい
+長い 短い 早い 速い 遅い 強い 弱い 面白い 難しい 易しい 優しい
+美しい 楽しい 嬉しい 悲しい 寂しい 忙しい 暑い 寒い 暖かい
+広い 狭い 近い 遠い 深い 浅い 重い 軽い 正しい 詳しい 欲しい
+""".split()
+
+
 def _rows() -> list[tuple]:
     rows: list[tuple] = []
 
@@ -299,7 +338,7 @@ def _rows() -> list[tuple]:
         p = (pos4 + ["*"] * 4)[:4]
         rows.append((surface, 0, 0, cost, *p, conj_type, conj_form, base))
 
-    for v in GODAN_VERBS:
+    for v in GODAN_VERBS + CORE_GODAN:
         ending = v[-1]
         if ending not in _GODAN:
             continue
@@ -309,14 +348,14 @@ def _rows() -> list[tuple]:
         for suffix, cform in forms:
             add(stem + suffix, ["動詞", "自立"], COST_VERB, ctype, cform, v)
 
-    for v in ICHIDAN_VERBS:
+    for v in ICHIDAN_VERBS + CORE_ICHIDAN:
         if not v.endswith("る"):
             continue
         stem = v[:-1]
         add(v, ["動詞", "自立"], COST_VERB, "一段", "基本形", v)
         add(stem, ["動詞", "自立"], COST_VERB, "一段", "連用形", v)
 
-    for a in I_ADJECTIVES:
+    for a in I_ADJECTIVES + CORE_I_ADJ:
         if not a.endswith("い"):
             continue
         stem = a[:-1]
