@@ -57,6 +57,7 @@ HEADLINE = [
     "t14_repetition_quality",
     "t15_pii_scrub",
     "t16_token_rarity",
+    "d10_incremental_near_dup",
 ]
 
 

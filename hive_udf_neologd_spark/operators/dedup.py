@@ -25,6 +25,9 @@ Families (each a first-class ``queries()`` entry with a full oracle):
   d02's pairs (recursive-CTE oracle).
 * d08 incremental ingest — left-anti hash join of a new batch against the
   existing corpus (only new content admitted).
+* d10 incremental NEAR-dup ingest — the same admission decision but by
+  MinHash band collision against the existing corpus's LSH index, catching
+  the truncations/edits d08's exact hash lets through.
 
 All hashing is md5 (identical hex in Spark and DuckDB) so signatures are
 bit-identical across engines.
@@ -112,17 +115,18 @@ _N_HASHES = 8
 _N_BANDS = 4  # rows-per-band = 2
 
 
-def d02_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    prepare(spark)
-    corpus = _corpus(spark, sf_dir, with_exact=False)
-    # Explode shingles to rows, then min-aggregate the salted hashes: each
-    # md5 is computed exactly once (array-lambda formulations re-evaluate
-    # the shingle array per hash function under projection collapse), and
-    # the min() aggregate combines map-side — the formulation that scales.
-    # split() is hoisted into its own projection: inside the lambda it would
-    # re-run per shingle (O(tokens^2) character work per document).
+def _minhash_bands(docs: DataFrame) -> DataFrame:
+    """(doc_id, text) → (doc_id, band, bucket) LSH band table.
+
+    Explode shingles to rows, then min-aggregate the salted hashes: each
+    md5 is computed exactly once (array-lambda formulations re-evaluate
+    the shingle array per hash function under projection collapse), and
+    the min() aggregate combines map-side — the formulation that scales.
+    split() is hoisted into its own projection: inside the lambda it would
+    re-run per shingle (O(tokens^2) character work per document).  Shared
+    by d02 (self-join pairs) and d10 (batch-vs-corpus incremental)."""
     sh_rows = (
-        corpus.select("doc_id", F.split("text", " ").alias("ts"))
+        docs.select("doc_id", F.split("text", " ").alias("ts"))
         .filter(F.size("ts") >= 3)
         .select(
             "doc_id",
@@ -151,7 +155,7 @@ def d02_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             for j in range(_N_HASHES)
         ]
     )
-    bands = sigs.select(
+    return sigs.select(
         "doc_id",
         F.posexplode(
             F.array(
@@ -168,6 +172,12 @@ def d02_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("band", "bucket"),
     )
+
+
+def d02_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prepare(spark)
+    corpus = _corpus(spark, sf_dir, with_exact=False)
+    bands = _minhash_bands(corpus)
     left = bands.alias("a")
     right = bands.alias("b")
     # shuffle_hash: without the hint one side is broadcast and the OTHER
@@ -711,6 +721,101 @@ FROM admitted GROUP BY lang ORDER BY lang
 """
 
 
+# --- d10: incremental NEAR-dup ingest (LSH screen vs existing corpus) ------
+def d10_incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The near-duplicate counterpart of d08: an incoming batch is screened
+    against the EXISTING corpus's LSH index — d08's exact hash anti-join
+    admits trivially-rewritten documents (truncations, small edits); this
+    pass catches them by MinHash band collision.  Batch = every third
+    mutated document (deterministic integer selection); a batch doc is
+    flagged when any of its bands collides with any existing doc's band.
+
+    Scale: the existing corpus's band table is precomputed once per ingest
+    epoch and stored bucketed on (band, bucket); each batch then joins
+    candidates-only against it (shuffle_hash here — at 100 TB the batch
+    side is small enough to broadcast instead).  Flagging is
+    distinct-on-batch-id, so output size is bounded by the batch.  Short
+    documents (< 3 tokens, no shingle signature) cannot be screened and
+    are admitted — same rule in both engines."""
+    prepare(spark)
+    base = _base(spark, sf_dir)
+    batch = _mutated(base).filter((F.col("doc_id") - MUT_OFF) % 3 == 0)
+    existing_bands = _minhash_bands(base)
+    batch_bands = _minhash_bands(batch)
+    flagged = (
+        batch_bands.alias("n").hint("shuffle_hash")
+        .join(
+            existing_bands.alias("e"),
+            (F.col("n.band") == F.col("e.band"))
+            & (F.col("n.bucket") == F.col("e.bucket")),
+        )
+        .select(F.col("n.doc_id").alias("doc_id"))
+        .distinct()
+        .withColumn("flagged", F.lit(1))
+    )
+    return (
+        batch.join(flagged, "doc_id", "left")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_incoming"),
+            F.sum(F.coalesce(F.col("flagged"), F.lit(0))).alias("n_near_dup"),
+            F.sum(
+                (F.coalesce(F.col("flagged"), F.lit(0)) == 0).cast("long")
+            ).alias("n_admitted"),
+        )
+        .orderBy("lang")
+    )
+
+
+D10_SQL = f"""
+WITH {_CORPUS_SQL},
+batch AS (SELECT * FROM mut WHERE (doc_id - {MUT_OFF}) % 3 = 0),
+both_sides AS (
+  SELECT 'e' AS side, doc_id, text FROM base
+  UNION ALL
+  SELECT 'n' AS side, doc_id, text FROM batch
+),
+toks AS (
+  SELECT side, doc_id, string_split(text, ' ') AS ts FROM both_sides
+  WHERE len(string_split(text, ' ')) >= 3
+),
+sh AS (
+  SELECT side, doc_id,
+         list_transform(range(1, len(ts) - 1),
+                        i -> array_to_string(ts[i:i+2], ' ')) AS shingles
+  FROM toks
+),
+digests AS (
+  SELECT side, doc_id, unnest(list_transform(shingles, s -> md5('a|' || s))) AS da,
+         unnest(list_transform(shingles, s -> md5('b|' || s))) AS db
+  FROM sh
+),
+sigs AS (
+  SELECT side, doc_id,
+         {", ".join(
+             f"MIN(CAST(CAST(concat('0x', substr({'da' if j < 4 else 'db'}, {1 + 8 * (j % 4)}, 8)) AS UBIGINT) AS BIGINT)) AS h{j}"
+             for j in range(_N_HASHES)
+         )}
+  FROM digests GROUP BY side, doc_id
+),
+bands AS (
+  SELECT side, doc_id, u.b AS band,
+         CASE u.b {" ".join(f"WHEN {b} THEN md5(CAST(h{2 * b} AS VARCHAR) || '|' || CAST(h{2 * b + 1} AS VARCHAR))" for b in range(_N_BANDS))} END AS bucket
+  FROM sigs, unnest(range(0, {_N_BANDS})) AS u(b)
+),
+flagged AS (
+  SELECT DISTINCT n.doc_id
+  FROM bands n JOIN bands e
+    ON n.side = 'n' AND e.side = 'e' AND n.band = e.band AND n.bucket = e.bucket
+)
+SELECT b.lang, COUNT(*) AS n_incoming,
+       CAST(SUM(CASE WHEN f.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_near_dup,
+       CAST(SUM(CASE WHEN f.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_admitted
+FROM batch b LEFT JOIN flagged f ON b.doc_id = f.doc_id
+GROUP BY b.lang ORDER BY b.lang
+"""
+
+
 DEDUP_QUERIES = {
     "d01_dedup_exact": d01_dedup_exact,
     "d02_minhash_lsh_pairs": d02_minhash_lsh_pairs,
@@ -721,6 +826,7 @@ DEDUP_QUERIES = {
     "d07_dup_clusters": d07_dup_clusters,
     "d08_incremental_ingest": d08_incremental_ingest,
     "d09_cluster_canonical": d09_cluster_canonical,
+    "d10_incremental_near_dup": d10_incremental_near_dup,
 }
 
 DEDUP_ORACLES = {
@@ -733,4 +839,5 @@ DEDUP_ORACLES = {
     "d07_dup_clusters": D07_SQL,
     "d08_incremental_ingest": D08_SQL,
     "d09_cluster_canonical": D09_SQL,
+    "d10_incremental_near_dup": D10_SQL,
 }
