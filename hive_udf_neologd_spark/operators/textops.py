@@ -740,6 +740,55 @@ GROUP BY tf ORDER BY tf DESC LIMIT 30
 """
 
 
+# --- t17: rich per-token analysis (extension beyond reference parity) ------
+_RICH_SENTENCES = (
+    (1, "関西国際空港へ行った。"),
+    (2, "美術館で絵画を眺めた。"),
+)
+
+
+def t17_tokenize_rich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The engine extension the reference cannot offer: per-token structs
+    (term, surface, POS, base form) — the reference drains only
+    CharTermAttribute (KuromojiNEologdUDF.java:306-316; SURVEY.md §1.1
+    subtlety), discarding the morphology its own analyzer computes.  Here
+    ``tokenize_ja_rich`` exposes it as array<struct>, posexploded to flat
+    rows so the driver hash covers every field.  Outputs are fixed
+    constants under the pinned dictionary (sentence 2 exercises the
+    MeCab-CSV snapshot), so the oracle replays them as a VALUES table —
+    the t08 pattern."""
+    prepare(spark)
+    from hive_udf_neologd_spark.functions.tokenize import tokenize_ja_rich
+
+    df = spark.createDataFrame(list(_RICH_SENTENCES), "sentence_id long, text string")
+    rich = tokenize_ja_rich()
+    return (
+        df.select("sentence_id", F.posexplode(rich("text")).alias("pos_idx", "tok"))
+        .select(
+            "sentence_id",
+            "pos_idx",
+            F.col("tok.term").alias("term"),
+            F.col("tok.surface").alias("surface"),
+            F.col("tok.pos").alias("pos"),
+            F.col("tok.base_form").alias("base_form"),
+            F.col("tok.unknown").cast("int").alias("is_unknown"),
+        )
+        .orderBy("sentence_id", "pos_idx")
+    )
+
+
+T17_SQL = """
+SELECT * FROM (VALUES
+  (CAST(1 AS BIGINT), 0, '関西国際空港', '関西国際空港', '名詞-固有名詞-組織', CAST(NULL AS VARCHAR), 0),
+  (CAST(1 AS BIGINT), 1, '行く', '行っ', '動詞-自立', '行く', 0),
+  (CAST(2 AS BIGINT), 0, '美術館', '美術館', '名詞-一般', CAST(NULL AS VARCHAR), 0),
+  (CAST(2 AS BIGINT), 1, '絵画', '絵画', '名詞-一般', CAST(NULL AS VARCHAR), 0),
+  (CAST(2 AS BIGINT), 2, '眺める', '眺め', '動詞-自立', '眺める', 0)
+) AS t(sentence_id, pos_idx, term, surface, pos, base_form, is_unknown)
+ORDER BY sentence_id, pos_idx
+"""
+
+
 # --- t14: repetition-based quality gate (Gopher-style) ---------------------
 def t14_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Repetition filters from the Gopher/MassiveText quality rules (Rae et
@@ -964,6 +1013,7 @@ TEXT_QUERIES = {
     "t14_repetition_quality": t14_repetition_quality,
     "t15_pii_scrub": t15_pii_scrub,
     "t16_token_rarity": t16_token_rarity,
+    "t17_tokenize_rich": t17_tokenize_rich,
     "sql01_lateral_view_tokenize": sql01_lateral_view_tokenize,
     "sql02_cte_window_sql": sql02_cte_window_sql,
 }
@@ -989,6 +1039,7 @@ TEXT_ORACLES = {
     "t14_repetition_quality": T14_SQL,
     "t15_pii_scrub": T15_SQL,
     "t16_token_rarity": T16_SQL,
+    "t17_tokenize_rich": T17_SQL,
     "sql01_lateral_view_tokenize": SQL01_SQL,
     "sql02_cte_window_sql": SQL02_SQL,
 }
