@@ -294,6 +294,123 @@ ADVERBS = """
 もはや わざわざ あらかじめ あいにく いまさら おのずと しだいに
 """.split()
 
+# --- round-4 second growth tier (same categories, broader coverage) --------
+GENERAL_NOUNS_2 = """
+憲法 条例 規則 規制 基準 規格 方針 政策 戦略 戦術 体制 組織 機構 機関
+委員会 協会 連盟 団体 企業 法人 株式 資本 資産 負債 利益 損失 収入
+支出 予算 決算 財政 金融 投資 融資 借金 利息 為替 株価 相場 証券
+小売 卸売 流通 物流 在庫 出荷 納品 請求 領収 見積 伝票 帳簿 簿記
+人口 世帯 住民 市民 国民 移民 難民 世代 若者 高齢者 大人 青年 少年
+幼児 乳児 新生児 妊婦 夫婦 独身 既婚 家庭 家事 育児 介護 福祉 支援
+施設 設備 装置 機械 器具 道具 部品 材料 原料 資源 燃料 石油 石炭
+天然ガス 電気 水道 下水 ガス管 配管 配電 送電 発電 発電所 変電所
+鉄道 線路 踏切 信号 標識 歩道 車道 交差点 横断歩道 高速道路 国道
+県道 渋滞 事故現場 運賃 切符 定期券 改札 乗換 終電 始発 時刻表
+船 港 漁港 灯台 桟橋 埠頭 貨物 旅客 航空 航空機 滑走路 管制塔
+言語 方言 敬語 文法 語彙 発音 表現 比喩 引用 要約 翻案 校正 誤字
+脱字 章 節 段落 行 余白 表紙 目次 索引 付録 脚注 原稿 草稿 清書
+講義 講座 授業 科目 課程 単位 学期 学年 入試 受験 合否 偏差値
+成績 通知表 宿題 課題図書 卒論 論文 学会 学位 博士 修士 学士
+実習 実技 演習場 研修 資格 免許 検定 試験 筆記 面接 採点 答案
+音符 楽譜 旋律 和音 歌詞 作曲 作詞 編曲 演歌 民謡 童謡 合唱 独唱
+楽器 弦楽器 管楽器 打楽器 太鼓 笛 琴 三味線 尺八 舞台 幕 客席
+観客 聴衆 拍手 喝采 公演 上演 興行 稽古 台本 脚本 配役 主役 脇役
+彫像 絵筆 絵具 画布 額縁 展示会 個展 画廊 傑作 名作 駄作 模写
+風景画 肖像画 静物画 抽象画 水彩画 油絵 墨絵 浮世絵 版木 拓本
+""".split()
+
+SAHEN_NOUNS_2 = """
+維持 運営 演出 遠慮 応用 開拓 開放 解放 解散 解約 拡充 確保 確立
+加工 加入 我慢 勧誘 観覧 帰省 規定 起床 救助 協調 共有 共存 許可
+禁止 勤続 掲載 継続 結合 結成 決意 検出 建築 兼任 公開 貢献
+講読 購読 克服 混乱 再建 採決 採取 削減 作動 指揮 支給 刺激 試行
+自覚 実現 持続 失望 指摘 射撃 収穫 収集 修行 重視 祝福 出演 出場
+出席 準拠 昇格 昇進 消化 衝突 称賛 招集 署名 診断 振動 侵入
+推進 崇拝 生産 精算 清算 設置 設立 宣言 選出 洗浄 占領 創造 装備
+遭難 測量 尊重 対抗 対処 滞納 妥結 脱出 探検 探索 団結 断念 蓄積
+着陸 着手 仲裁 調達 追求 追跡 通過 締結 抵抗 訂正 摘発 撤回 撤退
+転換 伝達 統一 投下 登場 統治 到達 登頂 突破 把持 廃止 配慮 拍手
+発掘 発射 否定 避暑 漂流 武装 浮上 復活 復興 分解 紛失 弁護
+防衛 忘却 膨張 保護 補充 保障 募金 没頭 密輸 矛盾 命中 黙認 輸血
+誘導 養殖 抑制 来日 落下 離陸 留意 療養 連携 連合 浪費
+""".split()
+
+KATAKANA_NOUNS_2 = """
+アーカイブ アイデンティティ アクセサリー アスリート アトリエ アレルギー
+アンテナ イデオロギー イニシアチブ イヤホン インセンティブ インテリア
+インフレ ウェビナー エコロジー エッセイ エレベーター エンターテインメント
+オーケストラ オートメーション オリエンテーション カタログ カリキュラム
+ガイドライン キャビネット キャプション ギャラリー クオリティ クリニック
+グローバリゼーション コミュニケーション コンクール コンサート コンシェルジュ
+コンディション コンプライアンス サプリメント シンポジウム ジャーナリズム
+スケッチ ストライキ セキュリティーホール セレモニー ゼミナール
+ターミナル ダイナミクス チャリティー テラス デッサン トーナメント
+ドキュメンタリー ナレーション ニュアンス ネゴシエーション ノスタルジア
+ハイブリッド バリエーション パノラマ ヒエラルキー ビタミン ピリオド
+ファシリテーター フィクション フォーラム ブランディング プレミアム
+ヘリコプター ベンチャー ペナルティ ホスピタリティ ボランティア
+マイノリティ マジョリティ メカニズム メタファー モニュメント
+ユニバーサル ライフライン リサイクル リズムセクション ルネサンス
+レイアウト レパートリー ロジスティクス ワースト ワンダーランド
+""".split()
+
+PROPER_NOUNS_2 = """
+国立博物館 国立劇場 国技館 武道館 代々木体育館 後楽園 兼六園 偕楽園
+道頓堀 天神橋筋商店街 仲見世通り 竹下通り 表参道ヒルズ 東京ミッドタウン
+あべのハルカス 通天閣 京都御所 二条城 平等院 中尊寺 出雲大社 熱田神宮
+太宰府天満宮 日本武道館 国立競技場 甲子園球場 東京ドーム 札幌ドーム
+""".split()
+
+PLACE_NOUNS_2 = """
+函館 旭川 釧路 帯広 青葉区 盛岡 米沢 会津 郡山 いわき 水戸 宇都宮
+前橋 高崎 川越 所沢 越谷 松戸 市川 成田 八千代 藤沢 鎌倉市 小田原
+熱海 沼津 浜松 豊橋 岡崎 豊田 一宮 四日市 伊勢 奈良市 和歌山市
+倉敷 福山 下関 高松市 松山 高知市 北九州 久留米 佐世保 別府 延岡
+那覇 石垣 宮古島 ホノルル サンフランシスコ ロサンゼルス シアトル
+シカゴ ボストン ワシントン トロント バンクーバー メルボルン シドニー
+ミュンヘン フランクフルト ハンブルク ウィーン チューリッヒ ジュネーブ
+ミラノ ローマ ナポリ バルセロナ マドリード リスボン アムステルダム
+ブリュッセル ストックホルム オスロ コペンハーゲン ヘルシンキ ワルシャワ
+プラハ ブダペスト アテネ イスタンブール ドバイ デリー ムンバイ
+バンコク ジャカルタ マニラ ハノイ クアラルンプール
+""".split()
+
+GODAN_VERBS_2 = """
+頂く 抱く 描き出す 書き込む 読み込む 取り込む 打ち込む 持ち込む
+飛び込む 申し込む 組み込む 盛り込む 染み込む 溶け込む 頼み込む
+引き出す 生み出す 作り出す 動き出す 歩き出す 走り出す 思い出す
+乗り出す 逃げ出す 放り出す 差し出す 映し出す 締め出す 抜け出す
+見出す 聞き出す 誘い出す 呼び出す 割り出す 繰り出す 吐き出す
+突っ込む 寝込む 老け込む 落ち込む 黙り込む 座り込む 泊まり込む
+受け取る 引き取る 聞き取る 読み取る 感じ取る 奪い取る 買い取る
+切り取る 刈り取る 掴み取る 乗っ取る 書き取る
+立ち上がる 盛り上がる 浮かび上がる 晴れ上がる 出来上がる 仕上がる
+持ち上がる 跳ね上がる 舞い上がる 震え上がる 思い上がる
+落ち着く 追い付く 追い抜く 息づく 基づく 近づく 勢いづく
+結び付く 引っ付く 凍り付く 焼き付く 巻き付く 吸い付く 住み着く
+""".split()
+
+ICHIDAN_VERBS_2 = """
+乗り換える 乗り越える 言い換える 書き換える 置き換える 切り換える
+読み替える 振り替える 入れ替える 組み替える 着替える 塗り替える
+立ち上げる 打ち上げる 繰り上げる 引き上げる 読み上げる 磨き上げる
+歌い上げる 編み上げる 鍛え上げる 積み上げる 吊り上げる 持ち上げる
+繰り下げる 引き下げる 掘り下げる 見下げる ぶら下げる
+追いかける 話しかける 呼びかける 働きかける 問いかける 笑いかける
+出かける 腰かける 見かける 仕掛ける 心がける 手がける
+受け止める 突き止める 食い止める 引き止める 噛み締める 抱き締める
+踏み締める 買い占める 敷き詰める 突き詰める 煮詰める 見つめ直す
+""".split()
+
+I_ADJECTIVES_2 = """
+潔い 著しい 甚だしい 夥しい 紛らわしい 煩わしい 疑わしい 嘆かわしい
+喜ばしい 晴れがましい 慎ましい 微笑ましい 痛ましい
+浅ましい 悩ましい 妬ましい 羨ましい 恨めしい 晴れ晴れしい 白々しい
+馴れ馴れしい 初々しい 若々しい 弱々しい 太々しい 図々しい 憎々しい
+毒々しい 苛々しい 神々しい 清々しい 騒々しい 物々しい 仰々しい
+事々しい 華々しい 軽々しい 重々しい 荒々しい 猛々しい
+""".split()
+
 
 # Core-lexicon lemmas re-fed through the conjugator so every known lemma
 # carries a COMPLETE paradigm (the hand-built lexicon lists only the forms
@@ -338,7 +455,7 @@ def _rows() -> list[tuple]:
         p = (pos4 + ["*"] * 4)[:4]
         rows.append((surface, 0, 0, cost, *p, conj_type, conj_form, base))
 
-    for v in GODAN_VERBS + CORE_GODAN:
+    for v in GODAN_VERBS + GODAN_VERBS_2 + CORE_GODAN:
         ending = v[-1]
         if ending not in _GODAN:
             continue
@@ -348,14 +465,14 @@ def _rows() -> list[tuple]:
         for suffix, cform in forms:
             add(stem + suffix, ["動詞", "自立"], COST_VERB, ctype, cform, v)
 
-    for v in ICHIDAN_VERBS + CORE_ICHIDAN:
+    for v in ICHIDAN_VERBS + ICHIDAN_VERBS_2 + CORE_ICHIDAN:
         if not v.endswith("る"):
             continue
         stem = v[:-1]
         add(v, ["動詞", "自立"], COST_VERB, "一段", "基本形", v)
         add(stem, ["動詞", "自立"], COST_VERB, "一段", "連用形", v)
 
-    for a in I_ADJECTIVES + CORE_I_ADJ:
+    for a in I_ADJECTIVES + I_ADJECTIVES_2 + CORE_I_ADJ:
         if not a.endswith("い"):
             continue
         stem = a[:-1]
@@ -364,15 +481,15 @@ def _rows() -> list[tuple]:
         add(stem + "かっ", ["形容詞", "自立"], COST_ADJ, "形容詞・アウオ段", "連用タ接続", a)
         add(stem + "けれ", ["形容詞", "自立"], COST_ADJ, "形容詞・アウオ段", "仮定形", a)
 
-    for n in GENERAL_NOUNS:
+    for n in GENERAL_NOUNS + GENERAL_NOUNS_2:
         add(n, ["名詞", "一般"], COST_NOUN)
-    for n in SAHEN_NOUNS:
+    for n in SAHEN_NOUNS + SAHEN_NOUNS_2:
         add(n, ["名詞", "サ変接続"], COST_SAHEN)
-    for n in KATAKANA_NOUNS:
+    for n in KATAKANA_NOUNS + KATAKANA_NOUNS_2:
         add(n, ["名詞", "一般"], COST_KATAKANA)
-    for n in PROPER_NOUNS:
+    for n in PROPER_NOUNS + PROPER_NOUNS_2:
         add(n, ["名詞", "固有名詞", "一般"], COST_PROPER)
-    for n in PLACE_NOUNS:
+    for n in PLACE_NOUNS + PLACE_NOUNS_2:
         add(n, ["名詞", "固有名詞", "地域", "一般"], COST_PLACE)
     for n in ADJ_NOUN_STEMS:
         add(n, ["名詞", "形容動詞語幹"], COST_ADJ_STEM)
