@@ -464,6 +464,90 @@ FROM dedup GROUP BY event_type ORDER BY event_type
 """
 
 
+# --- s11: watermark late-data DROP, observed end-to-end --------------------
+def s11_late_data_drop_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Proof that the watermark actually DROPS late rows — the semantic
+    every other windowed entry assumes but none observes directly.
+
+    Three staged files force three micro-batches (``maxFilesPerTrigger=1``,
+    mtimes pinned so file order is deterministic): batch 0 is the on-time
+    corpus, batch 1 a single max-timestamp "advancer" row (its window is
+    never finalized, so it is invisible to the oracle), and batch 2
+    contains ONLY late rows — (a) exact duplicates of early events (≥ 6 h
+    behind the corpus maximum) that would inflate already-emitted window
+    counts, and (b) rows shifted back 100 days that would create brand-new
+    windows.  The advancer batch matters: Spark applies the input-side
+    late-row filter with the watermark as of the PREVIOUS batch (one batch
+    behind the progress line's reported watermark — verified empirically
+    on 4.1.2), so the drop is deterministic only when at least one batch
+    separates the watermark-raising data from the late arrivals.  In
+    append mode the sink must then contain exactly the on-time windows
+    finalized by the final watermark: a surviving (a) row changes a count
+    (hash mismatch), a surviving (b) row adds a window (row-count
+    mismatch).  The oracle is the on-time corpus under the s03
+    finalization rule.
+
+    Scale: identical plan shape to s03 — watermark bounds the window
+    state store; the staging/mtime choreography is test fixture, not part
+    of the streaming plan."""
+    prepare(spark)
+    from hive_udf_neologd_spark.streaming.term_counts import EVENT_SCHEMA
+
+    events = read_table(spark, sf_dir, "events")
+    mx = events.agg(F.max("ts")).first()[0]  # fixture prep, not plan state
+    stage = _stage_dir(sf_dir, "events_s11")
+    events.coalesce(1).write.mode("overwrite").parquet(stage)
+    batch0 = {f for f in os.listdir(stage) if f.endswith(".parquet")}
+    # Advancer: one synthetic row AT the corpus max — raises nothing,
+    # finalizes nothing new (its window end > final watermark), but gives
+    # the lagged late-filter a batch boundary to pick the watermark up.
+    advancer = events.orderBy(F.desc("ts"), F.desc("event_id")).limit(1).withColumn(
+        "ts", F.lit(mx)
+    )
+    advancer.coalesce(1).write.mode("append").parquet(stage)
+    batch1 = {f for f in os.listdir(stage) if f.endswith(".parquet")} - batch0
+    late = (
+        events.filter(F.col("event_id") % 13 == 0)
+        .filter(F.col("ts") <= F.lit(mx) - F.expr("INTERVAL 6 HOURS"))
+        .unionByName(
+            events.filter(F.col("event_id") % 17 == 0).withColumn(
+                "ts", F.col("ts") - F.expr("INTERVAL 100 DAYS")
+            )
+        )
+    )
+    late.coalesce(1).write.mode("append").parquet(stage)
+    batch2 = {f for f in os.listdir(stage) if f.endswith(".parquet")} - batch0 - batch1
+    # Pin modification times so the file source (which orders by modTime)
+    # always reads on-time → advancer → late — part filenames are UUIDs,
+    # so the write-set difference, not filename order, identifies batches.
+    base_t = os.path.getmtime(os.path.join(stage, next(iter(batch0))))
+    for i, grp in enumerate((batch0, batch1, batch2)):
+        for f in grp:
+            os.utime(os.path.join(stage, f), (base_t + 60 * i, base_t + 60 * i))
+    src = (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stage)
+    )
+    out = streaming_event_counts(src, window="1 hour", watermark="2 hours")
+    name = _run_append(out, "s11_sink")
+    return (
+        spark.table(name)
+        .select(
+            F.unix_timestamp("window_start").alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+# Late rows leave no trace, so the oracle is the on-time corpus under the
+# same append-mode finalization rule as s03.
+S11_SQL = S03_SQL
+
+
 STREAMING_QUERIES = {
     "s03_streaming_event_counts_e2e": s03_streaming_event_counts_e2e,
     "s04_streaming_term_counts_e2e": s04_streaming_term_counts_e2e,
@@ -473,6 +557,7 @@ STREAMING_QUERIES = {
     "s08_stream_stream_join_e2e": s08_stream_stream_join_e2e,
     "s09_sliding_window_e2e": s09_sliding_window_e2e,
     "s10_foreachbatch_merge_e2e": s10_foreachbatch_merge_e2e,
+    "s11_late_data_drop_e2e": s11_late_data_drop_e2e,
 }
 
 STREAMING_ORACLES = {
@@ -484,4 +569,5 @@ STREAMING_ORACLES = {
     "s08_stream_stream_join_e2e": S08_SQL,
     "s09_sliding_window_e2e": S09_SQL,
     "s10_foreachbatch_merge_e2e": S10_SQL,
+    "s11_late_data_drop_e2e": S11_SQL,
 }
