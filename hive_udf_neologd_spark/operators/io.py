@@ -230,11 +230,69 @@ FROM events GROUP BY day ORDER BY day
 """
 
 
+def io05_schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution across a table's file history — the ops reality of
+    any long-lived 100 TB table: old files lack columns later added.  An
+    "old epoch" file is written without the ``value`` column, a "new
+    epoch" file with it; ``mergeSchema=true`` reconciles at read (old rows
+    surface NULL values), and the aggregate per epoch proves both the
+    union and the null semantics.  DuckDB replays with
+    ``union_by_name``-equivalent CASE logic on the original table.
+
+    Scale: mergeSchema reads every file footer at planning — acceptable at
+    epoch boundaries, so production tables pin the merged schema in a
+    metastore after each evolution instead of re-merging per query; the
+    read itself stays fully parallel."""
+    prepare(spark)
+    ev = read_table(spark, sf_dir, "events")
+    old_epoch = _stage(sf_dir, "events_old_epoch")
+    new_epoch = _stage(sf_dir, "events_new_epoch")
+    root = _stage(sf_dir, "events_evolved")
+    os.makedirs(root, exist_ok=True)
+    # Epoch split on event_id parity — deterministic, oracle-replayable.
+    ev.filter(F.col("event_id") % 2 == 0).select(
+        "event_id", "user_id", "event_type", "ts"
+    ).write.mode("overwrite").parquet(os.path.join(root, "epoch=old"))
+    ev.filter(F.col("event_id") % 2 == 1).select(
+        "event_id", "user_id", "event_type", "ts", "value"
+    ).write.mode("overwrite").parquet(os.path.join(root, "epoch=new"))
+    merged = spark.read.option("mergeSchema", "true").parquet(root)
+    return (
+        merged.groupBy("epoch", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").isNull().cast("long")).alias("n_null_value"),
+            F.round(
+                F.sum(F.coalesce(F.col("value"), F.lit(0.0)).cast("decimal(18,6)")).cast(
+                    "double"
+                ),
+                4,
+            ).alias("total_value"),
+        )
+        .orderBy("epoch", "event_type")
+    )
+
+
+IO05_SQL = """
+WITH evolved AS (
+  SELECT CASE WHEN event_id % 2 = 0 THEN 'old' ELSE 'new' END AS epoch,
+         event_type,
+         CASE WHEN event_id % 2 = 0 THEN NULL ELSE value END AS value
+  FROM events
+)
+SELECT epoch, event_type, COUNT(*) AS n,
+       CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_value,
+       ROUND(CAST(SUM(CAST(COALESCE(value, 0.0) AS DECIMAL(18,6))) AS DOUBLE), 4) AS total_value
+FROM evolved GROUP BY epoch, event_type ORDER BY epoch, event_type
+"""
+
+
 IO_QUERIES = {
     "io01_csv_roundtrip": io01_csv_roundtrip,
     "io02_json_roundtrip": io02_json_roundtrip,
     "io03_partition_pruned_read": io03_partition_pruned_read,
     "io04_small_file_compaction": io04_small_file_compaction,
+    "io05_schema_evolution_read": io05_schema_evolution_read,
 }
 
 IO_ORACLES = {
@@ -242,4 +300,5 @@ IO_ORACLES = {
     "io02_json_roundtrip": IO02_SQL,
     "io03_partition_pruned_read": IO03_SQL,
     "io04_small_file_compaction": IO04_SQL,
+    "io05_schema_evolution_read": IO05_SQL,
 }
