@@ -784,6 +784,57 @@ FROM errs GROUP BY label ORDER BY label
 """
 
 
+# --- a10: cosine range search (threshold, not top-k) -----------------------
+_RANGE_TAU = 0.25
+
+
+def a10_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range search — "everything within cosine ≥ τ of each query" — the
+    retrieval primitive top-k (a01) cannot express: near-duplicate
+    harvesting and contamination sweeps need ALL matches above a floor,
+    not a fixed k.  The threshold is applied to the ROUND(cos, 4) value,
+    which a01's hash-green oracle already proves bit-stable across
+    engines — filtering on the raw double would let a last-ulp divergence
+    flip boundary pairs.  Output is one summary row per query (match
+    count + rounded extremes), so result size is bounded by the query set
+    even when a query matches half the corpus.
+
+    Scale: same broadcast shape as a01 (query side broadcast, corpus side
+    never shuffles for the join); at 100 TB swap the cross join for the
+    a02/a03 candidate generators and keep this thresholding stage as-is."""
+    prepare(spark)
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") % _QUERY_MOD == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("e").alias("qe"), F.col("nrm").alias("qn")
+    )
+    scored = emb.crossJoin(F.broadcast(queries)).filter(F.col("vec_id") != F.col("q_id"))
+    cos = F.round(_dot_expr("qe", "e") / (F.col("qn") * F.col("nrm")), 4)
+    return (
+        scored.select("q_id", cos.alias("cos"))
+        .filter(F.col("cos") >= _RANGE_TAU)
+        .groupBy("q_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_matches"),
+            F.max("cos").alias("best_cos"),
+            F.min("cos").alias("worst_cos"),
+        )
+        .orderBy("q_id")
+    )
+
+
+A10_SQL = f"""
+WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+q AS (SELECT vec_id AS q_id, e AS qe FROM emb WHERE vec_id % {_QUERY_MOD} = 0),
+scored AS (
+  SELECT q.q_id, ROUND(list_cosine_similarity(q.qe, emb.e), 4) AS cos
+  FROM emb, q WHERE emb.vec_id <> q.q_id
+)
+SELECT q_id, COUNT(*) AS n_matches, MAX(cos) AS best_cos, MIN(cos) AS worst_cos
+FROM scored WHERE cos >= {_RANGE_TAU}
+GROUP BY q_id ORDER BY q_id
+"""
+
+
 ANN_QUERIES = {
     "a01_ann_bruteforce": a01_ann_bruteforce,
     "a02_ann_lsh": a02_ann_lsh,
@@ -794,6 +845,7 @@ ANN_QUERIES = {
     "a07_int8_quantization": a07_int8_quantization,
     "a08_ivf_trained": a08_ivf_trained,
     "a09_ivf_np_kernel": a09_ivf_np_kernel,
+    "a10_range_search": a10_range_search,
 }
 
 ANN_ORACLES = {
@@ -808,4 +860,5 @@ ANN_ORACLES = {
     # a09 computes the same index with numpy kernels — bit-identical to a08,
     # so it is gated by the SAME oracle.
     "a09_ivf_np_kernel": A08_SQL,
+    "a10_range_search": A10_SQL,
 }
