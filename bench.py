@@ -58,6 +58,9 @@ HEADLINE = [
     "t15_pii_scrub",
     "t16_token_rarity",
     "d10_incremental_near_dup",
+    "t17_tokenize_rich",
+    "io05_schema_evolution_read",
+    "a10_range_search",
 ]
 
 
