@@ -222,3 +222,22 @@ def test_t16_joins_tf_model_distributed(spark):
     assert "Join" in plan
     read_schema_lines = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
     assert all("n_chars" not in ln for ln in read_schema_lines)
+
+
+def test_a10_broadcasts_query_side_single_shuffle(spark):
+    plan = _plan(spark, "a10_range_search")
+    # Same scale shape as a01: broadcast query side, corpus never shuffles
+    # for the join; the only exchange is the per-query summary aggregate.
+    assert "BroadcastNestedLoopJoin" in plan
+    assert plan.count("hashpartitioning") == 1
+    read_schema_lines = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert all("label" not in ln for ln in read_schema_lines)  # column pruned
+
+
+def test_d10_band_join_not_all_pairs(spark):
+    plan = _plan(spark, "d10_incremental_near_dup")
+    # The batch-vs-corpus screen joins on (band, bucket) — candidates only,
+    # never a cross join of batch × corpus.
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "band" in plan and "bucket" in plan
