@@ -500,7 +500,11 @@ def a08_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     doesn't need every vector, assignment does."""
     prepare(spark)
     emb = _emb(spark, sf_dir)
-    cents = _trained_centroids(emb.select("vec_id", "e"))
+    # localCheckpoint: the centroid frame is referenced by BOTH the
+    # inverted-list assignment and the query probes below — without
+    # materialization each reference re-runs the full two-iteration Lloyd
+    # lineage (train once, use twice; K-sized, same values bit-for-bit).
+    cents = _trained_centroids(emb.select("vec_id", "e")).localCheckpoint()
     inv = _assign(emb, cents, carry=("nrm",)).select(
         "vec_id", "e", "nrm", F.col("c_id").alias("list_id")
     )
