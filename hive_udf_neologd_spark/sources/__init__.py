@@ -36,6 +36,15 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
     Columnar scan: Catalyst pushes filters/projections into the parquet
     reader, so callers should filter/select *before* any UDF (SURVEY.md §4).
+
+    Side effect: calls :func:`hive_udf_neologd_spark.session.prepare` on
+    every invocation, which pins ``spark.sql.session.timeZone`` to UTC
+    (and sets the engine's shuffle-partition/AQE confs).  This is required
+    for the TIMESTAMP_NTZ→TIMESTAMP normalization below to be lossless and
+    for oracle parity with DuckDB's naive timestamps — but it means a read
+    permanently overwrites a non-UTC timezone an external caller may have
+    set on the shared session.  Callers needing a different zone must
+    restore it after reading.
     """
     if name not in TABLES:
         raise ValueError(f"unknown table {name!r}; expected one of {TABLES}")
