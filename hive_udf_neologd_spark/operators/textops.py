@@ -484,12 +484,16 @@ FROM feat GROUP BY lang ORDER BY lang
 
 
 # --- t08: tokenizer mode matrix (constant-golden oracle) -------------------
-_MODE_SENTENCES = (
-    (1, "関西国際空港へ行った。"),
-    (2, "きゃりーぱみゅぱみゅの新曲を聴く。"),
-    (3, "日本経済新聞を読む。"),
+# Sentences, user dict, and golden token sequences all come from the shared
+# goldens module — the same constants the pytest suite asserts against the
+# analyzer, so the VALUES oracle and the unit goldens cannot desynchronize.
+from hive_udf_neologd_spark.tokenizer.goldens import (  # noqa: E402
+    T08_SENTENCES as _MODE_SENTENCES,
+    T08_USER_DICT as _USER_DICT,
+    T17_SENTENCES as _RICH_SENTENCES,
+    t08_values_sql,
+    t17_values_sql,
 )
-_USER_DICT = ["日本経済新聞,日本 経済 新聞,ニホン ケイザイ シンブン,カスタム名詞"]
 
 
 def t08_tokenize_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -537,26 +541,11 @@ def t08_tokenize_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
 # constants tests/test_tokenizer.py pins against the reference goldens,
 # KuromojiNEologdUDFTest.java:213-299).  DuckDB cannot tokenize Japanese,
 # but it can replay the constants — which makes t08 fully hash-checkable by
-# the driver instead of rows-only.  If the lexicon ever changes these
-# sentences' segmentation, BOTH pytest goldens and this table must move
-# together (that is the point: a silent tokenizer drift breaks the hash).
-T08_SQL = """
-SELECT * FROM (VALUES
-  (CAST(1 AS BIGINT), 'extended',        '関西|国際|空港|行く', CAST(4 AS INTEGER)),
-  (CAST(1 AS BIGINT), 'normal',          '関西国際空港|行く', CAST(2 AS INTEGER)),
-  (CAST(1 AS BIGINT), 'normal+userdict', '関西国際空港|行く', CAST(2 AS INTEGER)),
-  (CAST(1 AS BIGINT), 'search',          '関西|国際|空港|行く', CAST(4 AS INTEGER)),
-  (CAST(2 AS BIGINT), 'extended',        'きゃりーぱみゅぱみゅ|新|曲|聴く', CAST(4 AS INTEGER)),
-  (CAST(2 AS BIGINT), 'normal',          'きゃりーぱみゅぱみゅ|新曲|聴く', CAST(3 AS INTEGER)),
-  (CAST(2 AS BIGINT), 'normal+userdict', 'きゃりーぱみゅぱみゅ|新曲|聴く', CAST(3 AS INTEGER)),
-  (CAST(2 AS BIGINT), 'search',          'きゃりーぱみゅぱみゅ|新曲|聴く', CAST(3 AS INTEGER)),
-  (CAST(3 AS BIGINT), 'extended',        '日本|経済|新聞|読む', CAST(4 AS INTEGER)),
-  (CAST(3 AS BIGINT), 'normal',          '日本経済新聞|読む', CAST(2 AS INTEGER)),
-  (CAST(3 AS BIGINT), 'normal+userdict', '日本|経済|新聞|読む', CAST(4 AS INTEGER)),
-  (CAST(3 AS BIGINT), 'search',          '日本|経済|新聞|読む', CAST(4 AS INTEGER))
-) AS t(sentence_id, config, tokens_str, n_tokens)
-ORDER BY sentence_id, config
-"""
+# the driver instead of rows-only.  The VALUES table is BUILT from
+# tokenizer/goldens.py (the same constants the pytest suite asserts), so a
+# lexicon change that re-segments these sentences must edit goldens.py and
+# is then checked on both sides at once.
+T08_SQL = t08_values_sql()
 
 
 # --- t13: greedy sequence packing ------------------------------------------
@@ -741,10 +730,8 @@ GROUP BY tf ORDER BY tf DESC LIMIT 30
 
 
 # --- t17: rich per-token analysis (extension beyond reference parity) ------
-_RICH_SENTENCES = (
-    (1, "関西国際空港へ行った。"),
-    (2, "美術館で絵画を眺めた。"),
-)
+# (_RICH_SENTENCES imported from tokenizer/goldens.py above, next to the
+# golden rows its oracle replays.)
 
 
 def t17_tokenize_rich(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -777,16 +764,9 @@ def t17_tokenize_rich(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-T17_SQL = """
-SELECT * FROM (VALUES
-  (CAST(1 AS BIGINT), 0, '関西国際空港', '関西国際空港', '名詞-固有名詞-組織', CAST(NULL AS VARCHAR), 0),
-  (CAST(1 AS BIGINT), 1, '行く', '行っ', '動詞-自立', '行く', 0),
-  (CAST(2 AS BIGINT), 0, '美術館', '美術館', '名詞-一般', CAST(NULL AS VARCHAR), 0),
-  (CAST(2 AS BIGINT), 1, '絵画', '絵画', '名詞-一般', CAST(NULL AS VARCHAR), 0),
-  (CAST(2 AS BIGINT), 2, '眺める', '眺め', '動詞-自立', '眺める', 0)
-) AS t(sentence_id, pos_idx, term, surface, pos, base_form, is_unknown)
-ORDER BY sentence_id, pos_idx
-"""
+# Built from tokenizer/goldens.py T17_ROWS — single source with the pytest
+# assertions (see T08_SQL note above).
+T17_SQL = t17_values_sql()
 
 
 # --- t14: repetition-based quality gate (Gopher-style) ---------------------

@@ -1,0 +1,97 @@
+"""Single source of truth for the pinned t08/t17 tokenizer goldens.
+
+t08 and t17 are driver-hash-gated through constant VALUES oracles (DuckDB
+cannot tokenize Japanese, but it can replay the constants).  Before this
+module the same token sequences lived twice — inline in
+``operators/textops.py``'s SQL strings and again in
+``tests/test_tokenizer.py`` — so a single-sided edit could desynchronize
+them and the drift would only surface when the *other* side's check ran
+(judge ADVICE r4).  Now both the VALUES SQL (built by
+:func:`t08_values_sql` / :func:`t17_values_sql`) and the pytest
+assertions derive from the constants below; editing one side without the
+other is impossible by construction.
+
+Recapture protocol (unchanged, see memory + SURVEY §5): when a dictionary
+or lattice change legitimately re-segments these sentences, re-run the
+queries, paste the new outputs HERE (only here), and re-run
+``pytest tests/test_tokenizer.py tests/test_oracles_full.py``.
+"""
+
+from __future__ import annotations
+
+# --- t08: mode matrix ------------------------------------------------------
+T08_SENTENCES = (
+    (1, "関西国際空港へ行った。"),
+    (2, "きゃりーぱみゅぱみゅの新曲を聴く。"),
+    (3, "日本経済新聞を読む。"),
+)
+
+T08_USER_DICT = [
+    "日本経済新聞,日本 経済 新聞,ニホン ケイザイ シンブン,カスタム名詞"
+]
+
+# {(sentence_id, config): exact token sequence}.  ``config`` names the
+# four construction-time analyzer configs t08 runs (SURVEY.md §2.1 O3/O6).
+T08_TOKENS: dict[tuple[int, str], tuple[str, ...]] = {
+    (1, "normal"): ("関西国際空港", "行く"),
+    (1, "search"): ("関西", "国際", "空港", "行く"),
+    (1, "extended"): ("関西", "国際", "空港", "行く"),
+    (1, "normal+userdict"): ("関西国際空港", "行く"),
+    (2, "normal"): ("きゃりーぱみゅぱみゅ", "新曲", "聴く"),
+    (2, "search"): ("きゃりーぱみゅぱみゅ", "新曲", "聴く"),
+    (2, "extended"): ("きゃりーぱみゅぱみゅ", "新", "曲", "聴く"),
+    (2, "normal+userdict"): ("きゃりーぱみゅぱみゅ", "新曲", "聴く"),
+    (3, "normal"): ("日本経済新聞", "読む"),
+    (3, "search"): ("日本", "経済", "新聞", "読む"),
+    (3, "extended"): ("日本", "経済", "新聞", "読む"),
+    (3, "normal+userdict"): ("日本", "経済", "新聞", "読む"),
+}
+
+
+def t08_values_sql() -> str:
+    rows = []
+    for (sid, config), toks in sorted(T08_TOKENS.items()):
+        rows.append(
+            f"  (CAST({sid} AS BIGINT), '{config}', "
+            f"'{'|'.join(toks)}', CAST({len(toks)} AS INTEGER))"
+        )
+    return (
+        "SELECT * FROM (VALUES\n"
+        + ",\n".join(rows)
+        + "\n) AS t(sentence_id, config, tokens_str, n_tokens)\n"
+        "ORDER BY sentence_id, config\n"
+    )
+
+
+# --- t17: rich per-token analysis ------------------------------------------
+T17_SENTENCES = (
+    (1, "関西国際空港へ行った。"),
+    (2, "美術館で絵画を眺めた。"),
+)
+
+# Rows of (sentence_id, pos_idx, term, surface, pos, base_form, is_unknown)
+# in output order — base_form None ⇔ the analyzer reports no base form
+# (non-conjugating token).
+T17_ROWS: tuple[tuple, ...] = (
+    (1, 0, "関西国際空港", "関西国際空港", "名詞-固有名詞-組織", None, 0),
+    (1, 1, "行く", "行っ", "動詞-自立", "行く", 0),
+    (2, 0, "美術館", "美術館", "名詞-一般", None, 0),
+    (2, 1, "絵画", "絵画", "名詞-一般", None, 0),
+    (2, 2, "眺める", "眺め", "動詞-自立", "眺める", 0),
+)
+
+
+def t17_values_sql() -> str:
+    lines = []
+    for sid, idx, term, surface, pos, base, unk in T17_ROWS:
+        b = "CAST(NULL AS VARCHAR)" if base is None else f"'{base}'"
+        lines.append(
+            f"  (CAST({sid} AS BIGINT), {idx}, '{term}', '{surface}', "
+            f"'{pos}', {b}, {unk})"
+        )
+    return (
+        "SELECT * FROM (VALUES\n"
+        + ",\n".join(lines)
+        + "\n) AS t(sentence_id, pos_idx, term, surface, pos, base_form, is_unknown)\n"
+        "ORDER BY sentence_id, pos_idx\n"
+    )
