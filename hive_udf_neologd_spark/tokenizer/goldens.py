@@ -32,18 +32,22 @@ T08_USER_DICT = [
 
 # {(sentence_id, config): exact token sequence}.  ``config`` names the
 # four construction-time analyzer configs t08 runs (SURVEY.md §2.1 O3/O6).
+# SEARCH/EXTENDED include the full compound token BEFORE its decompounded
+# parts — Lucene 5.5.5's Mode.SEARCH emits the compound "as a synonym"
+# and the reference drains every term (decision pinned round 5; see
+# lattice.py segment() for the interpretation and rationale).
 T08_TOKENS: dict[tuple[int, str], tuple[str, ...]] = {
     (1, "normal"): ("関西国際空港", "行く"),
-    (1, "search"): ("関西", "国際", "空港", "行く"),
-    (1, "extended"): ("関西", "国際", "空港", "行く"),
+    (1, "search"): ("関西国際空港", "関西", "国際", "空港", "行く"),
+    (1, "extended"): ("関西国際空港", "関西", "国際", "空港", "行く"),
     (1, "normal+userdict"): ("関西国際空港", "行く"),
     (2, "normal"): ("きゃりーぱみゅぱみゅ", "新曲", "聴く"),
     (2, "search"): ("きゃりーぱみゅぱみゅ", "新曲", "聴く"),
     (2, "extended"): ("きゃりーぱみゅぱみゅ", "新", "曲", "聴く"),
     (2, "normal+userdict"): ("きゃりーぱみゅぱみゅ", "新曲", "聴く"),
     (3, "normal"): ("日本経済新聞", "読む"),
-    (3, "search"): ("日本", "経済", "新聞", "読む"),
-    (3, "extended"): ("日本", "経済", "新聞", "読む"),
+    (3, "search"): ("日本経済新聞", "日本", "経済", "新聞", "読む"),
+    (3, "extended"): ("日本経済新聞", "日本", "経済", "新聞", "読む"),
     (3, "normal+userdict"): ("日本", "経済", "新聞", "読む"),
 }
 

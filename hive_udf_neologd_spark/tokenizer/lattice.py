@@ -177,8 +177,52 @@ class Lattice:
             j = i
         path.reverse()
 
+        # SEARCH/EXTENDED compound-as-synonym emission (Lucene 5.5.5
+        # Mode.SEARCH javadoc: decompounding "also including the full
+        # compound token as a synonym"; outputCompounds is true for both
+        # SEARCH and EXTENDED).  The reference drains every term from the
+        # stream (KuromojiNEologdUDF.java:306-316), so its SEARCH output
+        # contains compound AND parts.  Interpretation pinned here (the
+        # reference's own tests never pin SEARCH output,
+        # KuromojiNEologdUDFTest.java only checks the mode arg): wherever
+        # the chosen path splits a span that a single *penalized* built-in
+        # dictionary entry covers exactly (≥2 consecutive parts), emit
+        # that entry's token first, then its parts — the compound sits at
+        # the first part's position with positionLength = #parts in
+        # Lucene's graph, and longer-token-first is its surface order.
+        # User-dictionary compounds are excluded: Lucene always applies
+        # the user segmentation without a synonym compound.
+        compounds: dict[int, Token] = {}
+        if self._mode in (SEARCH, EXTENDED):
+            end_to_idx = {i + node.length: k for k, (i, node) in enumerate(path)}
+            for k, (i, node) in enumerate(path):
+                best_e = None
+                for e in self._dict.prefix_matches(text, i):
+                    if e.length == node.length:
+                        continue  # the path kept the compound itself
+                    if _search_penalty(e, self._mode) <= 0:
+                        continue  # not a decompounding candidate
+                    kk = end_to_idx.get(i + e.length)
+                    if kk is None or kk <= k:
+                        continue  # does not align with ≥2 chosen parts
+                    if best_e is None or e.length > best_e.length:
+                        best_e = e
+                if best_e is not None:
+                    surf = text[i : i + best_e.length]
+                    compounds[k] = Token(
+                        surf,
+                        best_e.norm if best_e.norm is not None else surf,
+                        best_e.pos,
+                        best_e.base_form,
+                        None,
+                        is_punct=False,
+                        is_unknown=False,
+                    )
+
         tokens: list[Token] = []
-        for i, node in path:
+        for k, (i, node) in enumerate(path):
+            if k in compounds:
+                tokens.append(compounds[k])
             surface = text[i : i + node.length]
             if node.is_punct:
                 continue  # discardPunctuation=true

@@ -99,10 +99,13 @@ class TestModes:
         with pytest.raises(ValueError):
             JapaneseAnalyzer(mode="unsupported mode")
 
-    def test_search_mode_decompounds(self):
+    def test_search_mode_decompounds_with_compound_synonym(self):
+        # Lucene 5.5.5 SEARCH mode keeps the full compound as a synonym
+        # alongside the parts (Mode.SEARCH javadoc; pinned round 5 —
+        # lattice.py segment() documents the interpretation).
         a = JapaneseAnalyzer(mode="search")
-        assert a.tokenize("関西国際空港。") == ["関西", "国際", "空港"]
-        assert a.tokenize("日本経済新聞。") == ["日本", "経済", "新聞"]
+        assert a.tokenize("関西国際空港。") == ["関西国際空港", "関西", "国際", "空港"]
+        assert a.tokenize("日本経済新聞。") == ["日本経済新聞", "日本", "経済", "新聞"]
 
     def test_normal_mode_keeps_compounds(self, analyzer):
         assert analyzer.tokenize("関西国際空港。") == ["関西国際空港"]
