@@ -61,6 +61,37 @@ def test_sql_registration(spark, docs):
     assert ver == [VERSION] and len(ver) == 1  # 0-arg → 1 element (O2)
 
 
+def test_same_name_zero_arg_overload(spark, docs):
+    # O2: the reference's verbatim install smoke test (its README.md:26-27)
+    # — SELECT tokenize_ja_neologd() with NO arguments on the SAME name as
+    # the tokenizer — works via the sentinel-DEFAULT SQL function.
+    register_udfs(spark)
+    assert spark.sql("SELECT tokenize_ja_neologd() AS v").first()["v"] == [VERSION]
+    assert spark.sql("SELECT tokenize_ja() AS v").first()["v"] == [VERSION]
+    # O9 through the overload: explicit NULL still propagates as NULL.
+    assert spark.sql("SELECT tokenize_ja_neologd(NULL) AS t").first()["t"] is None
+    # And the 1-arg path still tokenizes (both names).
+    docs.createOrReplaceTempView("docs_udf_overload")
+    row = spark.sql(
+        "SELECT tokenize_ja(text) AS t FROM docs_udf_overload WHERE id = 1"
+    ).first()
+    assert row["t"] == ["きゃりーぱみゅぱみゅ"]
+
+
+def test_overload_one_arg_path_stays_vectorized(spark, docs):
+    # The SQL function must inline to a CASE over the pandas UDF —
+    # ArrowEvalPython in the plan, never a row-at-a-time BatchEvalPython.
+    register_udfs(spark)
+    docs.createOrReplaceTempView("docs_udf_plan")
+    plan = (
+        spark.sql("SELECT tokenize_ja_neologd(text) AS t FROM docs_udf_plan")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "ArrowEvalPython" in plan and "BatchEvalPython" not in plan
+
+
 def test_version_introspection():
     assert tokenize_ja_version() == [VERSION]
 
