@@ -61,6 +61,9 @@ HEADLINE = [
     "t17_tokenize_rich",
     "io05_schema_evolution_read",
     "a10_range_search",
+    # Round-5: Japanese-lattice throughput gate — dictionary growth must
+    # not silently regress the hot tokenizer kernel (VERDICT r4 #1).
+    "t18_ja_tokenize_throughput",
 ]
 
 

