@@ -64,6 +64,8 @@ HEADLINE = [
     # Round-5: Japanese-lattice throughput gate — dictionary growth must
     # not silently regress the hot tokenizer kernel (VERDICT r4 #1).
     "t18_ja_tokenize_throughput",
+    # Round-5: the IVF recall-vs-nprobe tuning curve (VERDICT r4 #6).
+    "a11_recall_curve",
 ]
 
 

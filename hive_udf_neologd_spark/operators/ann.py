@@ -185,6 +185,64 @@ _CENT_MOD = 29  # vec_id % 29 == 1 → coarse-centroid set (~N/29 lists)
 _N_PROBE = 3
 
 
+def _ivf_sampled_parts(spark: SparkSession, sf_dir: str):
+    """The nprobe-INDEPENDENT pieces of the sampled-centroid IVF index:
+    (cents, assigned, q).  Shared by a03 (one nprobe) and a11 (the
+    recall-vs-nprobe sweep — assignment is computed once and reused
+    across every nprobe setting, exactly what an operator tuning the
+    index at 100 TB does: the expensive inverted-list build is
+    nprobe-invariant)."""
+    emb = _emb(spark, sf_dir)
+    cents = emb.filter(F.col("vec_id") % _CENT_MOD == 1).select(
+        F.col("vec_id").alias("c_id"), F.col("e").alias("ce"), F.col("nrm").alias("cn")
+    )
+    a_cos = _dot_expr("ce", "e") / (F.col("cn") * F.col("nrm"))
+    assigned = (
+        emb.crossJoin(F.broadcast(cents))
+        .select("vec_id", "e", "nrm", "c_id", a_cos.alias("a_cos"))
+        .groupBy("vec_id")
+        .agg(
+            F.max_by("c_id", F.struct(F.col("a_cos"), (-F.col("c_id")).alias("nc"))).alias(
+                "list_id"
+            ),
+            F.first("e").alias("e"),
+            F.first("nrm").alias("nrm"),
+        )
+    )
+    q = emb.filter(F.col("vec_id") % _QUERY_MOD == 0).select(
+        F.col("vec_id").alias("q_id"), F.col("e").alias("qe"), F.col("nrm").alias("qn")
+    )
+    return cents, assigned, q
+
+
+def _ivf_topk_from(cents, assigned, q, nprobe: int) -> DataFrame:
+    """Probe + candidate-rescore + top-k for one nprobe setting over a
+    prebuilt sampled-centroid index (see _ivf_sampled_parts)."""
+    wq = Window.partitionBy("q_id").orderBy(F.desc("p_cos"), F.asc("c_id"))
+    probes = (
+        q.crossJoin(F.broadcast(cents))
+        .select(
+            "q_id", "qe", "qn", "c_id",
+            (_dot_expr("ce", "qe") / (F.col("cn") * F.col("qn"))).alias("p_cos"),
+        )
+        .withColumn("pr", F.row_number().over(wq))
+        .filter(F.col("pr") <= nprobe)
+        .select("q_id", "qe", "qn", F.col("c_id").alias("list_id"))
+    )
+    cands = assigned.join(F.broadcast(probes), "list_id").filter(
+        F.col("vec_id") != F.col("q_id")
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_raw"), F.asc("vec_id"))
+    cos = _dot_expr("qe", "e") / (F.col("qn") * F.col("nrm"))
+    return (
+        cands.select("q_id", "vec_id", cos.alias("cos_raw"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _TOP_K)
+        .select("q_id", F.col("vec_id").alias("neighbor_id"),
+                F.round("cos_raw", 4).alias("cos"), "rank")
+    )
+
+
 def a03_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-Flat: sampled coarse centroids → inverted-list assignment →
     probe the query's ``_N_PROBE`` nearest lists → exact cosine on
@@ -201,55 +259,14 @@ def a03_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     big side never shuffles; only candidates (≈ N·nprobe/nlist per query)
     reach the final top-k window."""
     prepare(spark)
-    emb = _emb(spark, sf_dir)
-    cents = emb.filter(F.col("vec_id") % _CENT_MOD == 1).select(
-        F.col("vec_id").alias("c_id"), F.col("e").alias("ce"), F.col("nrm").alias("cn")
-    )
-    a_cos = _dot_expr("ce", "e") / (F.col("cn") * F.col("nrm"))
-    # Inverted-list assignment: argmax centroid per vector (tie → min c_id).
-    assigned = (
-        emb.crossJoin(F.broadcast(cents))
-        .select("vec_id", "e", "nrm", "c_id", a_cos.alias("a_cos"))
-        .groupBy("vec_id")
-        .agg(
-            F.max_by("c_id", F.struct(F.col("a_cos"), (-F.col("c_id")).alias("nc"))).alias(
-                "list_id"
-            ),
-            F.first("e").alias("e"),
-            F.first("nrm").alias("nrm"),
-        )
-    )
-    # Probe lists: each query's _N_PROBE nearest centroids.
-    q = emb.filter(F.col("vec_id") % _QUERY_MOD == 0).select(
-        F.col("vec_id").alias("q_id"), F.col("e").alias("qe"), F.col("nrm").alias("qn")
-    )
-    wq = Window.partitionBy("q_id").orderBy(F.desc("p_cos"), F.asc("c_id"))
-    probes = (
-        q.crossJoin(F.broadcast(cents))
-        .select(
-            "q_id", "qe", "qn", "c_id",
-            (_dot_expr("ce", "qe") / (F.col("cn") * F.col("qn"))).alias("p_cos"),
-        )
-        .withColumn("pr", F.row_number().over(wq))
-        .filter(F.col("pr") <= _N_PROBE)
-        .select("q_id", "qe", "qn", F.col("c_id").alias("list_id"))
-    )
-    cands = assigned.join(F.broadcast(probes), "list_id").filter(
-        F.col("vec_id") != F.col("q_id")
-    )
-    w = Window.partitionBy("q_id").orderBy(F.desc("cos_raw"), F.asc("vec_id"))
-    cos = _dot_expr("qe", "e") / (F.col("qn") * F.col("nrm"))
-    return (
-        cands.select("q_id", "vec_id", cos.alias("cos_raw"))
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= _TOP_K)
-        .select("q_id", F.col("vec_id").alias("neighbor_id"),
-                F.round("cos_raw", 4).alias("cos"), "rank")
-        .orderBy("q_id", "rank")
-    )
+    cents, assigned, q = _ivf_sampled_parts(spark, sf_dir)
+    return _ivf_topk_from(cents, assigned, q, _N_PROBE).orderBy("q_id", "rank")
 
 
-A03_SQL = f"""
+def _ivf_sql(nprobe: int) -> str:
+    """DuckDB replay of the sampled-centroid IVF index at a given nprobe
+    (a03 uses _N_PROBE; a11 sweeps 1/2/4/8)."""
+    return f"""
 WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
 cents AS (SELECT vec_id AS c_id, e AS ce FROM emb WHERE vec_id % {_CENT_MOD} = 1),
 assigned AS (
@@ -269,7 +286,7 @@ probes AS (
                               ORDER BY list_cosine_similarity(cents.ce, q.qe) DESC,
                                        cents.c_id ASC) AS pr
     FROM q CROSS JOIN cents
-  ) WHERE pr <= {_N_PROBE}
+  ) WHERE pr <= {nprobe}
 ),
 cands AS (
   SELECT probes.q_id, assigned.vec_id,
@@ -286,6 +303,9 @@ SELECT q_id, vec_id AS neighbor_id, ROUND(cos_raw, 4) AS cos, rank
 FROM ranked WHERE rank <= {_TOP_K}
 ORDER BY q_id, rank
 """
+
+
+A03_SQL = _ivf_sql(_N_PROBE)
 
 
 # --- a04: recall of the IVF index against exact ground truth --------------
@@ -839,6 +859,72 @@ GROUP BY q_id ORDER BY q_id
 """
 
 
+# --- a11: recall-vs-cost curve for the IVF index ---------------------------
+_A11_NPROBES = (1, 2, 4, 8)
+
+
+def a11_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tuning curve an ANN operator actually reads at 100 TB (VERDICT
+    r4 next-round #6): recall@{_TOP_K} of the IVF index against a01 exact
+    ground truth, swept over nprobe ∈ {_A11_NPROBES}.  a04 proves recall
+    for ONE configuration; this entry produces the whole cost/recall
+    trade-off in a single distributed query.
+
+    Scale shape: the expensive, nprobe-INVARIANT work — exact ground
+    truth and the inverted-list assignment — is computed once and
+    ``localCheckpoint``ed (ground truth is queries×k rows; assignment is
+    corpus-sized, the same materialize-once trade a08 makes for its
+    centroids).  Each nprobe branch then only re-probes (tiny broadcast)
+    and re-ranks candidates, and the four branch outputs are one-row
+    aggregates unioned together.  Oracle: DuckDB rebuilds the identical
+    index per nprobe — fully computed, no pinned constants."""
+    prepare(spark)
+    exact = (
+        a01_ann_bruteforce(spark, sf_dir)
+        .select("q_id", "neighbor_id")
+        .localCheckpoint()
+    )
+    cents, assigned, q = _ivf_sampled_parts(spark, sf_dir)
+    assigned = assigned.localCheckpoint()
+    n_q = exact.select("q_id").distinct().count()
+    out = None
+    for nprobe in _A11_NPROBES:
+        ivf = _ivf_topk_from(cents, assigned, q, nprobe).select(
+            F.col("q_id").alias("iq"), F.col("neighbor_id").alias("inb")
+        )
+        branch = (
+            exact.join(
+                ivf,
+                (F.col("q_id") == F.col("iq")) & (F.col("neighbor_id") == F.col("inb")),
+                "left",
+            )
+            .agg(
+                F.lit(nprobe).alias("nprobe"),
+                F.count("inb").alias("n_matched"),
+                F.round(F.count("inb") / float(n_q * _TOP_K), 4).alias("mean_recall"),
+            )
+        )
+        out = branch if out is None else out.unionByName(branch)
+    return out.orderBy("nprobe")
+
+
+def _a11_sql() -> str:
+    branches = []
+    for nprobe in _A11_NPROBES:
+        branches.append(f"""
+SELECT {nprobe} AS nprobe, COUNT(ivf.neighbor_id) AS n_matched,
+       ROUND(COUNT(ivf.neighbor_id) /
+             (COUNT(DISTINCT exact.q_id) * {float(_TOP_K)}), 4) AS mean_recall
+FROM ({A01_SQL}) exact
+LEFT JOIN ({_ivf_sql(nprobe)}) ivf
+  ON exact.q_id = ivf.q_id AND exact.neighbor_id = ivf.neighbor_id
+""")
+    return " UNION ALL ".join(branches) + " ORDER BY nprobe"
+
+
+A11_SQL = _a11_sql()
+
+
 ANN_QUERIES = {
     "a01_ann_bruteforce": a01_ann_bruteforce,
     "a02_ann_lsh": a02_ann_lsh,
@@ -850,6 +936,8 @@ ANN_QUERIES = {
     "a08_ivf_trained": a08_ivf_trained,
     "a09_ivf_np_kernel": a09_ivf_np_kernel,
     "a10_range_search": a10_range_search,
+    # Append-only (DRIVER_GATED_50 contract): new entries go at the END.
+    "a11_recall_curve": a11_recall_curve,
 }
 
 ANN_ORACLES = {
@@ -865,4 +953,5 @@ ANN_ORACLES = {
     # so it is gated by the SAME oracle.
     "a09_ivf_np_kernel": A08_SQL,
     "a10_range_search": A10_SQL,
+    "a11_recall_curve": A11_SQL,
 }
