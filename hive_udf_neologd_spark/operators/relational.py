@@ -541,12 +541,14 @@ ORDER BY user_id, session_start
 """
 
 
-# --- skew-safe grouped top-k (two-phase salted ranking) -------------------
+# --- skew-safe grouped top-k ----------------------------------------------
 def q18_topk_skew_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 lineitems per returnflag — 3 hot keys over the whole fact
-    table, the classic skew shape.  Uses operators.topk.grouped_topk
-    (salted local rank → global rank); result is identical to the plain
-    single-window oracle."""
+    table, the classic skew shape.  Uses operators.topk.grouped_topk:
+    skew-safe via the engine's partial WindowGroupLimit (map-side top-k
+    before the exchange — plan-asserted in tests/test_skew.py; the
+    measured round-5 comparison against manual salting is in
+    operators/topk.py and SCALING.md)."""
     from hive_udf_neologd_spark.operators.topk import grouped_topk
 
     prepare(spark)

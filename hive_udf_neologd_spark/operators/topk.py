@@ -1,18 +1,39 @@
 """Skew-safe grouped top-k.
 
-A plain ``row_number() OVER (PARTITION BY key)`` puts every row of a hot
-key into one task.  At 100 TB with skewed keys that task is the job.  The
-two-phase formulation bounds per-task work:
+A plain ``row_number() OVER (PARTITION BY key)`` historically put every
+row of a hot key through one reducer.  MEASURED FINDING (round 5, sf0.1
+lineitem amplified to 4.8M rows with 90% of rows on one key, local[32],
+warmup + best-of-2):
 
-  phase 1 — salt the key (``key, spray``), rank within each salted
-            sub-group, keep only the local top-k (≤ k·S rows per key
-            survive, whatever the skew);
-  phase 2 — re-rank the survivors within the true key and keep the global
-            top-k.
+* single window + ``rn <= k`` filter: **4.36 s**
+* hand-salted two-phase ranking:     **7.83 s** (identical results)
 
-Result is identical to the single-window formulation (the global top-k is
-always contained in the union of salted local top-ks), so the DuckDB
-oracle can stay the simple single-window query.
+The reason is visible in the executed plan: since Spark 3.5 the
+``InferWindowGroupLimit`` rule plans a ``WindowGroupLimit … Partial``
+*before* the exchange for rank-style windows filtered by a constant
+limit —
+
+    Window [row_number() …]
+    +- WindowGroupLimit [skey], …, row_number(), 10, Final
+       +- Sort …
+          +- Exchange hashpartitioning(skey, 32)
+             +- WindowGroupLimit [skey], …, row_number(), 10, Partial
+
+i.e. every map task keeps only its local top-k per key BEFORE the
+shuffle, so the hot key's reduce partition receives at most
+``num_map_tasks × k`` rows no matter how skewed the data.  That is
+exactly the bound the manual salt provided — built into the engine, with
+one less shuffle column, one less window, and no per-row hashing.  At
+100 TB the same argument holds: the exchange never carries a hot group,
+and the reduce-side sort is bounded by maps×k (for extreme map counts,
+raise parallelism or fall back to :func:`grouped_topk_salted`).
+
+``grouped_topk`` therefore plans the single window and a plan test
+(tests/test_skew.py) asserts the Partial WindowGroupLimit is present —
+if a Spark upgrade or conf change ever drops the rule, the test fails
+rather than silently reintroducing the skew bottleneck.
+``grouped_topk_salted`` keeps the engine-independent two-phase
+formulation for engines without the rule.
 """
 
 from __future__ import annotations
@@ -27,12 +48,38 @@ def grouped_topk(
     keys: list[str],
     order_by: list[Column],
     k: int,
+    salt_buckets: int = 16,  # kept for API compat; used only by the salted variant
+    rank_col: str = "rn",
+) -> DataFrame:
+    """Top-k rows per key group, deterministic given a total ordering in
+    ``order_by`` (add a unique tiebreak column).  Skew-safe on Spark ≥3.5
+    via the engine's partial WindowGroupLimit (see module docstring)."""
+    w = Window.partitionBy(*keys).orderBy(*order_by)
+    return df.withColumn(rank_col, F.row_number().over(w)).filter(
+        F.col(rank_col) <= k
+    )
+
+
+def grouped_topk_salted(
+    df: DataFrame,
+    keys: list[str],
+    order_by: list[Column],
+    k: int,
     salt_buckets: int = 16,
     rank_col: str = "rn",
 ) -> DataFrame:
-    """Top-k rows per key group, skew-safe, deterministic given a total
-    ordering in ``order_by`` (add a unique tiebreak column)."""
-    spray = (F.abs(F.hash(*[F.col(c) for c in df.columns])) % salt_buckets).alias("__spray")
+    """Engine-independent two-phase formulation (pre-3.5 Spark or any
+    engine without rank-limit pushdown):
+
+    phase 1 — salt the key (``key, spray``), rank within each salted
+    sub-group, keep only the local top-k (≤ k·S rows per key survive);
+    phase 2 — re-rank survivors within the true key, keep the global
+    top-k.  Identical results to :func:`grouped_topk`; measured 1.8×
+    slower on Spark 4 because it duplicates work the engine already does
+    (module docstring)."""
+    spray = (F.abs(F.hash(*[F.col(c) for c in df.columns])) % salt_buckets).alias(
+        "__spray"
+    )
     local_w = Window.partitionBy(*keys, "__spray").orderBy(*order_by)
     survivors = (
         df.withColumn("__spray", spray)
