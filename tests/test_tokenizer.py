@@ -424,3 +424,15 @@ class TestSharedGoldenMatrix:
         t17 = goldens.t17_values_sql()
         for row in goldens.T17_ROWS:
             assert row[2] in t17
+
+
+def test_t18_pool_matches_shared_goldens():
+    # Same single-source contract as t08/t17: the t18 VALUES oracle is
+    # built from T18_TOKENS, so the analyzer must reproduce those exact
+    # sequences — a dictionary change that re-segments a pool text fails
+    # HERE, not just in the driver's oracle run.
+    from hive_udf_neologd_spark.tokenizer.goldens import T18_POOL, T18_TOKENS
+
+    analyzer = JapaneseAnalyzer()
+    for pid, text in enumerate(T18_POOL):
+        assert tuple(analyzer.tokenize(text)) == T18_TOKENS[pid], pid
