@@ -66,6 +66,8 @@ HEADLINE = [
     "t18_ja_tokenize_throughput",
     # Round-5: the IVF recall-vs-nprobe tuning curve (VERDICT r4 #6).
     "a11_recall_curve",
+    # Round-5 capstone: the composed dedup->quality->split->pack pipeline.
+    "t19_training_pipeline",
 ]
 
 

@@ -1045,6 +1045,124 @@ GROUP BY p.pid ORDER BY p.pid
 T18_SQL = _t18_sql()
 
 
+# --- t19: the composed training-data pipeline, end-to-end ------------------
+_T19_MIN_TOKS = 10
+
+
+def t19_training_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The capstone composition: the four LLM training-data stages this
+    engine exists for, as ONE declarative DataFrame pipeline —
+
+      1. exact dedup (d01 semantics: keep the min doc_id per md5(text));
+      2. quality gate (t14's integer-exact repetition rule — top token
+         must carry <20% of the doc's mass — plus a ≥{_T19_MIN_TOKS}-token
+         floor);
+      3. deterministic train/val/test split (t10's md5-mod rule);
+      4. greedy sequence packing (t13's windowed prefix sum, per
+         (lang, 128-doc shard)).
+
+    Output: per (split, lang) — surviving docs, token mass, and packed
+    bin count.  Every stage is integer/hash-exact, so the whole composed
+    pipeline is value-hash-gated against DuckDB.
+
+    Scale: the stages compose without materialization — Catalyst plans
+    dedup (one keyed shuffle), the token-count aggregate (keyed, map-side
+    partials), the split projection (free), and the packing window
+    (sharded key) into one job; nothing collects, nothing loops."""
+    prepare(spark)
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    # 1: exact dedup — survivor = min doc_id per content hash.
+    wd = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    uniq = (
+        docs.withColumn("__rn", F.row_number().over(wd))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    # 2: quality gate — repetition + minimum length (integer-exact).
+    per_token = (
+        uniq.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    stats = per_token.groupBy("doc_id").agg(
+        F.max("cnt").alias("top_cnt"), F.sum("cnt").alias("n_toks")
+    )
+    kept = (
+        uniq.join(stats, "doc_id")
+        .filter((F.col("top_cnt") * 5 < F.col("n_toks")) & (F.col("n_toks") >= _T19_MIN_TOKS))
+    )
+    # 3: deterministic split (t10's rule).
+    h = F.expr(
+        "pmod(CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT), 100)"
+    )
+    split = (
+        F.when(h < 80, F.lit("train")).when(h < 90, F.lit("val")).otherwise(F.lit("test"))
+    )
+    assigned = kept.select(
+        split.alias("split"), "lang", "doc_id",
+        F.expr(f"doc_id DIV {_PACK_SHARD}").alias("shard"), "n_toks",
+    )
+    # 4: greedy packing within (split, lang, shard).
+    wp = Window.partitionBy("split", "lang", "shard").orderBy("doc_id")
+    packed = assigned.withColumn("cum", F.sum("n_toks").over(wp)).withColumn(
+        "bin", F.floor((F.col("cum") - F.col("n_toks")) / _PACK_BIN)
+    )
+    return (
+        packed.groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_toks").alias("n_tokens"),
+            F.countDistinct("shard", "bin").alias("n_bins"),
+        )
+        .orderBy("split", "lang")
+    )
+
+
+T19_SQL = f"""
+WITH uniq AS (
+  SELECT doc_id, lang, text FROM (
+    SELECT doc_id, lang, text,
+           ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+    FROM documents
+  ) WHERE rn = 1
+),
+tok AS (
+  SELECT doc_id, token, COUNT(*) AS cnt FROM (
+    SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM uniq
+  ) WHERE token <> '' GROUP BY doc_id, token
+),
+stats AS (
+  SELECT doc_id, MAX(cnt) AS top_cnt, SUM(cnt) AS n_toks
+  FROM tok GROUP BY doc_id
+),
+kept AS (
+  SELECT u.doc_id, u.lang, s.n_toks
+  FROM uniq u JOIN stats s USING (doc_id)
+  WHERE s.top_cnt * 5 < s.n_toks AND s.n_toks >= {_T19_MIN_TOKS}
+),
+assigned AS (
+  SELECT CASE
+           WHEN CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) AS BIGINT) % 100 < 80 THEN 'train'
+           WHEN CAST(CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS UBIGINT) AS BIGINT) % 100 < 90 THEN 'val'
+           ELSE 'test'
+         END AS split,
+         lang, doc_id, CAST(FLOOR(doc_id / {_PACK_SHARD}) AS BIGINT) AS shard,
+         n_toks
+  FROM kept
+),
+packed AS (
+  SELECT split, lang, shard, doc_id, n_toks,
+         SUM(n_toks) OVER (PARTITION BY split, lang, shard ORDER BY doc_id
+                           ROWS UNBOUNDED PRECEDING) AS cum
+  FROM assigned
+)
+SELECT split, lang, COUNT(*) AS n_docs, CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+       COUNT(DISTINCT (shard, CAST(FLOOR((cum - n_toks) / {_PACK_BIN}) AS BIGINT))) AS n_bins
+FROM packed GROUP BY split, lang ORDER BY split, lang
+"""
+
+
 TEXT_QUERIES = {
     "t01_token_topk": t01_token_topk,
     "t02_token_stats": t02_token_stats,
@@ -1067,6 +1185,7 @@ TEXT_QUERIES = {
     "sql02_cte_window_sql": sql02_cte_window_sql,
     # Append-only (DRIVER_GATED_50 contract): new entries go at the END.
     "t18_ja_tokenize_throughput": t18_ja_tokenize_throughput,
+    "t19_training_pipeline": t19_training_pipeline,
 }
 
 # t08's oracle is a constant-literal VALUES table (see T08_SQL): DuckDB
@@ -1094,4 +1213,5 @@ TEXT_ORACLES = {
     "sql01_lateral_view_tokenize": SQL01_SQL,
     "sql02_cte_window_sql": SQL02_SQL,
     "t18_ja_tokenize_throughput": T18_SQL,
+    "t19_training_pipeline": T19_SQL,
 }
