@@ -68,6 +68,8 @@ HEADLINE = [
     "a11_recall_curve",
     # Round-5 capstone: the composed dedup->quality->split->pack pipeline.
     "t19_training_pipeline",
+    # Round-5: benchmark decontamination (broadcast eval n-gram screen).
+    "d11_benchmark_decontaminate",
 ]
 
 

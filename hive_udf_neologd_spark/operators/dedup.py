@@ -28,6 +28,9 @@ Families (each a first-class ``queries()`` entry with a full oracle):
 * d10 incremental NEAR-dup ingest — the same admission decision but by
   MinHash band collision against the existing corpus's LSH index, catching
   the truncations/edits d08's exact hash lets through.
+* d11 benchmark decontamination — broadcast eval-set 8-grams matched
+  map-side against corpus 8-grams (the pre-training contamination screen);
+  the corpus itself is never shuffled.
 
 All hashing is md5 (identical hex in Spark and DuckDB) so signatures are
 bit-identical across engines.
@@ -821,6 +824,100 @@ GROUP BY b.lang ORDER BY b.lang
 """
 
 
+# --- d11: benchmark decontamination (n-gram overlap vs eval set) -----------
+_DECON_K = 8  # n-gram order; 8-13 grams are the common decontamination range
+_EVAL_MOD = 29  # every 29th base doc contributes one eval item
+
+
+def d11_benchmark_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-corpus decontamination: flag documents that share any
+    8-gram with a benchmark ("eval") set, the standard screen applied
+    before pretraining so eval questions don't leak into training data.
+    The eval set here is deterministic and self-contained — the leading
+    8-gram of every 29th document stands in for an external benchmark
+    file; a document is contaminated when any of its 8-grams equals an
+    eval 8-gram it did not itself contribute.
+
+    Scale: benchmark n-gram sets are KB-MB while the corpus is TBs, so
+    the eval grams are broadcast; corpus 8-grams are generated map-side
+    (explode of a transform over the token array) and matched in the
+    same narrow stage — the corpus is never shuffled, and the only
+    exchange is the final per-lang aggregate (plan-asserted in
+    tests/test_plans.py).  At 100 TB the exact broadcast set swaps for
+    a same-shaped Bloom filter with identical topology (false positives
+    then get an exact recheck on the candidate subset).
+    """
+    prepare(spark)
+    base = _base(spark, sf_dir)
+    toks = base.select("doc_id", "lang", F.split("text", " ").alias("ts"))
+    ev = (
+        toks.filter(
+            (F.col("doc_id") % _EVAL_MOD == 0) & (F.size("ts") >= _DECON_K)
+        )
+        .select(
+            F.col("doc_id").alias("contrib"),
+            F.expr(f"array_join(slice(ts, 1, {_DECON_K}), ' ')").alias("g"),
+        )
+    )
+    grams = toks.filter(F.size("ts") >= _DECON_K).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(ts) - {_DECON_K} + 1),"
+                f" i -> array_join(slice(ts, i, {_DECON_K}), ' '))"
+            )
+        ).alias("g"),
+    )
+    flagged = (
+        grams.join(F.broadcast(ev), "g")
+        .filter(F.col("doc_id") != F.col("contrib"))
+        .select("doc_id")
+        .distinct()
+        .withColumn("contaminated", F.lit(1))
+    )
+    return (
+        base.join(flagged, "doc_id", "left")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.coalesce(F.col("contaminated"), F.lit(0)))
+            .cast("long")
+            .alias("n_contaminated"),
+            F.sum((F.coalesce(F.col("contaminated"), F.lit(0)) == 0).cast("long"))
+            .alias("n_clean"),
+        )
+        .orderBy("lang")
+    )
+
+
+D11_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, lang, string_split(text, ' ') AS ts FROM documents
+),
+ev AS (
+  SELECT doc_id AS contrib, array_to_string(ts[1:{_DECON_K}], ' ') AS g
+  FROM toks WHERE doc_id % {_EVAL_MOD} = 0 AND len(ts) >= {_DECON_K}
+),
+grams AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(ts) - {_DECON_K} + 2),
+                               i -> array_to_string(ts[i:i+{_DECON_K - 1}], ' '))) AS g
+  FROM toks WHERE len(ts) >= {_DECON_K}
+),
+flagged AS (
+  SELECT DISTINCT gr.doc_id
+  FROM grams gr JOIN ev ON gr.g = ev.g AND gr.doc_id <> ev.contrib
+)
+SELECT d.lang, COUNT(*) AS n_docs,
+       CAST(SUM(CASE WHEN f.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_contaminated,
+       CAST(SUM(CASE WHEN f.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_clean
+FROM documents d LEFT JOIN flagged f ON d.doc_id = f.doc_id
+GROUP BY d.lang ORDER BY d.lang
+"""
+
+
 DEDUP_QUERIES = {
     "d01_dedup_exact": d01_dedup_exact,
     "d02_minhash_lsh_pairs": d02_minhash_lsh_pairs,
@@ -832,6 +929,7 @@ DEDUP_QUERIES = {
     "d08_incremental_ingest": d08_incremental_ingest,
     "d09_cluster_canonical": d09_cluster_canonical,
     "d10_incremental_near_dup": d10_incremental_near_dup,
+    "d11_benchmark_decontaminate": d11_benchmark_decontaminate,
 }
 
 DEDUP_ORACLES = {
@@ -845,4 +943,5 @@ DEDUP_ORACLES = {
     "d08_incremental_ingest": D08_SQL,
     "d09_cluster_canonical": D09_SQL,
     "d10_incremental_near_dup": D10_SQL,
+    "d11_benchmark_decontaminate": D11_SQL,
 }

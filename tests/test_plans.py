@@ -241,3 +241,13 @@ def test_d10_band_join_not_all_pairs(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "band" in plan and "bucket" in plan
+
+
+def test_d11_broadcasts_eval_grams_corpus_unshuffled(spark):
+    plan = _plan(spark, "d11_benchmark_decontaminate")
+    # Eval n-gram set broadcast; corpus grams flagged map-side.  The
+    # contamination join itself must be a broadcast hash join on g, never
+    # a shuffle of the exploded corpus grams or an all-pairs shape.
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
