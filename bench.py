@@ -70,6 +70,8 @@ HEADLINE = [
     "t19_training_pipeline",
     # Round-5: benchmark decontamination (broadcast eval n-gram screen).
     "d11_benchmark_decontaminate",
+    # Round-5: deterministic stratified sampling (broadcast stratum table).
+    "t20_stratified_sample",
 ]
 
 

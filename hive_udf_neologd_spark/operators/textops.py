@@ -1163,6 +1163,81 @@ FROM packed GROUP BY split, lang ORDER BY split, lang
 """
 
 
+# --- t20: deterministic stratified sampling --------------------------------
+_SAMPLE_TARGET = 40  # target docs per (lang, length-bucket) stratum
+
+
+def t20_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-balanced corpus sampling: draw ~TARGET documents per
+    (lang, length-bucket) stratum with a deterministic hash draw — the
+    standard way to build a balanced eval/calibration subset from a skewed
+    corpus without an order-dependent RNG.  Per-stratum acceptance
+    threshold thr = min(10000, TARGET*10000 DIV stratum_size); a doc is
+    drawn iff (first 16 bits of md5(doc_id)) mod 10000 < thr.  All
+    arithmetic is integer and the hash is md5, so the draw is bit-identical
+    across engines and stable under re-runs and repartitioning.
+
+    Scale: the stratum-size table is tiny (|langs| × 4 rows) → broadcast
+    back onto the corpus; the draw itself is map-side.  The two corpus
+    aggregates (stratum sizes, final summary) are both low-cardinality
+    keys with map-side partial agg — nothing corpus-sized ever shuffles.
+    """
+    prepare(spark)
+    strat = (
+        read_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            "lang",
+            F.expr("least(3, size(split(text, ' ')) DIV 20)").alias("bucket"),
+        )
+    )
+    thr = (
+        strat.groupBy("lang", "bucket")
+        .agg(F.count(F.lit(1)).alias("n_total"))
+        .withColumn(
+            "thr",
+            F.expr(f"least(10000, {_SAMPLE_TARGET} * 10000 DIV n_total)"),
+        )
+    )
+    picked = F.expr(
+        "CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 4), 16, 10) AS BIGINT)"
+        " % 10000"
+    ) < F.col("thr")
+    return (
+        strat.join(F.broadcast(thr), ["lang", "bucket"])
+        .groupBy("lang", "bucket")
+        .agg(
+            F.max("n_total").alias("n_total"),
+            F.max("thr").alias("thr"),
+            F.sum(picked.cast("long")).alias("n_sampled"),
+        )
+        .orderBy("lang", "bucket")
+    )
+
+
+T20_SQL = f"""
+WITH strat AS (
+  SELECT doc_id, lang,
+         LEAST(3, len(string_split(text, ' ')) // 20) AS bucket
+  FROM documents
+),
+thr AS (
+  SELECT lang, bucket, COUNT(*) AS n_total,
+         LEAST(10000, {_SAMPLE_TARGET} * 10000 // COUNT(*)) AS thr
+  FROM strat GROUP BY lang, bucket
+),
+sel AS (
+  SELECT s.lang, s.bucket, t.n_total, t.thr,
+         (CAST(CAST(concat('0x', substr(md5(CAST(s.doc_id AS VARCHAR)), 1, 4))
+               AS UBIGINT) AS BIGINT) % 10000 < t.thr) AS picked
+  FROM strat s JOIN thr t USING (lang, bucket)
+)
+SELECT lang, bucket, MAX(n_total) AS n_total, MAX(thr) AS thr,
+       CAST(SUM(CASE WHEN picked THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
+FROM sel GROUP BY lang, bucket ORDER BY lang, bucket
+"""
+
+
 TEXT_QUERIES = {
     "t01_token_topk": t01_token_topk,
     "t02_token_stats": t02_token_stats,
@@ -1186,6 +1261,7 @@ TEXT_QUERIES = {
     # Append-only (DRIVER_GATED_50 contract): new entries go at the END.
     "t18_ja_tokenize_throughput": t18_ja_tokenize_throughput,
     "t19_training_pipeline": t19_training_pipeline,
+    "t20_stratified_sample": t20_stratified_sample,
 }
 
 # t08's oracle is a constant-literal VALUES table (see T08_SQL): DuckDB
@@ -1214,4 +1290,5 @@ TEXT_ORACLES = {
     "sql02_cte_window_sql": SQL02_SQL,
     "t18_ja_tokenize_throughput": T18_SQL,
     "t19_training_pipeline": T19_SQL,
+    "t20_stratified_sample": T20_SQL,
 }

@@ -251,3 +251,12 @@ def test_d11_broadcasts_eval_grams_corpus_unshuffled(spark):
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_t20_broadcasts_stratum_table(spark):
+    plan = _plan(spark, "t20_stratified_sample")
+    # Stratum-size table is tiny → broadcast back onto the corpus; the
+    # draw is map-side.  No sort-merge join of corpus-sized sides.
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
