@@ -119,7 +119,11 @@ T18_TOKENS: dict[int, tuple[str, ...]] = {
     1: ('昨日', '会議', '新しい', '計画', '変更', '点', '検討', '続ける', '資料', '修正', '担当者', '来週', '報告書', '提出', '予定', '説明'),
     2: ('駅', '前', '商店街', '観光客', '集まる', '土産物', '特産品', '売る', '祭る', '夜', '花火', '上がる', '屋台', '焼きそば', '人気'),
     3: ('研究者', '実験', '結果', '分析', '新しい', '仮説', '検証', '手法', '提案', '測定', '精度', '高める', '装置', '改良', '必要'),
-    4: ('美術館', '絵画', '眺める', '後', '公園', '散歩', '写真', '撮る', '夕方', '雨', '降りる', '始める', '急ぐ', '駅', '戻る'),
+    # Recaptured (wave 130): 降り始める entered the snapshot as a compound
+    # verb lemma, so 降り始めた now resolves to its own base form instead
+    # of the two-lemma split 降りる+始める — the NEologd-style longest
+    # match this corpus exists to exercise.
+    4: ('美術館', '絵画', '眺める', '後', '公園', '散歩', '写真', '撮る', '夕方', '雨', '降り始める', '急ぐ', '駅', '戻る'),
     5: ('企業', '経営者', '市場', '動向', '分析', '投資', '戦略', '慎重', '決定', '円安', '影響', '輸出', '伸びる', '売上高', '大幅', '増加'),
     6: ('子供', '図書室', '本', '借りる', '宿題', '済ませる', '校庭', '遊ぶ', '放課後', '教室', '合唱', '練習', '行う'),
     7: ('台風', '接近', '伴う', '気象庁', '大雨', '警戒', '呼び掛ける', '避難所', '場所', '確認', '非常食', '懐中電灯', '準備', 'ほしい'),
