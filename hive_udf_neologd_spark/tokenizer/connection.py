@@ -1,0 +1,123 @@
+"""Coarse connection-cost (bigram) matrix for the Viterbi lattice.
+
+The reference's tokenizer minimizes word cost PLUS a connection cost
+between adjacent lattice nodes, read from the dictionary's compiled
+``matrix.def`` (the MeCab build at reference ``build.sh:161`` produces the
+1316×1316 left/right-context matrix; ``build.sh:249`` compiles it into
+Kuromoji's binary ``ConnectionCosts`` resource).  Before round 6 this
+engine scored word costs only — and had hit the exact wall that causes
+(its own pinned negative result, VERDICT r5 'What's missing' #1): the
+hiragana カ変 fused forms きた/きます could not be added because, without
+a connection preference for 連用形+助動詞, で+きた out-competes でき+た
+inside できた/できます.
+
+This module is the engine's ``matrix.def`` analog at coarse granularity:
+connection CLASSES derived from the POS system (+ conjugation form when a
+MeCab CSV provides one) instead of IPADIC's 1316 context ids, and an
+authored sparse matrix over those classes.  Design rules:
+
+* The matrix is SPARSE with default 0: any pair not listed costs nothing,
+  so the all-zero matrix is provably output-identical to the pre-matrix
+  engine (the Viterbi keeps per-(position, right-class) minima; with all
+  connections 0 the per-position minimum dominates exactly as before).
+* Entries are authored the way dictionary waves are: each one justified,
+  golden-verified, and kept minimal.  Negative costs REWARD canonical
+  bigrams rather than penalizing rare ones — rewards only reorder paths
+  that both exist in the dictionary, so unknown-word behavior is stable.
+
+Current authored entries (round 6):
+
+* 連用形/連用タ接続/連用テ接続 → 助動詞 (でき+た, 聴い+た, 高かっ+た):
+  the single most canonical bigram in Japanese; -800 makes the
+  inflection+aux split
+  robustly beat any path that steals the verb's first character (で+きた),
+  which is what unblocks fused カ変 rows きた/きます as dictionary
+  entries — the r5 pinned negative result, now a positive golden
+  (tests/test_tokenizer.py::TestConnectionMatrix).
+"""
+
+from __future__ import annotations
+
+# Connection classes.  DEFAULT covers unknown-word nodes and any POS not
+# listed; BOS marks the start-of-text context (reserved for future
+# authored rows — e.g. penalizing sentence-initial auxiliaries).
+DEFAULT = 0
+BOS = 1
+NOUN = 2
+PARTICLE = 3
+AUX = 4
+VERB_BASE = 5
+VERB_CONJ = 6    # conjugated, NON-連用: 未然/仮定/命令/ガル接続 …
+ADJ_BASE = 7
+ADJ_CONJ = 8
+VERB_CONT = 9    # 連用形 / 連用タ接続 / 連用テ接続 — the aux-attachment state
+ADJ_CONT = 10
+N_CLASSES = 11
+
+# 連用 (continuative) forms — the state auxiliaries attach to (聴い+た,
+# でき+ます, 高かっ+た).  Deliberately NOT including 未然形: rewarding
+# 未然形+助動詞 re-analyzes lexicalized causatives (済ませて would become
+# 済ま+せ+て and re-lemmatize to 済む — caught by the T18 golden suite in
+# round 6 and excluded by construction).
+_RENYO_FORMS = frozenset({"連用形", "連用タ接続", "連用テ接続"})
+
+# Other conjugated (non-terminal, non-連用) forms.
+_OTHER_CONJ_FORMS = frozenset({
+    "未然形", "未然ウ接続", "未然ヌ接続", "未然レル接続", "仮定形",
+    "ガル接続", "体言接続", "命令ｒｏ", "命令ｉ", "命令ｙｏ", "命令ｅ",
+})
+
+
+def entry_classes(
+    pos: str,
+    base_form: str | None = None,
+    surface: str = "",
+    cform: str | None = None,
+) -> tuple[int, int]:
+    """Map one dictionary entry to (left_class, right_class).
+
+    ``cform`` (the MeCab CSV conjugation-form column) gives the precise
+    conjugated/terminal split when available; entries without it (the
+    hand-built lexicon's 5-tuples) fall back to the base-form heuristic —
+    a verb/adjective row carrying a base_form different from its surface
+    is a conjugated form (that is exactly when the generator sets one)."""
+    top = pos.split("-", 1)[0] if pos else ""
+    if top == "名詞":
+        c = NOUN
+    elif top == "助詞":
+        c = PARTICLE
+    elif top == "助動詞":
+        c = AUX
+    elif top in ("動詞", "形容詞"):
+        if cform is not None:
+            if cform in _RENYO_FORMS:
+                kind = "cont"
+            elif cform in _OTHER_CONJ_FORMS:
+                kind = "conj"
+            else:
+                kind = "base"  # 基本形 and anything unrecognized
+        else:
+            # No conjugation-form data (hand-built lexicon 5-tuples): a
+            # row whose base_form differs from its surface is conjugated,
+            # and the lexicon's conjugated surfaces are predominantly
+            # 連用/タ接続 forms — treat as continuative.
+            kind = (
+                "cont"
+                if base_form is not None and base_form != surface
+                else "base"
+            )
+        if top == "動詞":
+            c = {"cont": VERB_CONT, "conj": VERB_CONJ, "base": VERB_BASE}[kind]
+        else:
+            c = {"cont": ADJ_CONT, "conj": ADJ_CONJ, "base": ADJ_BASE}[kind]
+    else:
+        c = DEFAULT
+    return (c, c)
+
+
+# The authored matrix: {(prev_right_class, next_left_class): cost}.
+# Missing pairs cost 0.  Keep every entry justified in the module doc.
+CONNECTION_COSTS: dict[tuple[int, int], int] = {
+    (VERB_CONT, AUX): -800,
+    (ADJ_CONT, AUX): -800,
+}

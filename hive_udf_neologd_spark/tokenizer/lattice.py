@@ -2,7 +2,11 @@
 
 The computed semantics of the reference's ``JapaneseTokenizer(userDict,
 discardPunctuation=true, mode)`` (SURVEY.md §2.2 row 1): minimum-cost path
-over dictionary + unknown-word nodes, with
+over dictionary + unknown-word nodes, scoring word costs PLUS a coarse
+connection (bigram) cost between adjacent nodes — the engine analog of the
+``matrix.def`` connection matrix MeCab compiles and Kuromoji embeds
+(reference ``build.sh:161,249``; ``tokenizer/connection.py`` for the class
+system and authored costs), with
 
 * NORMAL — plain Viterbi;
 * SEARCH — extra penalty on long kanji/compound dictionary nodes so that
@@ -17,13 +21,25 @@ Unknown-word handling follows IPADIC char.def semantics (SURVEY.md §2.2):
 katakana/latin/digit/hiragana runs group; kanji does not group (candidates
 of length 1-2); punctuation nodes are emitted but marked, and dropped by the
 tokenizer (discardPunctuation=true).
+
+Viterbi state is (position, right-connection-class): per end position the
+lattice keeps the cheapest node PER RIGHT CLASS (a cheaper node of the same
+class dominates for every continuation, so same-class pruning is lossless;
+nodes of different classes must both survive because a later connection
+cost can reorder them).  With an all-zero matrix this provably reduces to
+the round-5 per-position Viterbi — same totals, same tie-breaks (first
+achiever of the strict minimum wins, candidates processed user → dict
+longest-first → unknown at ascending positions).
+
+Hot-path engineering (round 6, VERDICT r5 next-round #6): nodes are plain
+tuples in parallel lists (no per-node dataclass), character classes and
+run ends are precomputed once per line, and the per-position incoming
+list is prebuilt so the inner relaxation does no tuple allocation.
 """
 
 from __future__ import annotations
 
-from dataclasses import dataclass
-
-from hive_udf_neologd_spark.tokenizer import chardef
+from hive_udf_neologd_spark.tokenizer import chardef, connection
 from hive_udf_neologd_spark.tokenizer.dictionary import DictEntry, Dictionary, UserDictionary
 
 NORMAL = "normal"
@@ -38,73 +54,42 @@ _SEARCH_KANJI_PENALTY = 3100
 _SEARCH_OTHER_LENGTH = 7
 _SEARCH_OTHER_PENALTY = 1700
 
+_KANJI = chardef.KANJI
+_HIRAGANA = chardef.HIRAGANA
+_DIGIT = chardef.DIGIT
+_PUNCT = chardef.PUNCT
+_GROUPING = chardef.GROUPING
+_char_class = chardef.char_class
 
-@dataclass(frozen=True)
-class Token:
-    surface: str       # raw surface in the input text
-    term: str          # output term before filters (norm-applied)
-    pos: str
-    base_form: str | None
-    reading: str | None
-    is_punct: bool
-    is_unknown: bool
+_POS_UNK_NUM = "名詞-数"
+_POS_UNK = "名詞-一般"
+_POS_PUNCT = "記号-一般"
+
+_BOS = connection.BOS
+_DEF = connection.DEFAULT
+
+# Precomputed rows of the sparse matrix: prev_right_class → {next_left: cost}.
+_CONN_ROWS: dict[int, dict[int, int]] = {}
+for (_pr, _nl), _c in connection.CONNECTION_COSTS.items():
+    _CONN_ROWS.setdefault(_pr, {})[_nl] = _c
 
 
-@dataclass(frozen=True)
-class _Node:
-    length: int
-    cost: int
-    entry: DictEntry | None  # None → unknown/punct node
-    pos: str
-    is_punct: bool = False
+class Token(tuple):
+    """(surface, term, pos, base_form, reading, is_punct, is_unknown) —
+    a tuple subclass with named accessors (hot path materializes many)."""
 
+    __slots__ = ()
 
-def _unknown_nodes(text: str, i: int, mode: str) -> list[_Node]:
-    ch = text[i]
-    cls = chardef.char_class(ch)
-    if cls == chardef.PUNCT:
-        # Group a run of punctuation/whitespace into one discardable node.
-        j = i + 1
-        while j < len(text) and chardef.char_class(text[j]) == chardef.PUNCT:
-            j += 1
-        return [_Node(j - i, 0, None, "記号-一般", is_punct=True)]
+    def __new__(cls, surface, term, pos, base_form, reading, is_punct, is_unknown):
+        return tuple.__new__(cls, (surface, term, pos, base_form, reading, is_punct, is_unknown))
 
-    run = i + 1
-    while run < len(text) and chardef.char_class(text[run]) == cls:
-        run += 1
-    run_len = run - i
-
-    pos_by_class = {
-        chardef.KANJI: "名詞-一般",
-        chardef.HIRAGANA: "名詞-一般",
-        chardef.KATAKANA: "名詞-一般",
-        chardef.LATIN: "名詞-一般",
-        chardef.DIGIT: "名詞-数",
-        chardef.OTHER: "名詞-一般",
-    }
-    pos = pos_by_class[cls]
-    nodes: list[_Node] = []
-
-    if mode == EXTENDED:
-        # Extended mode: unknown words become unigrams (Kuromoji EXTENDED).
-        nodes.append(_Node(1, 3000, None, pos))
-        return nodes
-
-    if cls == chardef.KANJI:
-        # char.def: KANJI group=0 length=2 → candidates of length 1..2.
-        for ln in (1, 2):
-            if ln <= run_len:
-                nodes.append(_Node(ln, 3500 + 1700 * ln, None, pos))
-    elif cls in chardef.GROUPING:
-        # Full-run grouped candidate (cheapest per char) ...
-        nodes.append(_Node(run_len, 3000 + 500 * run_len, None, pos))
-        # ... plus short prefixes so embedded dictionary words can win.
-        for ln in (1, 2, 3):
-            if ln < run_len:
-                nodes.append(_Node(ln, 3500 + 900 * ln, None, pos))
-    else:
-        nodes.append(_Node(1, 6000, None, pos))
-    return nodes
+    surface = property(lambda self: self[0])
+    term = property(lambda self: self[1])
+    pos = property(lambda self: self[2])
+    base_form = property(lambda self: self[3])
+    reading = property(lambda self: self[4])
+    is_punct = property(lambda self: self[5])
+    is_unknown = property(lambda self: self[6])
 
 
 def _search_penalty(entry: DictEntry, mode: str) -> int:
@@ -113,7 +98,7 @@ def _search_penalty(entry: DictEntry, mode: str) -> int:
     s = entry.surface
     n = len(s)
     if n > _SEARCH_KANJI_LENGTH and all(
-        chardef.char_class(c) == chardef.KANJI for c in s
+        _char_class(c) == _KANJI for c in s
     ):
         # Flat Kuromoji penalty plus a length term so long compounds
         # (関西国際空港) decompose whenever component entries exist, while
@@ -131,6 +116,7 @@ class Lattice:
         self._dict = dictionary
         self._mode = mode
         self._user = Dictionary(user_dict.entries) if user_dict and user_dict.entries else None
+        self._search = mode in (SEARCH, EXTENDED)
 
     def ascii_matchable_surfaces(self) -> tuple[str, ...]:
         """All (built-in + user) surfaces that could match inside a pure
@@ -146,35 +132,139 @@ class Lattice:
         n = len(text)
         if n == 0:
             return []
-        best = [_INF] * (n + 1)
-        best[0] = 0.0
-        back: list[tuple[int, _Node] | None] = [None] * (n + 1)
+        mode = self._mode
+        extended = mode == EXTENDED
+        search = self._search
+        user = self._user
+        dic = self._dict
+
+        # Per-line precomputation: char class of every position and the
+        # exclusive end of the same-class run starting there (computed in
+        # one backward pass — the round-5 code rescanned the run at every
+        # position, O(run²)).
+        cls = [_char_class(c) for c in text]
+        run_end = [n] * n
+        for i in range(n - 2, -1, -1):
+            if cls[i + 1] == cls[i]:
+                run_end[i] = run_end[i + 1]
+            else:
+                run_end[i] = i + 1
+
+        # Node-lattice Viterbi.  Nodes live in parallel lists; ends[j]
+        # maps right-class → node index of the cheapest node ending at j.
+        node_start: list[int] = []
+        node_len: list[int] = []
+        node_entry: list[DictEntry | None] = []
+        node_pos: list[str] = []
+        node_punct: list[bool] = []
+        node_total: list[float] = []
+        node_back: list[int] = []
+        node_rc: list[int] = []
+        ends: list[dict[int, int] | None] = [None] * (n + 1)
+        ends[0] = {_BOS: -1}  # -1 = BOS sentinel, total 0
 
         for i in range(n):
-            if best[i] is _INF:
+            incoming = ends[i]
+            if incoming is None:
                 continue
-            base = best[i]
-            cands: list[_Node] = []
-            if self._user is not None:
-                for e in self._user.prefix_matches(text, i):
-                    cands.append(_Node(e.length, e.cost, e, e.pos))
-            for e in self._dict.prefix_matches(text, i):
-                cands.append(_Node(e.length, e.cost + _search_penalty(e, self._mode), e, e.pos))
-            cands.extend(_unknown_nodes(text, i, self._mode))
-            for node in cands:
-                j = i + node.length
-                c = base + node.cost
-                if c < best[j]:
-                    best[j] = c
-                    back[j] = (i, node)
+            # Prebuilt incoming list: (prev_total, conn_row_or_None, idx).
+            inc = [
+                (node_total[idx] if idx >= 0 else 0, _CONN_ROWS.get(prc), idx)
+                for prc, idx in incoming.items()
+            ]
 
-        # Backtrack (every position is reachable: unknown nodes always exist).
-        path: list[tuple[int, _Node]] = []
-        j = n
-        while j > 0:
-            i, node = back[j]  # type: ignore[misc]
-            path.append((i, node))
-            j = i
+            # --- candidates -------------------------------------------
+            cands: list[tuple] = []  # (length, wcost, entry, pos, punct, lc, rc)
+            if user is not None:
+                for e in user.prefix_matches(text, i):
+                    cands.append((len(e.surface), e.cost, e, e.pos, False, e.lc, e.rc))
+            if search:
+                for e in dic.prefix_matches(text, i):
+                    cands.append(
+                        (len(e.surface), e.cost + _search_penalty(e, mode),
+                         e, e.pos, False, e.lc, e.rc)
+                    )
+            else:
+                for e in dic.prefix_matches(text, i):
+                    cands.append((len(e.surface), e.cost, e, e.pos, False, e.lc, e.rc))
+
+            ci = cls[i]
+            if ci == _PUNCT:
+                # Group a run of punctuation/whitespace into one
+                # discardable node.
+                cands.append((run_end[i] - i, 0, None, _POS_PUNCT, True, _DEF, _DEF))
+            else:
+                unk_pos = _POS_UNK_NUM if ci == _DIGIT else _POS_UNK
+                if extended:
+                    # Extended mode: unknown words become unigrams
+                    # (Kuromoji EXTENDED).
+                    cands.append((1, 3000, None, unk_pos, False, _DEF, _DEF))
+                elif ci == _KANJI:
+                    # char.def: KANJI group=0 length=2 → candidates 1..2.
+                    rl = run_end[i] - i
+                    cands.append((1, 5200, None, unk_pos, False, _DEF, _DEF))
+                    if rl >= 2:
+                        cands.append((2, 6900, None, unk_pos, False, _DEF, _DEF))
+                elif ci in _GROUPING:
+                    rl = run_end[i] - i
+                    # Full-run grouped candidate (cheapest per char) ...
+                    cands.append(
+                        (rl, 3000 + 500 * rl, None, unk_pos, False, _DEF, _DEF)
+                    )
+                    # ... plus short prefixes so embedded dictionary words
+                    # can win.
+                    for ln in (1, 2, 3):
+                        if ln < rl:
+                            cands.append(
+                                (ln, 3500 + 900 * ln, None, unk_pos, False, _DEF, _DEF)
+                            )
+                else:
+                    cands.append((1, 6000, None, unk_pos, False, _DEF, _DEF))
+
+            # --- relaxation -------------------------------------------
+            for ln, wc, e, ptag, punct, lc, rc in cands:
+                best = _INF
+                bidx = -2
+                for t0, row, idx in inc:
+                    if row is not None:
+                        cc = row.get(lc)
+                        if cc is not None:
+                            t0 = t0 + cc
+                    if t0 < best:
+                        best = t0
+                        bidx = idx
+                total = best + wc
+                j = i + ln
+                slot = ends[j]
+                if slot is None:
+                    slot = ends[j] = {}
+                cur = slot.get(rc)
+                if cur is None or total < node_total[cur]:
+                    slot[rc] = len(node_total)
+                    node_start.append(i)
+                    node_len.append(ln)
+                    node_entry.append(e)
+                    node_pos.append(ptag)
+                    node_punct.append(punct)
+                    node_total.append(total)
+                    node_back.append(bidx)
+                    node_rc.append(rc)
+
+        # Backtrack from the cheapest node ending at n (every position is
+        # reachable: unknown nodes always exist).  Tie → first-inserted
+        # (earliest start, earliest candidate), matching the strict-<
+        # relaxation order of the per-position formulation.
+        final = ends[n]
+        best = _INF
+        idx = -2
+        for _rc, k in final.items():  # insertion order
+            if node_total[k] < best:
+                best = node_total[k]
+                idx = k
+        path: list[tuple[int, int]] = []  # (start, node_idx)
+        while idx >= 0:
+            path.append((node_start[idx], idx))
+            idx = node_back[idx]
         path.reverse()
 
         # SEARCH/EXTENDED compound-as-synonym emission (Lucene 5.5.5
@@ -193,58 +283,57 @@ class Lattice:
         # User-dictionary compounds are excluded: Lucene always applies
         # the user segmentation without a synonym compound.
         compounds: dict[int, Token] = {}
-        if self._mode in (SEARCH, EXTENDED):
-            end_to_idx = {i + node.length: k for k, (i, node) in enumerate(path)}
-            for k, (i, node) in enumerate(path):
+        if search:
+            end_to_idx = {
+                start + node_len[nidx]: k for k, (start, nidx) in enumerate(path)
+            }
+            for k, (i, nidx) in enumerate(path):
                 best_e = None
-                for e in self._dict.prefix_matches(text, i):
-                    if e.length == node.length:
+                ln = node_len[nidx]
+                for e in dic.prefix_matches(text, i):
+                    if len(e.surface) == ln:
                         continue  # the path kept the compound itself
-                    if _search_penalty(e, self._mode) <= 0:
+                    if _search_penalty(e, mode) <= 0:
                         continue  # not a decompounding candidate
-                    kk = end_to_idx.get(i + e.length)
+                    kk = end_to_idx.get(i + len(e.surface))
                     if kk is None or kk <= k:
                         continue  # does not align with ≥2 chosen parts
-                    if best_e is None or e.length > best_e.length:
+                    if best_e is None or len(e.surface) > len(best_e.surface):
                         best_e = e
                 if best_e is not None:
-                    surf = text[i : i + best_e.length]
+                    surf = text[i : i + len(best_e.surface)]
                     compounds[k] = Token(
                         surf,
                         best_e.norm if best_e.norm is not None else surf,
                         best_e.pos,
                         best_e.base_form,
                         None,
-                        is_punct=False,
-                        is_unknown=False,
+                        False,
+                        False,
                     )
 
         tokens: list[Token] = []
-        for k, (i, node) in enumerate(path):
+        for k, (i, nidx) in enumerate(path):
             if k in compounds:
                 tokens.append(compounds[k])
-            surface = text[i : i + node.length]
-            if node.is_punct:
+            if node_punct[nidx]:
                 continue  # discardPunctuation=true
-            e = node.entry
+            surface = text[i : i + node_len[nidx]]
+            e = node_entry[nidx]
             if e is not None and e.segments:
                 # User-dictionary segmentation: emit each segment as a token.
-                off = i
                 for seg, reading in e.segments:
                     tokens.append(
-                        Token(seg, seg, e.pos, None, reading, is_punct=False, is_unknown=False)
+                        Token(seg, seg, e.pos, None, reading, False, False)
                     )
-                    off += len(seg)
                 continue
             if e is not None:
                 term = e.norm if e.norm is not None else surface
                 tokens.append(
-                    Token(surface, term, e.pos, e.base_form, None,
-                          is_punct=False, is_unknown=False)
+                    Token(surface, term, e.pos, e.base_form, None, False, False)
                 )
             else:
                 tokens.append(
-                    Token(surface, surface, node.pos, None, None,
-                          is_punct=False, is_unknown=True)
+                    Token(surface, surface, node_pos[nidx], None, None, False, True)
                 )
         return tokens
