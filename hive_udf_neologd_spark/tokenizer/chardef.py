@@ -12,6 +12,7 @@ Mirrors two pieces of the reference analyzer chain:
 
 from __future__ import annotations
 
+import re
 import unicodedata
 
 KANJI = 0
@@ -89,8 +90,16 @@ _DAKUTEN = {
 _HANDAKUTEN = {"ハ": "パ", "ヒ": "ピ", "フ": "プ", "ヘ": "ペ", "ホ": "ポ"}
 
 
+# Any char the fold below could touch: full-width ASCII, ideographic
+# space, half-width katakana block.  Most terms contain none → return
+# unchanged without the per-char loop (hot path: every emitted token).
+_FOLD_CANDIDATE_RE = re.compile(r"[！-～　｡-ﾟ]")
+
+
 def fold_width(s: str) -> str:
     """CJKWidthFilter-equivalent fold (SURVEY.md §2.2)."""
+    if _FOLD_CANDIDATE_RE.search(s) is None:
+        return s
     out: list[str] = []
     for ch in s:
         cp = ord(ch)

@@ -163,77 +163,68 @@ class Lattice:
         ends: list[dict[int, int] | None] = [None] * (n + 1)
         ends[0] = {_BOS: -1}  # -1 = BOS sentinel, total 0
 
+        # Hoisted locals for the hot loop.
+        dic_lens = dic._lens_by_first
+        dic_surf = dic._by_surface
+        ns_app = node_start.append
+        nl_app = node_len.append
+        ne_app = node_entry.append
+        np_app = node_pos.append
+        npu_app = node_punct.append
+        nt_app = node_total.append
+        nb_app = node_back.append
+        nr_app = node_rc.append
+
         for i in range(n):
             incoming = ends[i]
             if incoming is None:
                 continue
-            # Prebuilt incoming list: (prev_total, conn_row_or_None, idx).
-            inc = [
-                (node_total[idx] if idx >= 0 else 0, _CONN_ROWS.get(prc), idx)
-                for prc, idx in incoming.items()
-            ]
+            # Per-position incoming minima: ``base``/``bidx`` ignore the
+            # connection matrix; ``special`` maps each next-left-class
+            # that SOME incoming class has a matrix row for to its own
+            # (min, idx).  The sparse matrix makes this O(rows) per
+            # position and removes the per-candidate inner loop entirely.
+            base = _INF
+            bidx = -2
+            special = None
+            for prc, idx in incoming.items():
+                t0 = node_total[idx] if idx >= 0 else 0
+                if t0 < base:
+                    base = t0
+                    bidx = idx
+                if prc in _CONN_ROWS:
+                    special = {}
+            if special is not None:
+                for tlc in {
+                    k for prc in incoming if prc in _CONN_ROWS
+                    for k in _CONN_ROWS[prc]
+                }:
+                    sb = _INF
+                    sidx = -2
+                    for prc, idx in incoming.items():
+                        t0 = node_total[idx] if idx >= 0 else 0
+                        row = _CONN_ROWS.get(prc)
+                        if row is not None:
+                            cc = row.get(tlc)
+                            if cc is not None:
+                                t0 = t0 + cc
+                        if t0 < sb:
+                            sb = t0
+                            sidx = idx
+                    special[tlc] = (sb, sidx)
 
-            # --- candidates -------------------------------------------
-            cands: list[tuple] = []  # (length, wcost, entry, pos, punct, lc, rc)
-            if user is not None:
-                for e in user.prefix_matches(text, i):
-                    cands.append((len(e.surface), e.cost, e, e.pos, False, e.lc, e.rc))
-            if search:
-                for e in dic.prefix_matches(text, i):
-                    cands.append(
-                        (len(e.surface), e.cost + _search_penalty(e, mode),
-                         e, e.pos, False, e.lc, e.rc)
-                    )
-            else:
-                for e in dic.prefix_matches(text, i):
-                    cands.append((len(e.surface), e.cost, e, e.pos, False, e.lc, e.rc))
-
-            ci = cls[i]
-            if ci == _PUNCT:
-                # Group a run of punctuation/whitespace into one
-                # discardable node.
-                cands.append((run_end[i] - i, 0, None, _POS_PUNCT, True, _DEF, _DEF))
-            else:
-                unk_pos = _POS_UNK_NUM if ci == _DIGIT else _POS_UNK
-                if extended:
-                    # Extended mode: unknown words become unigrams
-                    # (Kuromoji EXTENDED).
-                    cands.append((1, 3000, None, unk_pos, False, _DEF, _DEF))
-                elif ci == _KANJI:
-                    # char.def: KANJI group=0 length=2 → candidates 1..2.
-                    rl = run_end[i] - i
-                    cands.append((1, 5200, None, unk_pos, False, _DEF, _DEF))
-                    if rl >= 2:
-                        cands.append((2, 6900, None, unk_pos, False, _DEF, _DEF))
-                elif ci in _GROUPING:
-                    rl = run_end[i] - i
-                    # Full-run grouped candidate (cheapest per char) ...
-                    cands.append(
-                        (rl, 3000 + 500 * rl, None, unk_pos, False, _DEF, _DEF)
-                    )
-                    # ... plus short prefixes so embedded dictionary words
-                    # can win.
-                    for ln in (1, 2, 3):
-                        if ln < rl:
-                            cands.append(
-                                (ln, 3500 + 900 * ln, None, unk_pos, False, _DEF, _DEF)
-                            )
+            def relax(ln, wc, e, ptag, punct, lc, rc):
+                if special is not None:
+                    pair = special.get(lc)
+                    if pair is not None:
+                        total = pair[0] + wc
+                        bi = pair[1]
+                    else:
+                        total = base + wc
+                        bi = bidx
                 else:
-                    cands.append((1, 6000, None, unk_pos, False, _DEF, _DEF))
-
-            # --- relaxation -------------------------------------------
-            for ln, wc, e, ptag, punct, lc, rc in cands:
-                best = _INF
-                bidx = -2
-                for t0, row, idx in inc:
-                    if row is not None:
-                        cc = row.get(lc)
-                        if cc is not None:
-                            t0 = t0 + cc
-                    if t0 < best:
-                        best = t0
-                        bidx = idx
-                total = best + wc
+                    total = base + wc
+                    bi = bidx
                 j = i + ln
                 slot = ends[j]
                 if slot is None:
@@ -241,14 +232,66 @@ class Lattice:
                 cur = slot.get(rc)
                 if cur is None or total < node_total[cur]:
                     slot[rc] = len(node_total)
-                    node_start.append(i)
-                    node_len.append(ln)
-                    node_entry.append(e)
-                    node_pos.append(ptag)
-                    node_punct.append(punct)
-                    node_total.append(total)
-                    node_back.append(bidx)
-                    node_rc.append(rc)
+                    ns_app(i)
+                    nl_app(ln)
+                    ne_app(e)
+                    np_app(ptag)
+                    npu_app(punct)
+                    nt_app(total)
+                    nb_app(bi)
+                    nr_app(rc)
+
+            # --- candidates (relaxed in the round-5 order: user → dict
+            # longest-first → unknown) ---------------------------------
+            if user is not None:
+                for e in user.prefix_matches(text, i):
+                    relax(len(e.surface), e.cost, e, e.pos, False, e.lc, e.rc)
+            lens = dic_lens.get(text[i])
+            if lens is not None:
+                remaining = n - i
+                for ln in lens:
+                    if ln > remaining:
+                        continue
+                    hit = dic_surf.get(text[i : i + ln])
+                    if hit is not None:
+                        if search:
+                            for e in hit:
+                                relax(ln, e.cost + _search_penalty(e, mode),
+                                      e, e.pos, False, e.lc, e.rc)
+                        else:
+                            for e in hit:
+                                relax(ln, e.cost, e, e.pos, False, e.lc, e.rc)
+
+            ci = cls[i]
+            if ci == _PUNCT:
+                # Group a run of punctuation/whitespace into one
+                # discardable node.
+                relax(run_end[i] - i, 0, None, _POS_PUNCT, True, _DEF, _DEF)
+            else:
+                unk_pos = _POS_UNK_NUM if ci == _DIGIT else _POS_UNK
+                if extended:
+                    # Extended mode: unknown words become unigrams
+                    # (Kuromoji EXTENDED).
+                    relax(1, 3000, None, unk_pos, False, _DEF, _DEF)
+                elif ci == _KANJI:
+                    # char.def: KANJI group=0 length=2 → candidates 1..2.
+                    relax(1, 5200, None, unk_pos, False, _DEF, _DEF)
+                    if run_end[i] - i >= 2:
+                        relax(2, 6900, None, unk_pos, False, _DEF, _DEF)
+                elif ci in _GROUPING:
+                    rl = run_end[i] - i
+                    # Full-run grouped candidate (cheapest per char) ...
+                    relax(rl, 3000 + 500 * rl, None, unk_pos, False, _DEF, _DEF)
+                    # ... plus short prefixes so embedded dictionary words
+                    # can win.
+                    if rl > 1:
+                        relax(1, 4400, None, unk_pos, False, _DEF, _DEF)
+                        if rl > 2:
+                            relax(2, 5300, None, unk_pos, False, _DEF, _DEF)
+                            if rl > 3:
+                                relax(3, 6200, None, unk_pos, False, _DEF, _DEF)
+                else:
+                    relax(1, 6000, None, unk_pos, False, _DEF, _DEF)
 
         # Backtrack from the cheapest node ending at n (every position is
         # reachable: unknown nodes always exist).  Tie → first-inserted
