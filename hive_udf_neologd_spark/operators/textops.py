@@ -1249,6 +1249,37 @@ FROM sel GROUP BY lang, bucket ORDER BY lang, bucket
 """
 
 
+def t21_connection_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-gated goldens for the coarse connection-cost matrix
+    (tokenizer/connection.py — the matrix.def analog, VERDICT r5
+    next-round #2): the flipped negative result きた/きます → くる, the
+    できた/できます guard (でき+た must keep winning), and the 連用形-only
+    reward scope (済ませて must not re-analyze).  Same shape as t08: a
+    constant 6-row frame through one narrow UDF projection, no shuffle at
+    any scale; oracle replays the pinned sequences from
+    tokenizer/goldens.py as a VALUES table (full hash check)."""
+    prepare(spark)
+    from hive_udf_neologd_spark.tokenizer.goldens import T21_SENTENCES
+
+    df = spark.createDataFrame(
+        list(T21_SENTENCES), "sentence_id long, text string"
+    )
+    tok = tokenize_ja()
+    return (
+        df.select(
+            "sentence_id",
+            F.concat_ws("|", tok("text")).alias("tokens_str"),
+            F.size(tok("text")).alias("n_tokens"),
+        )
+        .orderBy("sentence_id")
+    )
+
+
+T21_SQL = __import__(
+    "hive_udf_neologd_spark.tokenizer.goldens", fromlist=["t21_values_sql"]
+).t21_values_sql()
+
+
 TEXT_QUERIES = {
     "t01_token_topk": t01_token_topk,
     "t02_token_stats": t02_token_stats,
@@ -1273,6 +1304,7 @@ TEXT_QUERIES = {
     "t18_ja_tokenize_throughput": t18_ja_tokenize_throughput,
     "t19_training_pipeline": t19_training_pipeline,
     "t20_stratified_sample": t20_stratified_sample,
+    "t21_connection_matrix": t21_connection_matrix,
 }
 
 # t08's oracle is a constant-literal VALUES table (see T08_SQL): DuckDB
@@ -1302,4 +1334,5 @@ TEXT_ORACLES = {
     "t18_ja_tokenize_throughput": T18_SQL,
     "t19_training_pipeline": T19_SQL,
     "t20_stratified_sample": T20_SQL,
+    "t21_connection_matrix": T21_SQL,
 }

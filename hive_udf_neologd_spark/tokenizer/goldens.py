@@ -155,3 +155,47 @@ def t17_values_sql() -> str:
         + "\n) AS t(sentence_id, pos_idx, term, surface, pos, base_form, is_unknown)\n"
         "ORDER BY sentence_id, pos_idx\n"
     )
+
+
+# --- t21: connection-matrix goldens -----------------------------------------
+# The r5 pinned negative result flipped by the coarse connection-cost
+# matrix (tokenizer/connection.py, round 6): hiragana カ変 fused forms
+# きた/きます segment as 来た/来ます (base くる) while でき+た keeps
+# winning inside できた/できます, and the 連用形→助動詞 reward must not
+# re-analyze lexicalized compounds (済ませて).  Same recapture protocol
+# as T08/T18.
+T21_SENTENCES = (
+    (1, "バスがきた。"),
+    (2, "電車がきます。"),
+    (3, "新しい橋ができた。"),
+    (4, "準備ができます。"),
+    (5, "宿題を済ませてから遊んだ。"),
+    (6, "友達が遊びにきた。"),
+)
+
+T21_TOKENS: dict[int, tuple[str, ...]] = {
+    1: ("バス", "くる"),
+    2: ("電車", "くる"),
+    # できた/できます reduce through でき (stop word) + aux (POS-stopped)
+    # — the pre-matrix output, proving で+きた did NOT win.
+    3: ("新しい", "橋"),
+    4: ("準備",),
+    5: ("宿題", "済ませる", "遊ぶ"),
+    6: ("友達", "遊ぶ", "くる"),
+}
+
+
+def t21_values_sql() -> str:
+    rows = []
+    for sid, _text in T21_SENTENCES:
+        toks = T21_TOKENS[sid]
+        rows.append(
+            f"  (CAST({sid} AS BIGINT), '{'|'.join(toks)}', "
+            f"CAST({len(toks)} AS INTEGER))"
+        )
+    return (
+        "SELECT * FROM (VALUES\n"
+        + ",\n".join(rows)
+        + "\n) AS t(sentence_id, tokens_str, n_tokens)\n"
+        "ORDER BY sentence_id\n"
+    )
