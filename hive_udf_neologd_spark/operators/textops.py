@@ -181,18 +181,26 @@ def t04_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = F.size(toks)
     ttr = F.size(F.array_distinct(toks)) / n
     avg_len = (F.length("text") - (n - 1)) / n  # chars minus separators
-    score = F.round(
+
+    # Explicit half-up rounding via floor(x·10⁴ + 0.5): Spark round() and
+    # DuckDB round() disagree on exact .00005 ties (caught by the sf1
+    # sweep — doc 5's replicas land the quality sum on 0.72125), while
+    # floor(+0.5) over the identically-computed double is engine-exact.
+    # Same pinning as a07's quantizer (ann.py).
+    def r4(c):
+        return F.floor(c * 10000.0 + F.lit(0.5)) / 10000.0
+
+    score = r4(
         F.least(n / F.lit(50.0), F.lit(1.0)) * 0.4
         + ttr * 0.4
-        + F.least(avg_len / F.lit(8.0), F.lit(1.0)) * 0.2,
-        4,
+        + F.least(avg_len / F.lit(8.0), F.lit(1.0)) * 0.2
     )
     return (
         docs.select(
             "doc_id",
             n.alias("n_tokens"),
-            F.round(ttr, 4).alias("ttr"),
-            F.round(avg_len, 4).alias("avg_token_len"),
+            r4(ttr).alias("ttr"),
+            r4(avg_len).alias("avg_token_len"),
             score.alias("quality"),
         )
         .filter(score >= 0.5)
@@ -210,12 +218,14 @@ WITH feat AS (
            / len(string_split(text, ' ')) AS avg_len_raw
   FROM documents
 )
-SELECT doc_id, n_tokens, ROUND(ttr_raw, 4) AS ttr, ROUND(avg_len_raw, 4) AS avg_token_len,
-       ROUND(LEAST(n_tokens / 50.0, 1.0) * 0.4 + ttr_raw * 0.4
-             + LEAST(avg_len_raw / 8.0, 1.0) * 0.2, 4) AS quality
+SELECT doc_id, n_tokens,
+       FLOOR(ttr_raw * 10000.0 + 0.5) / 10000.0 AS ttr,
+       FLOOR(avg_len_raw * 10000.0 + 0.5) / 10000.0 AS avg_token_len,
+       FLOOR((LEAST(n_tokens / 50.0, 1.0) * 0.4 + ttr_raw * 0.4
+              + LEAST(avg_len_raw / 8.0, 1.0) * 0.2) * 10000.0 + 0.5) / 10000.0 AS quality
 FROM feat
-WHERE ROUND(LEAST(n_tokens / 50.0, 1.0) * 0.4 + ttr_raw * 0.4
-            + LEAST(avg_len_raw / 8.0, 1.0) * 0.2, 4) >= 0.5
+WHERE FLOOR((LEAST(n_tokens / 50.0, 1.0) * 0.4 + ttr_raw * 0.4
+             + LEAST(avg_len_raw / 8.0, 1.0) * 0.2) * 10000.0 + 0.5) / 10000.0 >= 0.5
 ORDER BY doc_id
 """
 

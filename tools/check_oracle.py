@@ -19,7 +19,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import duckdb
 import pandas as pd
 
-SF_DIR = "/root/testdata/sf0.01"
+# Override with SPARK_GRAFT_SF_DIR (same env var bench.py honors) — used
+# for the sf1 correctness sweep recorded in SCALING.md.
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
 TABLES = (
     "region nation customer supplier part orders lineitem events documents embeddings"
 ).split()
@@ -28,9 +30,10 @@ TABLES = (
 def duck_connection(sf_dir: str = SF_DIR):
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
-        )
+        path = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(path):  # Spark directory-style output (gen_scale sf1)
+            path = f"{path}/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
     return con
 
 
