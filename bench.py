@@ -72,6 +72,9 @@ HEADLINE = [
     "d11_benchmark_decontaminate",
     # Round-5: deterministic stratified sampling (broadcast stratum table).
     "t20_stratified_sample",
+    # Round-6: connection-matrix goldens (constant frame; gates the
+    # fused-カ変 segmentation and the 連用形→助動詞 reward end-to-end).
+    "t21_connection_matrix",
 ]
 
 
