@@ -52,7 +52,8 @@ ADJ_BASE = 7
 ADJ_CONJ = 8
 VERB_CONT = 9    # 連用形 / 連用タ接続 / 連用テ接続 — the aux-attachment state
 ADJ_CONT = 10
-N_CLASSES = 11
+AUX_NAI = 11     # the auxiliary ない alone — 未然形's canonical partner
+N_CLASSES = 12
 
 # 連用 (continuative) forms — the state auxiliaries attach to (聴い+た,
 # でき+ます, 高かっ+た).  Deliberately NOT including 未然形: rewarding
@@ -87,6 +88,12 @@ def entry_classes(
     elif top == "助詞":
         c = PARTICLE
     elif top == "助動詞":
+        # ない gets its own left class so 未然形→ない can be rewarded
+        # without rewarding 未然形 before every auxiliary (which would
+        # re-analyze lexicalized causatives — see _RENYO_FORMS note).
+        # Right class stays AUX: nothing keys on "after ない".
+        if surface == "ない":
+            return (AUX_NAI, AUX)
         c = AUX
     elif top in ("動詞", "形容詞"):
         if cform is not None:
@@ -120,4 +127,15 @@ def entry_classes(
 CONNECTION_COSTS: dict[tuple[int, int], int] = {
     (VERB_CONT, AUX): -800,
     (ADJ_CONT, AUX): -800,
+    # ない carries the dedicated left class AUX_NAI, so the two rows above
+    # must be mirrored for it (食べ+ない, 高く+ない keep their reward).
+    (VERB_CONT, AUX_NAI): -800,
+    (ADJ_CONT, AUX_NAI): -800,
+    # 未然形→ない, the canonical negative bigram (IPADIC's matrix rewards
+    # it strongly).  Smaller than the 連用 reward, and scoped to ない
+    # alone: rewarding 未然形 before EVERY auxiliary re-analyzes
+    # lexicalized causatives (済ませて → 済ま+せ+て).  What it pins:
+    # 経たない stays 経つ(未然)+ない even though the fused 経た(経る) row
+    # is 50 cheaper (tests/test_tokenizer.py, round-6 wave 307).
+    (VERB_CONJ, AUX_NAI): -500,
 }

@@ -478,6 +478,48 @@ class TestConnectionMatrix:
         a = JapaneseAnalyzer()
         assert a.tokenize("行ってきた") == ["行く", "くる"]
 
+    def test_fused_rows_are_terminal_kitanai(self):
+        # Round-6 audit: fused カ変 rows carried the 連用 class via the
+        # base≠surface fallback, so きた absorbed a following ない through
+        # the 連用形→助動詞 reward — きたない tokenized くる+ない.  With
+        # cform 基本形 the fused surface is terminal and the adjective
+        # wins on word cost (1200 vs 1200+100).
+        rich = JapaneseAnalyzer(stop_words=[], stop_tags=[])
+        assert rich.tokenize("きたない") == ["きたない"]
+        assert rich.tokenize("部屋がきたない") == ["部屋", "が", "きたない"]
+
+    def test_cahen_fused_polite_forms(self):
+        # Wave 307: きました/きません extend the fused カ変 tier; the
+        # でき-guard must hold for the polite forms too.
+        a = JapaneseAnalyzer()
+        assert a.tokenize("友達がきました") == ["友達", "くる"]
+        rich = JapaneseAnalyzer(stop_words=[], stop_tags=[])
+        assert rich.tokenize("準備ができました") == ["準備", "が", "できる", "まし", "た"]
+
+    def test_single_kanji_stem_ichidan_fused(self):
+        # Wave 307: 2-char ichidan verbs whose 1-char 連用形 stem is
+        # length-filtered (煮る/似る/射る/経る) get fused stem+aux rows —
+        # 煮た/煮て/煮ました now lemmatize instead of shredding.
+        rich = JapaneseAnalyzer(stop_words=[], stop_tags=[])
+        assert rich.tokenize("煮物を煮た") == ["煮物", "を", "煮る"]
+        assert rich.tokenize("煮て") == ["煮る"]
+        assert rich.tokenize("よく似ている") == ["よく", "似る", "いる"]
+
+    def test_heru_tatsu_disambiguation(self):
+        # 経た/経て are 経る (the fused row wins its -50 tie-break against
+        # 経つ's 未然形 and 経てる's 連用形); 経たない stays 経つ via the
+        # 未然形→ない reward; 経った stays 経つ (促音便 is 経つ-only).
+        rich = JapaneseAnalyzer(stop_words=[], stop_tags=[])
+        assert rich.tokenize("手続きを経た") == ["手続き", "を", "経る"]
+        assert rich.tokenize("3年を経て") == ["3", "年", "を", "経る"]
+        assert rich.tokenize("時間が経たない") == ["時間", "が", "経つ", "ない"]
+        assert rich.tokenize("2時間が経った") == ["2", "時間", "が", "経つ", "た"]
+
+    def test_wave307_missing_verbs(self):
+        a = JapaneseAnalyzer()
+        assert a.tokenize("ピアノを弾いた") == ["ピアノ", "弾く"]
+        assert a.tokenize("りんごをかじった") == ["りんご", "かじる"]
+
     def test_classes_from_cform_and_heuristic(self):
         from hive_udf_neologd_spark.tokenizer import connection as C
 
