@@ -520,6 +520,27 @@ class TestConnectionMatrix:
         assert a.tokenize("ピアノを弾いた") == ["ピアノ", "弾く"]
         assert a.tokenize("りんごをかじった") == ["りんご", "かじる"]
 
+    def test_particle_shadowed_formal_nouns(self):
+        # Wave 309 (audit 77): six FORMAL_NOUNS could never win the
+        # lattice because cheaper function-word decompositions strictly
+        # undercut COST_NOUN (もの → も+の at 100, ばかり → ば+かりる with
+        # the renyo→aux reward, …).  Per-word cost overrides in the
+        # generator put each under its cheapest shadow path.
+        rich = JapaneseAnalyzer(stop_words=[], stop_tags=[])
+        assert rich.tokenize("食べたもの") == ["食べる", "た", "もの"]
+        assert rich.tokenize("似たもの同士") == ["似る", "もの", "同士"]
+        assert rich.tokenize("みんなで遊ぶ") == ["みんな", "で", "遊ぶ"]
+        assert rich.tokenize("君のせいだ") == ["君", "の", "せい", "だ"]
+        assert rich.tokenize("そのとおりです") == ["その", "とおり", "です"]
+        assert rich.tokenize("ついでに買う") == ["ついで", "に", "買う"]
+        assert rich.tokenize("食べてばかりだ") == ["食べる", "て", "ばかり", "だ"]
+        # Genuine も+X adjacency must NOT be stolen by the cheap もの row.
+        assert rich.tokenize("彼ものんびりした") == ["彼", "も", "のんびり", "し", "た"]
+        # ものすごい is a lexicalized adjective; ものすごく has the adverb
+        # row (mirroring すごく) so it beats もの+すごく.
+        assert rich.tokenize("ものすごい音") == ["ものすごい", "音"]
+        assert rich.tokenize("ものすごく速い") == ["ものすごく", "速い"]
+
     def test_classes_from_cform_and_heuristic(self):
         from hive_udf_neologd_spark.tokenizer import connection as C
 
