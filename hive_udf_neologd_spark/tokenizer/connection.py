@@ -53,7 +53,13 @@ ADJ_CONJ = 8
 VERB_CONT = 9    # 連用形 / 連用タ接続 / 連用テ接続 — the aux-attachment state
 ADJ_CONT = 10
 AUX_NAI = 11     # the auxiliary ない alone — 未然形's canonical partner
-N_CLASSES = 12
+AUX_U = 12       # う (volitional) — attaches only to 未然ウ接続 / aux
+VERB_CONJ_U = 13 # 未然ウ接続 verb rows (行こ) — う's attachment site
+ADJ_CONJ_U = 14  # 未然ウ接続 adjective rows (高かろ)
+AUX_N = 15       # ん (ぬ/の contraction) — attaches only to 未然形 / aux
+AUX_VATT = 16    # れ/せ/られ/させ/れる/…/ぬ — attach only to 未然形・連用形
+AUX_TAI = 17     # たい/たく — attach only to 連用形
+N_CLASSES = 18
 
 # 連用 (continuative) forms — the state auxiliaries attach to (聴い+た,
 # でき+ます, 高かっ+た).  Deliberately NOT including 未然形: rewarding
@@ -62,9 +68,14 @@ N_CLASSES = 12
 # round 6 and excluded by construction).
 _RENYO_FORMS = frozenset({"連用形", "連用タ接続", "連用テ接続"})
 
+# 未然ウ接続 — the only conjugation form the volitional う attaches to;
+# its own class so う's hard constraint can distinguish it from ガル接続
+# and 仮定形 (めんどう must NOT parse as めんど(ガル)+う).
+_MIZEN_U_FORMS = frozenset({"未然ウ接続"})
+
 # Other conjugated (non-terminal, non-連用) forms.
 _OTHER_CONJ_FORMS = frozenset({
-    "未然形", "未然ウ接続", "未然ヌ接続", "未然レル接続", "仮定形",
+    "未然形", "未然ヌ接続", "未然レル接続", "仮定形",
     "ガル接続", "体言接続", "命令ｒｏ", "命令ｉ", "命令ｙｏ", "命令ｅ",
 })
 
@@ -94,11 +105,34 @@ def entry_classes(
         # Right class stays AUX: nothing keys on "after ない".
         if surface == "ない":
             return (AUX_NAI, AUX)
+        # う (volitional) and ん (ぬ/の contractions) are single hiragana
+        # with cost 100 — cheap enough to shred any hiragana content word
+        # (うまい → う+まい, うに → う+に, ませ+ん fine but BOS+ん not).
+        # Grammatically う attaches ONLY to 未然ウ接続 forms (行こ+う,
+        # 高かろ+う) and auxiliaries (ましょ+う, だろ+う); ん ONLY to
+        # 未然形 (行か+ん) and auxiliaries (ませ+ん, た+ん).  Their own
+        # left classes + the BLOCK rows below enforce that.
+        if surface == "う":
+            return (AUX_U, AUX)
+        if surface == "ん":
+            return (AUX_N, AUX)
+        # Passive/causative morphemes and ぬ attach only to verb stems
+        # (未然形 行か+れる; ichidan stems are classed 連用 here, 食べ+
+        # られる) — never to nouns/particles/BOS, which is what let the
+        # cost-100 れ/せ rows shred hiragana nouns (ほうれんそう →
+        # ほう+れ+ん+そう).  たい/たく likewise attach only to 連用形.
+        if surface in ("れ", "られ", "せ", "させ", "れる", "られる",
+                       "せる", "させる", "ぬ"):
+            return (AUX_VATT, AUX)
+        if surface in ("たい", "たく", "たかっ"):
+            return (AUX_TAI, AUX)
         c = AUX
     elif top in ("動詞", "形容詞"):
         if cform is not None:
             if cform in _RENYO_FORMS:
                 kind = "cont"
+            elif cform in _MIZEN_U_FORMS:
+                kind = "conj_u"
             elif cform in _OTHER_CONJ_FORMS:
                 kind = "conj"
             else:
@@ -114,9 +148,11 @@ def entry_classes(
                 else "base"
             )
         if top == "動詞":
-            c = {"cont": VERB_CONT, "conj": VERB_CONJ, "base": VERB_BASE}[kind]
+            c = {"cont": VERB_CONT, "conj": VERB_CONJ,
+                 "conj_u": VERB_CONJ_U, "base": VERB_BASE}[kind]
         else:
-            c = {"cont": ADJ_CONT, "conj": ADJ_CONJ, "base": ADJ_BASE}[kind]
+            c = {"cont": ADJ_CONT, "conj": ADJ_CONJ,
+                 "conj_u": ADJ_CONJ_U, "base": ADJ_BASE}[kind]
     else:
         c = DEFAULT
     return (c, c)
@@ -131,6 +167,12 @@ CONNECTION_COSTS: dict[tuple[int, int], int] = {
     # must be mirrored for it (食べ+ない, 高く+ない keep their reward).
     (VERB_CONT, AUX_NAI): -800,
     (ADJ_CONT, AUX_NAI): -800,
+    # …and for たい/たく/たかっ (AUX_TAI): without the mirror, 会い+たかっ
+    # +た (1400) loses to 会い+た+かっ(買う)+た (1000, two rewarded た).
+    # Deliberately NOT mirrored for AUX_VATT: rewarding 未然形/連用形
+    # before せ/れ re-analyzes lexicalized causatives (済ませて — the
+    # _RENYO_FORMS note), and no correct parse needs it.
+    (VERB_CONT, AUX_TAI): -800,
     # 未然形→ない, the canonical negative bigram (IPADIC's matrix rewards
     # it strongly).  Smaller than the 連用 reward, and scoped to ない
     # alone: rewarding 未然形 before EVERY auxiliary re-analyzes
@@ -139,3 +181,33 @@ CONNECTION_COSTS: dict[tuple[int, int], int] = {
     # is 50 cheaper (tests/test_tokenizer.py, round-6 wave 307).
     (VERB_CONJ, AUX_NAI): -500,
 }
+
+# Hard attachment constraints (the matrix.def analog of IPADIC's huge
+# costs for ungrammatical context pairs — not a "rare bigram" penalty):
+# う may follow only 未然ウ接続 forms (行こ+う, 高かろ+う) and other
+# auxiliaries (ましょ+う, だろ+う, ない+ん via AUX_NAI's right class
+# AUX); ん may follow only 未然形 (行か+ん — VERB_CONJ) and auxiliaries
+# (ませ+ん, 食べた+ん+だ).  Every other left context is grammatically
+# impossible and gets BLOCK.  This is what stops the cost-100 う/ん rows
+# from shredding hiragana content words from the left edge: うまい →
+# う+まい, うたう → う+た+う, うとうと → う+と+う+と, めんどう →
+# めんど(ガル接続)+う all collapse to the content/unknown word once the
+# illegal contexts are blocked (round-6 self-coverage audit over all
+# 59k surfaces).  Unknown-word behavior note: a BLOCKed pair can flip a
+# path onto an unknown-run node (うん → one unknown token instead of
+# う+ん) — that direction is the correct one here and is golden-pinned.
+BLOCK = 10000
+for _left in (DEFAULT, BOS, NOUN, PARTICLE, VERB_BASE, VERB_CONT,
+              VERB_CONJ, ADJ_BASE, ADJ_CONT, ADJ_CONJ):
+    CONNECTION_COSTS[(_left, AUX_U)] = BLOCK
+for _left in (DEFAULT, BOS, NOUN, PARTICLE, VERB_BASE, VERB_CONT,
+              VERB_CONJ_U, ADJ_BASE, ADJ_CONT, ADJ_CONJ, ADJ_CONJ_U):
+    CONNECTION_COSTS[(_left, AUX_N)] = BLOCK
+# れ/せ/られ/…/ぬ (AUX_VATT): legal after 未然形 (VERB_CONJ) and ichidan
+# stems (VERB_CONT); たい/たく (AUX_TAI): legal after 連用形 only.
+for _left in (DEFAULT, BOS, NOUN, PARTICLE, AUX, VERB_BASE, VERB_CONJ_U,
+              ADJ_BASE, ADJ_CONT, ADJ_CONJ, ADJ_CONJ_U):
+    CONNECTION_COSTS[(_left, AUX_VATT)] = BLOCK
+for _left in (DEFAULT, BOS, NOUN, PARTICLE, AUX, VERB_BASE, VERB_CONJ,
+              VERB_CONJ_U, ADJ_BASE, ADJ_CONT, ADJ_CONJ, ADJ_CONJ_U):
+    CONNECTION_COSTS[(_left, AUX_TAI)] = BLOCK

@@ -520,6 +520,46 @@ class TestConnectionMatrix:
         assert a.tokenize("ピアノを弾いた") == ["ピアノ", "弾く"]
         assert a.tokenize("りんごをかじった") == ["りんご", "かじる"]
 
+    def test_aux_hard_attachment_constraints(self):
+        # Round-6 audit 78: う/ん/れ/せ/たい are cost-100 hiragana rows
+        # that shredded content words from the left edge until their
+        # attachment sites were constrained (BLOCK rows in connection.py).
+        rich = JapaneseAnalyzer(stop_words=[], stop_tags=[])
+        # Shreds fixed (each previously started with a stray auxiliary):
+        assert rich.tokenize("うまい") == ["うまい"]
+        assert rich.tokenize("うに") == ["うに"]
+        assert rich.tokenize("歌をうたう") == ["歌", "を", "うたう"]
+        assert rich.tokenize("うとうと") == ["うとうと"]
+        assert rich.tokenize("ほうれんそう") == ["ほうれんそう"]
+        # Legal attachments preserved:
+        assert rich.tokenize("行こう") == ["行く", "う"]
+        assert rich.tokenize("行かん") == ["行く", "ん"]
+        assert rich.tokenize("ありません") == ["ある", "ませ", "ん"]
+        assert rich.tokenize("でしょう") == ["でしょ", "う"]
+        assert rich.tokenize("食べたんだ") == ["食べる", "た", "ん", "だ"]
+        assert rich.tokenize("食べられる") == ["食べる", "られる"]
+        assert rich.tokenize("行かれる") == ["行く", "れる"]
+        assert rich.tokenize("食べたい") == ["食べる", "たい"]
+        assert rich.tokenize("会いたかった") == ["会う", "たかっ", "た"]
+        # (NOUN, AUX_VATT) BLOCK keeps genuine paths anchored:
+        assert rich.tokenize("彼はしかられた") == ["彼", "は", "しかる", "れ", "た"]
+
+    def test_shadow_audit_cost_overrides(self):
+        # Round-6 self-coverage audit: hiragana words whose shreds were
+        # strictly cheaper get (shadow − 50) override costs in the
+        # generator (_EXTRA_COST_ROWS).
+        rich = JapaneseAnalyzer(stop_words=[], stop_tags=[])
+        assert rich.tokenize("彼はとても優しい") == ["彼", "は", "とても", "優しい"]
+        assert rich.tokenize("なかなか難しい") == ["なかなか", "難しい"]
+        assert rich.tokenize("さようなら") == ["さようなら"]
+        assert rich.tokenize("いただきます") == ["いただきます"]
+        assert rich.tokenize("きつねうどん") == ["きつね", "うどん"]
+        assert rich.tokenize("きついね") == ["きつい", "ね"]  # NOT きつね
+        assert rich.tokenize("よさを知る") == ["よさ", "を", "知る"]
+        assert rich.tokenize("いったん停止") == ["いったん", "停止"]
+        assert rich.tokenize("おれが行く") == ["おれ", "が", "行く"]
+        assert rich.tokenize("枝がおれた") == ["枝", "が", "おれる", "た"]
+
     def test_particle_shadowed_formal_nouns(self):
         # Wave 309 (audit 77): six FORMAL_NOUNS could never win the
         # lattice because cheaper function-word decompositions strictly
