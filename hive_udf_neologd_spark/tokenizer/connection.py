@@ -59,7 +59,9 @@ ADJ_CONJ_U = 14  # 未然ウ接続 adjective rows (高かろ)
 AUX_N = 15       # ん (ぬ/の contraction) — attaches only to 未然形 / aux
 AUX_VATT = 16    # れ/せ/られ/させ/れる/…/ぬ — attach only to 未然形・連用形
 AUX_TAI = 17     # たい/たく — attach only to 連用形
-N_CLASSES = 18
+VERB_CONT_REN = 18  # GODAN 連用形 (焼き/飲み) — takes ます/たい, NOT た/ない
+AUX_TA = 19      # た — attaches to 連用タ接続/ichidan stems/aux, NOT 五段連用形
+N_CLASSES = 20
 
 # 連用 (continuative) forms — the state auxiliaries attach to (聴い+た,
 # でき+ます, 高かっ+た).  Deliberately NOT including 未然形: rewarding
@@ -85,6 +87,7 @@ def entry_classes(
     base_form: str | None = None,
     surface: str = "",
     cform: str | None = None,
+    ctype: str | None = None,
 ) -> tuple[int, int]:
     """Map one dictionary entry to (left_class, right_class).
 
@@ -126,11 +129,29 @@ def entry_classes(
             return (AUX_VATT, AUX)
         if surface in ("たい", "たく", "たかっ"):
             return (AUX_TAI, AUX)
+        # た attaches to 音便 forms (焼い+た, 飲ん+だ via the だ row),
+        # ichidan stems (食べ+た) and auxiliaries (まし+た) — but NOT to
+        # godan 連用形 (焼きた is not Japanese): that shred is what read
+        # 焼きたて as 焼き+た+て (round-6 audit).
+        if surface == "た":
+            return (AUX_TA, AUX)
         c = AUX
     elif top in ("動詞", "形容詞"):
         if cform is not None:
             if cform in _RENYO_FORMS:
-                kind = "cont"
+                # Godan 連用形 (焼き) is its own attachment state: ます/
+                # たい attach, た/ない/れる do not (those take 音便 or
+                # 未然形).  Ichidan stems and 音便 rows stay fully
+                # permissive VERB_CONT.
+                if (
+                    cform == "連用形"
+                    and ctype is not None
+                    and ctype.startswith("五段")
+                    and top == "動詞"
+                ):
+                    kind = "ren"
+                else:
+                    kind = "cont"
             elif cform in _MIZEN_U_FORMS:
                 kind = "conj_u"
             elif cform in _OTHER_CONJ_FORMS:
@@ -148,7 +169,7 @@ def entry_classes(
                 else "base"
             )
         if top == "動詞":
-            c = {"cont": VERB_CONT, "conj": VERB_CONJ,
+            c = {"cont": VERB_CONT, "ren": VERB_CONT_REN, "conj": VERB_CONJ,
                  "conj_u": VERB_CONJ_U, "base": VERB_BASE}[kind]
         else:
             c = {"cont": ADJ_CONT, "conj": ADJ_CONJ,
@@ -173,6 +194,15 @@ CONNECTION_COSTS: dict[tuple[int, int], int] = {
     # before せ/れ re-analyzes lexicalized causatives (済ませて — the
     # _RENYO_FORMS note), and no correct parse needs it.
     (VERB_CONT, AUX_TAI): -800,
+    # た (AUX_TA) keeps the canonical reward after its legal sites:
+    # 音便/ichidan stems (VERB_CONT: 焼い+た, 食べ+た) and 連用タ接続
+    # adjectives (高かっ+た).
+    (VERB_CONT, AUX_TA): -800,
+    (ADJ_CONT, AUX_TA): -800,
+    # Godan 連用形 (VERB_CONT_REN) keeps its legal-attachment rewards:
+    # 焼き+ます, 焼き+たい.
+    (VERB_CONT_REN, AUX): -800,
+    (VERB_CONT_REN, AUX_TAI): -800,
     # 未然形→ない, the canonical negative bigram (IPADIC's matrix rewards
     # it strongly).  Smaller than the 連用 reward, and scoped to ない
     # alone: rewarding 未然形 before EVERY auxiliary re-analyzes
@@ -211,3 +241,18 @@ for _left in (DEFAULT, BOS, NOUN, PARTICLE, AUX, VERB_BASE, VERB_CONJ_U,
 for _left in (DEFAULT, BOS, NOUN, PARTICLE, AUX, VERB_BASE, VERB_CONJ,
               VERB_CONJ_U, ADJ_BASE, ADJ_CONT, ADJ_CONJ, ADJ_CONJ_U):
     CONNECTION_COSTS[(_left, AUX_TAI)] = BLOCK
+# Godan 連用形 cannot take た/ない/passive-causative morphemes (焼きた,
+# 飲みない, 読みれる are not Japanese — those attach to 音便/未然形), and
+# た cannot follow it.  This closes the 焼きたて → 焼き+た+て shred class
+# (round-6 audit) while 焼き+ます / 焼き+たい keep their rewards above.
+# (ADJ_CONT is NOT in た's block list: it covers 連用タ接続 — 高かっ+た
+# is the canonical adjective past and keeps its -800 reward above.)
+for _left in (DEFAULT, BOS, NOUN, PARTICLE, VERB_BASE, VERB_CONJ,
+              VERB_CONJ_U, ADJ_BASE, ADJ_CONJ, ADJ_CONJ_U,
+              VERB_CONT_REN):
+    CONNECTION_COSTS[(_left, AUX_TA)] = BLOCK
+CONNECTION_COSTS[(VERB_CONT_REN, AUX_NAI)] = BLOCK
+CONNECTION_COSTS[(VERB_CONT_REN, AUX_VATT)] = BLOCK
+for _left in (VERB_CONT_REN,):
+    CONNECTION_COSTS[(_left, AUX_U)] = BLOCK
+    CONNECTION_COSTS[(_left, AUX_N)] = BLOCK

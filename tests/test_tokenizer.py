@@ -544,6 +544,21 @@ class TestConnectionMatrix:
         # (NOUN, AUX_VATT) BLOCK keeps genuine paths anchored:
         assert rich.tokenize("彼はしかられた") == ["彼", "は", "しかる", "れ", "た"]
 
+    def test_godan_renyokei_split(self):
+        # Round-6 連用形 split: godan 連用形 (焼き) takes ます/たい but NOT
+        # た/ない/れる (those attach to 音便/未然形 — 焼きた is not
+        # Japanese).  Closes the 焼きたて → 焼き+た+て shred class while
+        # every legal attachment keeps its reward.
+        rich = JapaneseAnalyzer(stop_words=[], stop_tags=[])
+        assert rich.tokenize("焼きたてのパン") == ["焼きたて", "の", "パン"]
+        assert rich.tokenize("炊きたてのごはん") == ["炊きたて", "の", "ごはん"]
+        assert rich.tokenize("噛み合わせが悪い") == ["噛み合わせ", "が", "悪い"]
+        assert rich.tokenize("飲みます") == ["飲む", "ます"]
+        assert rich.tokenize("焼きたい") == ["焼く", "たい"]
+        assert rich.tokenize("焼いた") == ["焼く", "た"]
+        assert rich.tokenize("飲んだ") == ["飲む", "だ"]
+        assert rich.tokenize("紅葉が美しかった") == ["紅葉", "が", "美しい", "た"]
+
     def test_shadow_audit_cost_overrides(self):
         # Round-6 self-coverage audit: hiragana words whose shreds were
         # strictly cheaper get (shadow − 50) override costs in the
@@ -575,7 +590,9 @@ class TestConnectionMatrix:
         assert rich.tokenize("ついでに買う") == ["ついで", "に", "買う"]
         assert rich.tokenize("食べてばかりだ") == ["食べる", "て", "ばかり", "だ"]
         # Genuine も+X adjacency must NOT be stolen by the cheap もの row.
-        assert rich.tokenize("彼ものんびりした") == ["彼", "も", "のんびり", "し", "た"]
+        # (し lemmatizes to する since the 連用形-split: し(助詞)+た is
+        # blocked, so the する 連用形 row carries the rewarded path.)
+        assert rich.tokenize("彼ものんびりした") == ["彼", "も", "のんびり", "する", "た"]
         # ものすごい is a lexicalized adjective; ものすごく has the adverb
         # row (mirroring すごく) so it beats もの+すごく.
         assert rich.tokenize("ものすごい音") == ["ものすごい", "音"]
