@@ -61,7 +61,8 @@ AUX_VATT = 16    # ã‚Œ/ã›/ã‚‰ã‚Œ/ã•ã›/ã‚Œã‚‹/â€¦/ã¬ â€” attach only to æœªç„
 AUX_TAI = 17     # ãŸã„/ãŸã â€” attach only to é€£ç”¨å½¢
 VERB_CONT_REN = 18  # GODAN é€£ç”¨å½¢ (ç„¼ã/é£²ã¿) â€” takes ã¾ã™/ãŸã„, NOT ãŸ/ãªã„
 AUX_TA = 19      # ãŸ â€” attaches to é€£ç”¨ã‚¿æ¥ç¶š/ichidan stems/aux, NOT äº”æ®µé€£ç”¨å½¢
-N_CLASSES = 20
+AUX_NAKU = 20    # ãªã (ãªã„ é€£ç”¨ãƒ†æ¥ç¶š) â€” like ãªã„ but NOT after particles
+N_CLASSES = 21
 
 # é€£ç”¨ (continuative) forms â€” the state auxiliaries attach to (è´ã„+ãŸ,
 # ã§ã+ã¾ã™, é«˜ã‹ã£+ãŸ).  Deliberately NOT including æœªç„¶å½¢: rewarding
@@ -108,6 +109,11 @@ def entry_classes(
         # Right class stays AUX: nothing keys on "after ãªã„".
         if surface == "ãªã„":
             return (AUX_NAI, AUX)
+        # ãªã (ãªã„'s é€£ç”¨ãƒ†æ¥ç¶š: æ¥ãªããªã£ãŸ) â€” unlike ãªã„ it must NOT
+        # follow particles/nouns: é³¥ãŒãªã must keep the é³´ã verb reading,
+        # while ã“ã¨ãŒãªã„ is legal for ãªã„ itself.
+        if surface == "ãªã":
+            return (AUX_NAKU, AUX)
         # ã† (volitional) and ã‚“ (ã¬/ã® contractions) are single hiragana
         # with cost 100 â€” cheap enough to shred any hiragana content word
         # (ã†ã¾ã„ â†’ ã†+ã¾ã„, ã†ã« â†’ ã†+ã«, ã¾ã›+ã‚“ fine but BOS+ã‚“ not).
@@ -256,3 +262,12 @@ CONNECTION_COSTS[(VERB_CONT_REN, AUX_VATT)] = BLOCK
 for _left in (VERB_CONT_REN,):
     CONNECTION_COSTS[(_left, AUX_U)] = BLOCK
     CONNECTION_COSTS[(_left, AUX_N)] = BLOCK
+# ãªã (AUX_NAKU): legal after æœªç„¶å½¢/ichidan stems/é€£ç”¨ adjectives/aux
+# (è¡Œã‹+ãªã, é£Ÿã¹+ãªã, é«˜ã+ãªã, è¡ŒããŸã+ãªã) with the mirrored
+# rewards; blocked after particles/nouns/BOS so é³¥ãŒãªã keeps é³´ã.
+CONNECTION_COSTS[(VERB_CONT, AUX_NAKU)] = -800
+CONNECTION_COSTS[(ADJ_CONT, AUX_NAKU)] = -800
+CONNECTION_COSTS[(VERB_CONJ, AUX_NAKU)] = -500
+for _left in (DEFAULT, BOS, NOUN, PARTICLE, VERB_BASE, VERB_CONJ_U,
+              ADJ_BASE, ADJ_CONJ, ADJ_CONJ_U, VERB_CONT_REN):
+    CONNECTION_COSTS[(_left, AUX_NAKU)] = BLOCK

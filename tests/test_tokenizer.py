@@ -559,6 +559,16 @@ class TestConnectionMatrix:
         assert rich.tokenize("飲んだ") == ["飲む", "だ"]
         assert rich.tokenize("紅葉が美しかった") == ["紅葉", "が", "美しい", "た"]
 
+    def test_naku_negative_auxiliary(self):
+        # Wave 312: なく (ない 連用テ接続) with its own constrained class —
+        # legal after 未然形/ichidan stems/連用 adjectives, blocked after
+        # particles so it can never absorb a 鳴く-style verb context.
+        rich = JapaneseAnalyzer(stop_words=[], stop_tags=[])
+        assert rich.tokenize("通知が来なくなった") == ["通知", "が", "来る", "なく", "なる", "た"]
+        assert rich.tokenize("食べなくなった") == ["食べる", "なく", "なる", "た"]
+        assert rich.tokenize("行きたくなくて") == ["行く", "たく", "なく", "て"]
+        assert "なく" not in rich.tokenize("鳥がなく")  # no aux reading after が
+
     def test_shadow_audit_cost_overrides(self):
         # Round-6 self-coverage audit: hiragana words whose shreds were
         # strictly cheaper get (shadow − 50) override costs in the
