@@ -73,6 +73,16 @@ _CONN_ROWS: dict[int, dict[int, int]] = {}
 for (_pr, _nl), _c in connection.CONNECTION_COSTS.items():
     _CONN_ROWS.setdefault(_pr, {})[_nl] = _c
 
+# Dense form for the Viterbi hot loop: _CONN2D[prev_rc][next_lc] → cost
+# (0 for unlisted pairs).  Tuples of ints — one index op per candidate.
+_CONN2D: tuple[tuple[int, ...], ...] = tuple(
+    tuple(
+        connection.CONNECTION_COSTS.get((pr, nl), 0)
+        for nl in range(connection.N_CLASSES)
+    )
+    for pr in range(connection.N_CLASSES)
+)
+
 
 class Token(tuple):
     """(surface, term, pos, base_form, reading, is_punct, is_unknown) —
@@ -179,52 +189,37 @@ class Lattice:
             incoming = ends[i]
             if incoming is None:
                 continue
-            # Per-position incoming minima: ``base``/``bidx`` ignore the
-            # connection matrix; ``special`` maps each next-left-class
-            # that SOME incoming class has a matrix row for to its own
-            # (min, idx).  The sparse matrix makes this O(rows) per
-            # position and removes the per-candidate inner loop entirely.
-            base = _INF
-            bidx = -2
-            special = None
-            for prc, idx in incoming.items():
-                t0 = node_total[idx] if idx >= 0 else 0
-                if t0 < base:
-                    base = t0
-                    bidx = idx
-                if prc in _CONN_ROWS:
-                    special = {}
-            if special is not None:
-                for tlc in {
-                    k for prc in incoming if prc in _CONN_ROWS
-                    for k in _CONN_ROWS[prc]
-                }:
-                    sb = _INF
-                    sidx = -2
-                    for prc, idx in incoming.items():
-                        t0 = node_total[idx] if idx >= 0 else 0
-                        row = _CONN_ROWS.get(prc)
-                        if row is not None:
-                            cc = row.get(tlc)
-                            if cc is not None:
-                                t0 = t0 + cc
-                        if t0 < sb:
-                            sb = t0
-                            sidx = idx
-                    special[tlc] = (sb, sidx)
+            # Per-position incoming snapshot.  The round-6 hard-constraint
+            # matrix gives most prev classes a row, so the earlier
+            # precompute-every-target-class approach did O(all rows) work
+            # per position; a direct min over the incoming classes
+            # (typically 1-3) per candidate, against a DENSE per-class
+            # cost vector (_CONN2D, default 0), is cheaper and preserves
+            # the strict-< first-achiever tie-break exactly (same
+            # insertion-order iteration, same strict comparison).
+            inc = [
+                (idx, node_total[idx] if idx >= 0 else 0, _CONN2D[prc])
+                for prc, idx in incoming.items()
+            ]
+            if len(inc) == 1:
+                idx0, t00, row0 = inc[0]
+                inc = None
+            else:
+                idx0 = t00 = row0 = None
 
             def relax(ln, wc, e, ptag, punct, lc, rc):
-                if special is not None:
-                    pair = special.get(lc)
-                    if pair is not None:
-                        total = pair[0] + wc
-                        bi = pair[1]
-                    else:
-                        total = base + wc
-                        bi = bidx
+                if inc is None:
+                    total = t00 + row0[lc] + wc
+                    bi = idx0
                 else:
-                    total = base + wc
-                    bi = bidx
+                    best = _INF
+                    bi = -2
+                    for idx, t0, row in inc:
+                        t = t0 + row[lc]
+                        if t < best:
+                            best = t
+                            bi = idx
+                    total = best + wc
                 j = i + ln
                 slot = ends[j]
                 if slot is None:
