@@ -148,11 +148,17 @@ def entry_classes(
                 # Godan 連用形 (焼き) is its own attachment state: ます/
                 # たい attach, た/ない/れる do not (those take 音便 or
                 # 未然形).  Ichidan stems and 音便 rows stay fully
-                # permissive VERB_CONT.
+                # permissive VERB_CONT.  サ行 is the exception among
+                # godan rows: it has NO 音便, so 話し+た / うつし+た ARE
+                # the correct past-tense bigrams — サ行 連用形 stays
+                # VERB_CONT (round-6 bug: the blanket 五段 check broke
+                # うつした/わたした for snapshot-only サ行 verbs; the
+                # hand lexicon's cform-less rows masked it for 話す).
                 if (
                     cform == "連用形"
                     and ctype is not None
                     and ctype.startswith("五段")
+                    and not ctype.startswith("五段・サ行")
                     and top == "動詞"
                 ):
                     kind = "ren"
