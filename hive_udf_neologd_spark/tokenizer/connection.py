@@ -131,7 +131,7 @@ def entry_classes(
         # cost-100 れ/せ rows shred hiragana nouns (ほうれんそう →
         # ほう+れ+ん+そう).  たい/たく likewise attach only to 連用形.
         if surface in ("れ", "られ", "せ", "させ", "れる", "られる",
-                       "せる", "させる", "ぬ"):
+                       "せる", "させる", "ぬ", "ず"):
             return (AUX_VATT, AUX)
         if surface in ("たい", "たく", "たかっ"):
             return (AUX_TAI, AUX)
