@@ -62,7 +62,12 @@ AUX_TAI = 17     # たい/たく — attach only to 連用形
 VERB_CONT_REN = 18  # GODAN 連用形 (焼き/飲み) — takes ます/たい, NOT た/ない
 AUX_TA = 19      # た — attaches to 連用タ接続/ichidan stems/aux, NOT 五段連用形
 AUX_NAKU = 20    # なく (ない 連用テ接続) — like ない but NOT after particles
-N_CLASSES = 21
+AUX_VSTEM = 21   # RIGHT class of the passive/causative stems れ/られ/せ/
+                 # させ: a 連用形-like attachment state — ず/ぬ/たい may
+                 # follow (知られ+ず, 褒められ+たい) where the generic
+                 # AUX right class keeps them BLOCKed (だ+れ must never
+                 # resurrect the だれ shred)
+N_CLASSES = 22
 
 # 連用 (continuative) forms — the state auxiliaries attach to (聴い+た,
 # でき+ます, 高かっ+た).  Deliberately NOT including 未然形: rewarding
@@ -130,8 +135,17 @@ def entry_classes(
         # られる) — never to nouns/particles/BOS, which is what let the
         # cost-100 れ/せ rows shred hiragana nouns (ほうれんそう →
         # ほう+れ+ん+そう).  たい/たく likewise attach only to 連用形.
-        if surface in ("れ", "られ", "せ", "させ", "れる", "られる",
-                       "せる", "させる", "ぬ", "ず"):
+        # The STEM forms keep accepting downstream auxiliaries that
+        # attach to 連用形-like states (知られ+ず, 行かせ+ぬ, 褒められ+
+        # たい): their right class is AUX_VSTEM, which mirrors AUX
+        # everywhere except the AUX_VATT/AUX_TAI blocks below.
+        if surface in ("れ", "られ", "せ", "させ"):
+            return (AUX_VATT, AUX_VSTEM)
+        # ざる (ぬ's 連体形: 知られ+ざる, 食わ+ざる) shares their
+        # attachment sites; the noun ざる (colander) keeps its own row,
+        # so BOS-anchored ざるそば is unaffected.
+        if surface in ("れる", "られる", "せる", "させる", "ぬ", "ず",
+                       "ざる"):
             return (AUX_VATT, AUX)
         if surface in ("たい", "たく", "たかっ"):
             return (AUX_TAI, AUX)

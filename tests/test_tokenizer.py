@@ -569,6 +569,31 @@ class TestConnectionMatrix:
         assert rich.tokenize("行きたくなくて") == ["行く", "たく", "なく", "て"]
         assert "なく" not in rich.tokenize("鳥がなく")  # no aux reading after が
 
+    def test_zu_zaru_negative_auxiliaries(self):
+        # Waves 318-319: the negative auxiliary ず (and 連体形 ざる) with
+        # the AUX_VATT attachment class, plus AUX_VSTEM — the dedicated
+        # right class of passive/causative stems れ/られ/せ/させ that
+        # lets ず/ぬ/たい chain after them (知られず/褒められたい) while
+        # the generic AUX right class keeps だ+れ BLOCKed (だれ stays a
+        # pronoun row, never an aux shred).
+        rich = JapaneseAnalyzer(stop_words=[], stop_tags=[])
+        assert rich.tokenize("騒がずに待つ") == ["騒ぐ", "ず", "に", "待つ"]
+        assert rich.tokenize("できずに終わった") == ["できる", "ず", "に", "終わる", "た"]
+        assert rich.tokenize("変化せず") == ["変化", "する"]
+        assert rich.tokenize("知られずに") == ["知る", "れ", "ず", "に"]
+        assert rich.tokenize("知られぬ存在") == ["知る", "れ", "ぬ", "存在"]
+        assert rich.tokenize("褒められたい") == ["褒める", "られ", "たい"]
+        assert rich.tokenize("知られざる名作") == ["知る", "れ", "ざる", "名作"]
+        assert rich.tokenize("ざるそば") == ["ざる", "そば"]  # noun, not aux
+        # ず must never shred hiragana content words (self-coverage
+        # audit after the wave: 0 multi-token shreds at 60.7k surfaces).
+        assert rich.tokenize("まず") == ["まず"]
+        assert rich.tokenize("しずか") == ["しずか"]
+        plain = JapaneseAnalyzer()
+        assert plain.tokenize("だれが来たの") == ["だれ", "来る"]
+        assert plain.tokenize("意見が合わない") == ["意見", "合う"]
+        assert plain.tokenize("言わざるをえない") == ["言う", "える"]
+
     def test_shadow_audit_cost_overrides(self):
         # Round-6 self-coverage audit: hiragana words whose shreds were
         # strictly cheaper get (shadow − 50) override costs in the
