@@ -67,7 +67,20 @@ AUX_VSTEM = 21   # RIGHT class of the passive/causative stems れ/られ/せ/
                  # follow (知られ+ず, 褒められ+たい) where the generic
                  # AUX right class keeps them BLOCKed (だ+れ must never
                  # resurrect the だれ shred)
-N_CLASSES = 22
+AUX_COP = 22     # polite copula です/でし/でしょ — NEVER after verb
+                 # 連用形 (×通りです as 通る+です; IPADIC's matrix makes
+                 # this pair enormous), so deverbal nouns like 通り can
+                 # win nominal contexts.  だ deliberately stays generic
+                 # AUX: after 音便 it IS the past tense (飲ん+だ).
+PARTICLE_CASE = 23  # を/が/の — a small authored PENALTY (not BLOCK)
+                 # after verb 連用形: ×読みを/×読みが/×読みの are
+                 # ungrammatical, so a tied deverbal NOUN row (占い,
+                 # 考え, 痛み) wins nominal contexts the way IPADIC's
+                 # matrix decides them.  に is deliberately generic:
+                 # 買い+に+行く (purposive 連用形+に) is grammatical.
+                 # Penalty not BLOCK: with no noun alternative the verb
+                 # parse must survive (連用中止 before を-less gaps).
+N_CLASSES = 24
 
 # 連用 (continuative) forms — the state auxiliaries attach to (聴い+た,
 # でき+ます, 高かっ+た).  Deliberately NOT including 未然形: rewarding
@@ -106,6 +119,13 @@ def entry_classes(
     if top == "名詞":
         c = NOUN
     elif top == "助詞":
+        # を/が/の carry the penalty left class (see PARTICLE_CASE);
+        # their right class stays PARTICLE so downstream pairs are
+        # untouched.
+        # は/も stay generic: 連用形+は/も+する (読みはした) is real
+        # grammar; に stays generic for the purposive 買い+に+行く.
+        if surface in ("を", "が", "の", "と", "へ", "まで", "より"):
+            return (PARTICLE_CASE, PARTICLE)
         c = PARTICLE
     elif top == "助動詞":
         # ない gets its own left class so 未然形→ない can be rewarded
@@ -155,6 +175,8 @@ def entry_classes(
         # 焼きたて as 焼き+た+て (round-6 audit).
         if surface == "た":
             return (AUX_TA, AUX)
+        if surface in ("です", "でし", "でしょ"):
+            return (AUX_COP, AUX)
         c = AUX
     elif top in ("動詞", "形容詞"):
         if cform is not None:
@@ -282,6 +304,18 @@ CONNECTION_COSTS[(VERB_CONT_REN, AUX_VATT)] = BLOCK
 for _left in (VERB_CONT_REN,):
     CONNECTION_COSTS[(_left, AUX_U)] = BLOCK
     CONNECTION_COSTS[(_left, AUX_N)] = BLOCK
+# です/でし/でしょ (AUX_COP): ungrammatical directly after verb 連用形
+# (×行きです, ×通りです — IPADIC's matrix prices these out), which is
+# what let the 連用形→助動詞 reward pull 通り(動詞)+です under the
+# deverbal noun 通り.  Legal after nouns/particles/base forms/aux
+# (の+です, 高い+です, まし+…) — those stay at the sparse default.
+for _left in (VERB_CONT, VERB_CONT_REN, ADJ_CONT):
+    CONNECTION_COSTS[(_left, AUX_COP)] = BLOCK
+# 連用形 + を/が/の: ungrammatical — +200 tips ties toward an existing
+# deverbal-noun row (占い+を over 占う連用+を) without ever stranding
+# inputs that have no noun alternative.
+for _left in (VERB_CONT, VERB_CONT_REN):
+    CONNECTION_COSTS[(_left, PARTICLE_CASE)] = 200
 # なく (AUX_NAKU): legal after 未然形/ichidan stems/連用 adjectives/aux
 # (行か+なく, 食べ+なく, 高く+なく, 行きたく+なく) with the mirrored
 # rewards; blocked after particles/nouns/BOS so 鳥がなく keeps 鳴く.
