@@ -316,6 +316,16 @@ for _left in (VERB_CONT, VERB_CONT_REN, ADJ_CONT):
 # inputs that have no noun alternative.
 for _left in (VERB_CONT, VERB_CONT_REN):
     CONNECTION_COSTS[(_left, PARTICLE_CASE)] = 200
+# 未然ウ接続 rows exist for exactly one successor: う (行こ+う,
+# 高かろ+う).  Anything else after them is ungrammatical, and the
+# cheap hiragana rows steal real text without this (ご清栄のこと read
+# の+のこ(退く未然ウ)+と, audit 89).  BLOCK every next class except
+# AUX_U; sentence-final 行こ! still parses — EOS adds no connection.
+for _next in range(N_CLASSES):
+    if _next == AUX_U:
+        continue
+    CONNECTION_COSTS[(VERB_CONJ_U, _next)] = BLOCK
+    CONNECTION_COSTS[(ADJ_CONJ_U, _next)] = BLOCK
 # なく (AUX_NAKU): legal after 未然形/ichidan stems/連用 adjectives/aux
 # (行か+なく, 食べ+なく, 高く+なく, 行きたく+なく) with the mirrored
 # rewards; blocked after particles/nouns/BOS so 鳥がなく keeps 鳴く.
