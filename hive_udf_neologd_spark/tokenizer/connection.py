@@ -332,6 +332,9 @@ for _next in range(N_CLASSES):
 CONNECTION_COSTS[(VERB_CONT, AUX_NAKU)] = -800
 CONNECTION_COSTS[(ADJ_CONT, AUX_NAKU)] = -800
 CONNECTION_COSTS[(VERB_CONJ, AUX_NAKU)] = -500
-for _left in (DEFAULT, BOS, NOUN, PARTICLE, VERB_BASE, VERB_CONJ_U,
+# NOUN deliberately NOT in なく's block list (wave 333): 問題なく/
+# 遅滞なく/事故なく — noun+なく is the frequent 〜なく pattern, and the
+# 鳴く protection only needs the PARTICLE block (鳥が+なく).
+for _left in (DEFAULT, BOS, PARTICLE, VERB_BASE, VERB_CONJ_U,
               ADJ_BASE, ADJ_CONJ, ADJ_CONJ_U, VERB_CONT_REN):
     CONNECTION_COSTS[(_left, AUX_NAKU)] = BLOCK
