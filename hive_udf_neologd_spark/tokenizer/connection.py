@@ -316,6 +316,14 @@ for _left in (VERB_CONT, VERB_CONT_REN, ADJ_CONT):
 # inputs that have no noun alternative.
 for _left in (VERB_CONT, VERB_CONT_REN):
     CONNECTION_COSTS[(_left, PARTICLE_CASE)] = 200
+# Right-context → EOS costs (matrix.def's BOS/EOS column analog).
+# Sentences do not END in a verb 連用形 — 連用中止 always continues —
+# so a trailing deverbal noun (晴れのち曇り, 会議の終わり) wins the
+# final position instead of tying into the verb reading.  +200 only
+# reorders ties/near-ties: with no noun alternative the verb parse
+# still ends the sentence (fragments like さあ行こ keep parsing).
+EOS_COSTS: dict[int, int] = {VERB_CONT: 200, VERB_CONT_REN: 200}
+
 # 未然ウ接続 rows exist for exactly one successor: う (行こ+う,
 # 高かろ+う).  Anything else after them is ungrammatical, and the
 # cheap hiragana rows steal real text without this (ご清栄のこと read

@@ -83,6 +83,11 @@ _CONN2D: tuple[tuple[int, ...], ...] = tuple(
     for pr in range(connection.N_CLASSES)
 )
 
+# Dense right-context → EOS vector (connection.EOS_COSTS; 0 default).
+_EOS_COSTS: tuple[int, ...] = tuple(
+    connection.EOS_COSTS.get(rc, 0) for rc in range(connection.N_CLASSES)
+)
+
 
 class Token(tuple):
     """(surface, term, pos, base_form, reading, is_punct, is_unknown) —
@@ -296,8 +301,9 @@ class Lattice:
         best = _INF
         idx = -2
         for _rc, k in final.items():  # insertion order
-            if node_total[k] < best:
-                best = node_total[k]
+            t = node_total[k] + _EOS_COSTS[_rc]
+            if t < best:
+                best = t
                 idx = k
         path: list[tuple[int, int]] = []  # (start, node_idx)
         while idx >= 0:
