@@ -70,8 +70,18 @@ AUX_VSTEM = 21   # RIGHT class of the passive/causative stems れ/られ/せ/
 AUX_COP = 22     # polite copula です/でし/でしょ — NEVER after verb
                  # 連用形 (×通りです as 通る+です; IPADIC's matrix makes
                  # this pair enormous), so deverbal nouns like 通り can
-                 # win nominal contexts.  だ deliberately stays generic
-                 # AUX: after 音便 it IS the past tense (飲ん+だ).
+                 # win nominal contexts.  だ gets AUX_DA below: same
+                 # idea, but with the voiced-音便 past-tense exception.
+AUX_DA = 24      # だ alone — copula after nouns (静か+だ, の+だ) AND the
+                 # voiced past auxiliary after ガ/ナ/バ/マ行 音便 stems
+                 # (飲ん+だ, 泳い+だ).  NOT legal after plain 連用形:
+                 # 見通しだ/頼みだ must read the deverbal NOUN + copula,
+                 # not 見通す連用+だ — exactly the です/AUX_COP situation,
+                 # except だ has the phonological 音便 exception below.
+VERB_CONT_DA = 25  # voiced 連用タ接続 (飲ん, 死ん, 遊ん, 泳い): takes
+                 # だ/で, never た (×飲んた) — the ガ/ナ/バ/マ行 half of
+                 # the 音便 split; unvoiced 音便 (書い, 買っ) stays
+                 # VERB_CONT and keeps た.
 PARTICLE_CASE = 23  # を/が/の — a small authored PENALTY (not BLOCK)
                  # after verb 連用形: ×読みを/×読みが/×読みの are
                  # ungrammatical, so a tied deverbal NOUN row (占い,
@@ -80,7 +90,7 @@ PARTICLE_CASE = 23  # を/が/の — a small authored PENALTY (not BLOCK)
                  # 買い+に+行く (purposive 連用形+に) is grammatical.
                  # Penalty not BLOCK: with no noun alternative the verb
                  # parse must survive (連用中止 before を-less gaps).
-N_CLASSES = 24
+N_CLASSES = 26
 
 # 連用 (continuative) forms — the state auxiliaries attach to (聴い+た,
 # でき+ます, 高かっ+た).  Deliberately NOT including 未然形: rewarding
@@ -177,10 +187,27 @@ def entry_classes(
             return (AUX_TA, AUX)
         if surface in ("です", "でし", "でしょ"):
             return (AUX_COP, AUX)
+        # だ: copula after nouns AND the voiced past auxiliary after
+        # ガ/ナ/バ/マ行 音便 (飲ん+だ) — its own left class so plain
+        # 連用形+だ can be penalized (見通しだ must read the deverbal
+        # noun, wave 345) without touching the 音便 past tense.  だろ/
+        # だっ/で stay generic AUX (飲んだろう keeps its reward path).
+        if surface == "だ":
+            return (AUX_DA, AUX)
         c = AUX
     elif top in ("動詞", "形容詞"):
         if cform is not None:
-            if cform in _RENYO_FORMS:
+            if (
+                cform == "連用タ接続"
+                and top == "動詞"
+                and ctype is not None
+                and ctype.startswith(("五段・ガ行", "五段・ナ行",
+                                      "五段・バ行", "五段・マ行"))
+            ):
+                # Voiced 音便 (飲ん, 死ん, 遊ん, 泳い): the only stems
+                # whose past auxiliary is だ, and た never follows them.
+                kind = "cont_da"
+            elif cform in _RENYO_FORMS:
                 # Godan 連用形 (焼き) is its own attachment state: ます/
                 # たい attach, た/ない/れる do not (those take 音便 or
                 # 未然形).  Ichidan stems and 音便 rows stay fully
@@ -210,14 +237,25 @@ def entry_classes(
             # No conjugation-form data (hand-built lexicon 5-tuples): a
             # row whose base_form differs from its surface is conjugated,
             # and the lexicon's conjugated surfaces are predominantly
-            # 連用/タ接続 forms — treat as continuative.
-            kind = (
-                "cont"
-                if base_form is not None and base_form != surface
-                else "base"
-            )
+            # 連用/タ接続 forms — treat as continuative.  The voiced 音便
+            # half is recoverable from the surface alone: no 連用形 ends
+            # in ん (死ぬ's is 死に), so surface-final ん IS ガ/ナ/バ/マ行
+            # 撥音便; surface-final い with a ぐ base is ガ行 イ音便
+            # (泳い).  Keeps lexicon-only verbs' 〜んだ past working
+            # under the (VERB_CONT, AUX_DA) penalty below.
+            if base_form is not None and base_form != surface:
+                if top == "動詞" and (
+                    surface.endswith("ん")
+                    or (surface.endswith("い") and base_form.endswith("ぐ"))
+                ):
+                    kind = "cont_da"
+                else:
+                    kind = "cont"
+            else:
+                kind = "base"
         if top == "動詞":
-            c = {"cont": VERB_CONT, "ren": VERB_CONT_REN, "conj": VERB_CONJ,
+            c = {"cont": VERB_CONT, "cont_da": VERB_CONT_DA,
+                 "ren": VERB_CONT_REN, "conj": VERB_CONJ,
                  "conj_u": VERB_CONJ_U, "base": VERB_BASE}[kind]
         else:
             c = {"cont": ADJ_CONT, "conj": ADJ_CONJ,
@@ -322,7 +360,33 @@ for _left in (VERB_CONT, VERB_CONT_REN):
 # final position instead of tying into the verb reading.  +200 only
 # reorders ties/near-ties: with no noun alternative the verb parse
 # still ends the sentence (fragments like さあ行こ keep parsing).
-EOS_COSTS: dict[int, int] = {VERB_CONT: 200, VERB_CONT_REN: 200}
+EOS_COSTS: dict[int, int] = {
+    VERB_CONT: 200, VERB_CONT_REN: 200, VERB_CONT_DA: 200,
+}
+
+# だ (AUX_DA) — the voiced 音便 split (wave 345).  Legal sites: nouns/
+# particles/auxiliaries (copula/のだ — sparse default 0) and voiced
+# 音便 stems (past tense, rewarded like every canonical 活用+助動詞
+# bigram).  After a plain 連用形 it is ungrammatical (×見通しだ as
+# 見通す+だ, ×頼みだ as 頼む+だ) — a +1000 PENALTY, not BLOCK, so a
+# voiced-音便 row that ever slips through the cont_da classification
+# (or a future cform-less ingest) degrades to a worse score instead of
+# losing its past tense outright.
+CONNECTION_COSTS[(VERB_CONT_DA, AUX_DA)] = -800
+CONNECTION_COSTS[(VERB_CONT, AUX_DA)] = 1000
+CONNECTION_COSTS[(VERB_CONT_REN, AUX_DA)] = 1000
+CONNECTION_COSTS[(ADJ_CONT, AUX_DA)] = 1000
+# Voiced 音便 stems mirror VERB_CONT's generic-aux reward (飲ん+だろ+う
+# keeps the path it had when these rows were VERB_CONT), and inherit
+# its EOS/case-particle treatment above; but the unvoiced-only
+# auxiliaries can never follow them (×飲んた, ×飲んたい, ×飲んない,
+# ×飲んれる, ×飲んです — those attach to 連用形/未然形, which ガ/ナ/
+# バ/マ行 verbs reach via 飲み/飲ま instead).
+CONNECTION_COSTS[(VERB_CONT_DA, AUX)] = -800
+CONNECTION_COSTS[(VERB_CONT_DA, PARTICLE_CASE)] = 200
+for _next in (AUX_TA, AUX_TAI, AUX_VATT, AUX_NAI, AUX_NAKU,
+              AUX_U, AUX_N, AUX_COP):
+    CONNECTION_COSTS[(VERB_CONT_DA, _next)] = BLOCK
 
 # 未然ウ接続 rows exist for exactly one successor: う (行こ+う,
 # 高かろ+う).  Anything else after them is ungrammatical, and the

@@ -645,6 +645,46 @@ class TestConnectionMatrix:
         # Heuristic (no cform): conjugated iff base_form differs.
         assert C.entry_classes("動詞-自立", "行く", "行っ") == (C.VERB_CONT, C.VERB_CONT)
         assert C.entry_classes("動詞-自立", None, "行く") == (C.VERB_BASE, C.VERB_BASE)
+        # Voiced 音便 split (wave 345): ガ/ナ/バ/マ行 連用タ接続 rows are
+        # VERB_CONT_DA (だ attaches, た never) both via cform+ctype and
+        # via the cform-less surface heuristic (ends ん, or ends い with
+        # a ぐ base); unvoiced 音便 (書い, 行っ) stays VERB_CONT.
+        assert C.entry_classes(
+            "動詞-自立", cform="連用タ接続", ctype="五段・マ行"
+        ) == (C.VERB_CONT_DA, C.VERB_CONT_DA)
+        assert C.entry_classes(
+            "動詞-自立", cform="連用タ接続", ctype="五段・カ行イ音便"
+        ) == (C.VERB_CONT, C.VERB_CONT)
+        assert C.entry_classes("動詞-自立", "飲む", "飲ん") == (
+            C.VERB_CONT_DA, C.VERB_CONT_DA)
+        assert C.entry_classes("動詞-自立", "泳ぐ", "泳い") == (
+            C.VERB_CONT_DA, C.VERB_CONT_DA)
+        assert C.entry_classes("動詞-自立", "書く", "書い") == (
+            C.VERB_CONT, C.VERB_CONT)
+        assert C.entry_classes("助動詞", surface="だ") == (C.AUX_DA, C.AUX)
+
+    def test_da_attachment_split(self):
+        """だ (AUX_DA, wave 345): legal after nouns (copula) and voiced
+        音便 stems (past tense); penalized after plain 連用形 so the
+        deverbal NOUN wins 〜だ contexts (見通しだ had re-lemmatized to
+        見通す via the 連用形→助動詞 reward — audit 106)."""
+        rich = JapaneseAnalyzer(stop_words=[], stop_tags=[])
+
+        def surfaces(s):
+            return [t["surface"] for t in rich.analyze_rich(s)]
+
+        # Deverbal noun + copula (was verb 連用形 + だ before the split).
+        assert surfaces("見通しだ") == ["見通し", "だ"]
+        assert surfaces("それは頼みだ") == ["それ", "は", "頼み", "だ"]
+        # Voiced 音便 past tense keeps its reward through AUX_DA…
+        assert surfaces("飲んだ") == ["飲ん", "だ"]
+        assert surfaces("海で泳いだ") == ["海", "で", "泳い", "だ"]
+        assert surfaces("死んだ魚") == ["死ん", "だ", "魚"]
+        # …and the generic-aux mirror keeps 飲ん+だろ+う.
+        assert surfaces("飲んだろう") == ["飲ん", "だろ", "う"]
+        # Noun copula unaffected (sparse default-0 sites).
+        assert surfaces("静かだ") == ["静か", "だ"]
+        assert surfaces("のだ") == ["の", "だ"]
 
 
 class TestLatticeFuzz:
