@@ -43,7 +43,10 @@ T08_TOKENS: dict[tuple[int, str], tuple[str, ...]] = {
     (1, "normal+userdict"): ("関西国際空港", "行く"),
     (2, "normal"): ("きゃりーぱみゅぱみゅ", "新曲", "聴く"),
     (2, "search"): ("きゃりーぱみゅぱみゅ", "新曲", "聴く"),
-    (2, "extended"): ("きゃりーぱみゅぱみゅ", "新", "曲", "聴く"),
+    # (2, extended) recaptured at wave 346: 新曲 became a dictionary word
+    # (it is a real IPADIC entry), so EXTENDED no longer unigram-splits it
+    # — EXTENDED only 1-grams UNKNOWN runs, matching Kuromoji.
+    (2, "extended"): ("きゃりーぱみゅぱみゅ", "新曲", "聴く"),
     (2, "normal+userdict"): ("きゃりーぱみゅぱみゅ", "新曲", "聴く"),
     (3, "normal"): ("日本経済新聞", "読む"),
     (3, "search"): ("日本経済新聞", "日本", "経済", "新聞", "読む"),
