@@ -79,6 +79,13 @@ def main() -> int:
     from hive_udf_neologd_spark.session import get_spark
 
     only = set(sys.argv[1:])
+    unknown = only - set(QUERIES)
+    if unknown:
+        # A typo'd name must be a hard error, not a silent no-op pass — an
+        # "ALL PASS" that checked zero queries is worse than a failure.
+        print(f"unknown query name(s): {sorted(unknown)}", file=sys.stderr)
+        print(f"known: {sorted(QUERIES)}", file=sys.stderr)
+        return 2
     spark = get_spark("oracle-check", cpus=8)
     con = duck_connection()
     failures = 0
