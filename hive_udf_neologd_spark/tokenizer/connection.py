@@ -82,6 +82,14 @@ VERB_CONT_DA = 25  # voiced 連用タ接続 (飲ん, 死ん, 遊ん, 泳い): ta
                  # だ/で, never た (×飲んた) — the ガ/ナ/バ/マ行 half of
                  # the 音便 split; unvoiced 音便 (書い, 買っ) stays
                  # VERB_CONT and keeps た.
+PARTICLE_TE = 26  # the conjunctive particles て/で (助詞-接続助詞 rows
+                 # only — で's 格助詞 row stays generic so 公園で is
+                 # untouched): te-forms attach to 連用/音便 stems, never
+                 # to nouns, so a +200 after NOUN makes a tied verb stem
+                 # win て-contexts (群れ+て+いる must lemmatize 群れる,
+                 # not read the wave-349 deverbal noun 群れ) — the exact
+                 # mirror of PARTICLE_CASE, which tips the SAME ties the
+                 # other way before を/が/の.
 PARTICLE_CASE = 23  # を/が/の — a small authored PENALTY (not BLOCK)
                  # after verb 連用形: ×読みを/×読みが/×読みの are
                  # ungrammatical, so a tied deverbal NOUN row (占い,
@@ -90,7 +98,7 @@ PARTICLE_CASE = 23  # を/が/の — a small authored PENALTY (not BLOCK)
                  # 買い+に+行く (purposive 連用形+に) is grammatical.
                  # Penalty not BLOCK: with no noun alternative the verb
                  # parse must survive (連用中止 before を-less gaps).
-N_CLASSES = 26
+N_CLASSES = 27
 
 # 連用 (continuative) forms — the state auxiliaries attach to (聴い+た,
 # でき+ます, 高かっ+た).  Deliberately NOT including 未然形: rewarding
@@ -136,6 +144,10 @@ def entry_classes(
         # grammar; に stays generic for the purposive 買い+に+行く.
         if surface in ("を", "が", "の", "と", "へ", "まで", "より"):
             return (PARTICLE_CASE, PARTICLE)
+        # Conjunctive て/で only (で's 格助詞 row falls through to the
+        # generic class): see PARTICLE_TE.
+        if surface in ("て", "で") and "接続助詞" in pos:
+            return (PARTICLE_TE, PARTICLE)
         c = PARTICLE
     elif top == "助動詞":
         # ない gets its own left class so 未然形→ない can be rewarded
@@ -354,6 +366,12 @@ for _left in (VERB_CONT, VERB_CONT_REN, ADJ_CONT):
 # inputs that have no noun alternative.
 for _left in (VERB_CONT, VERB_CONT_REN):
     CONNECTION_COSTS[(_left, PARTICLE_CASE)] = 200
+# 名詞 + conjunctive て/で: ungrammatical (te-forms attach to 連用/音便
+# stems) — the mirror tip, so an ichidan stem tied with its wave-349
+# deverbal noun (群れ/眺め/仕掛け at 1200 both ways) keeps て-contexts
+# verb-side (群れ+て+いる lemmatizes 群れる) while を/が/の contexts stay
+# noun-side via the row above.  Penalty not BLOCK, same rationale.
+CONNECTION_COSTS[(NOUN, PARTICLE_TE)] = 200
 # Right-context → EOS costs (matrix.def's BOS/EOS column analog).
 # Sentences do not END in a verb 連用形 — 連用中止 always continues —
 # so a trailing deverbal noun (晴れのち曇り, 会議の終わり) wins the

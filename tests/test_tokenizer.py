@@ -544,6 +544,28 @@ class TestConnectionMatrix:
         # (NOUN, AUX_VATT) BLOCK keeps genuine paths anchored:
         assert rich.tokenize("彼はしかられた") == ["彼", "は", "しかる", "れ", "た"]
 
+    def test_deverbal_noun_vs_ichidan_stem_te_split(self):
+        # Wave 349: the deverbal cost-parity pass ties lexicalized nouns
+        # (群れ/眺め/仕掛け, 1200) with their ichidan verb's identical
+        # 連用形 stem.  (NOUN, PARTICLE_TE)=+200 keeps て-contexts
+        # verb-side while (VERB_CONT, PARTICLE_CASE)=+200 keeps を/が/の
+        # contexts noun-side — both directions of the same tie.
+        a = JapaneseAnalyzer()
+        assert a.tokenize("人が群れている") == ["人", "群れる"]
+        assert a.tokenize("景色を眺めていた") == ["景色", "眺める"]
+        assert a.tokenize("仕掛けてあった罠") == ["仕掛ける", "罠"]
+        assert a.tokenize("鳥の群れが飛ぶ") == ["鳥", "群れ", "飛ぶ"]
+        assert a.tokenize("窓からの眺めが良い") == ["窓", "眺め", "良い"]
+        assert a.tokenize("仕掛けを作る") == ["仕掛け", "作る"]
+        # で keeps its 格助詞 reading after nouns (only the 接続助詞 rows
+        # carry the penalty class): noun+で untouched.
+        assert a.tokenize("群れで行動する") == ["群れ", "行動"]
+        assert a.tokenize("公園で遊ぶ") == ["公園", "遊ぶ"]
+        # Godan-derived deverbals (祭り/問い — different 音便 surface, so
+        # no て-tie exists) win their nominal contexts outright.
+        assert a.tokenize("祭りの準備をする") == ["祭り", "準備"]
+        assert a.tokenize("問いに答える") == ["問い", "答える"]
+
     def test_godan_renyokei_split(self):
         # Round-6 連用形 split: godan 連用形 (焼き) takes ます/たい but NOT
         # た/ない/れる (those attach to 音便/未然形 — 焼きた is not
