@@ -366,6 +366,14 @@ for _left in (VERB_CONT, VERB_CONT_REN, ADJ_CONT):
 # inputs that have no noun alternative.
 for _left in (VERB_CONT, VERB_CONT_REN):
     CONNECTION_COSTS[(_left, PARTICLE_CASE)] = 200
+# Adjective 連用形 + を/が/の is equally ungrammatical (×高くの) — the
+# same tip lets the IPADIC 副詞可能 nouns 近く/多く/遠く win their
+# nominal contexts (近くの店, 多くの人) while 〜くなる/〜くて contexts
+# keep the adjective via the plain tie (the hand lexicon's adjective rows
+# register first).  MeCab-parity note: 近くに/遠くから stay lemma 近い/
+# 遠い here (IPADIC reads the noun) — surface segmentation is identical,
+# and に/から must stay penalty-free for 買いに行く/てから.
+CONNECTION_COSTS[(ADJ_CONT, PARTICLE_CASE)] = 200
 # 名詞 + conjunctive て/で: ungrammatical (te-forms attach to 連用/音便
 # stems) — the mirror tip, so an ichidan stem tied with its wave-349
 # deverbal noun (群れ/眺め/仕掛け at 1200 both ways) keeps て-contexts
