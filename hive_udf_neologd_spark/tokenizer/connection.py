@@ -82,6 +82,23 @@ VERB_CONT_DA = 25  # voiced 連用タ接続 (飲ん, 死ん, 遊ん, 泳い): ta
                  # だ/で, never た (×飲んた) — the ガ/ナ/バ/マ行 half of
                  # the 音便 split; unvoiced 音便 (書い, 買っ) stays
                  # VERB_CONT and keeps た.
+AUX_TA_R = 28  # た's RIGHT class (what may follow た): legal successors
+                 # are particles/nouns (連体形 行った人), ん (食べた+ん+だ)
+                 # and other auxiliaries — but NOT a bare continuative verb
+                 # stem (verb-verb continuation goes through て), which is
+                 # the reroute that kept shredding もったいない as
+                 # もっ+た+い(いる)+ない after the ONBIN blocks landed.
+                 # Mirrors generic AUX's left-side blocks (れ/たい) below.
+VERB_ONBIN = 27  # UNVOICED 音便 stems (促音便 行っ/買っ, カ行イ音便
+                 # 書い/聞い — cform 連用タ接続 outside the voiced
+                 # ガ/ナ/バ/マ行 split): the only things that attach are
+                 # た (行っ+た, rewarded) and the particles て/たり
+                 # (行っ+て, 買っ+たり — sparse default).  ます/たい/ない/
+                 # れる/です are ungrammatical here (they take 連用形/
+                 # 未然形, which godan verbs reach via 行き/行か) — the
+                 # lumped VERB_CONT class rewarded 持っ+たい, which is
+                 # what shredded もったいない into もつ+たい+ない
+                 # (self-coverage audit after wave 349).
 PARTICLE_TE = 26  # the conjunctive particles て/で (助詞-接続助詞 rows
                  # only — で's 格助詞 row stays generic so 公園で is
                  # untouched): te-forms attach to 連用/音便 stems, never
@@ -98,7 +115,7 @@ PARTICLE_CASE = 23  # を/が/の — a small authored PENALTY (not BLOCK)
                  # 買い+に+行く (purposive 連用形+に) is grammatical.
                  # Penalty not BLOCK: with no noun alternative the verb
                  # parse must survive (連用中止 before を-less gaps).
-N_CLASSES = 27
+N_CLASSES = 29
 
 # 連用 (continuative) forms — the state auxiliaries attach to (聴い+た,
 # でき+ます, 高かっ+た).  Deliberately NOT including 未然形: rewarding
@@ -111,6 +128,11 @@ _RENYO_FORMS = frozenset({"連用形", "連用タ接続", "連用テ接続"})
 # its own class so う's hard constraint can distinguish it from ガル接続
 # and 仮定形 (めんどう must NOT parse as めんど(ガル)+う).
 _MIZEN_U_FORMS = frozenset({"未然ウ接続"})
+
+# Irregular 未然形 surfaces in the cform-less hand lexicon (see the
+# fallback in entry_classes): サ変 さ/せ.  くる's 未然形 こ is single-char
+# and length-filtered out of the dictionaries, so it never reaches here.
+_IRREGULAR_MIZEN = frozenset({("さ", "する"), ("せ", "する")})
 
 # Other conjugated (non-terminal, non-連用) forms.
 _OTHER_CONJ_FORMS = frozenset({
@@ -154,7 +176,12 @@ def entry_classes(
         # without rewarding 未然形 before every auxiliary (which would
         # re-analyze lexicalized causatives — see _RENYO_FORMS note).
         # Right class stays AUX: nothing keys on "after ない".
-        if surface == "ない":
+        if surface in ("ない", "なかっ"):
+            # なかっ (ない's 連用タ接続) shares ない's attachment sites —
+            # 探さ+なかっ+た is the canonical negative past.  It sat in
+            # the generic AUX class until the (VERB_CONJ, AUX) block
+            # landed and took 未然形+なかった down with さ+ます (caught
+            # by the wave-350 probe sweep, not the goldens — now pinned).
             return (AUX_NAI, AUX)
         # なく (ない's 連用テ接続: 来なくなった) — unlike ない it must NOT
         # follow particles/nouns: 鳥がなく must keep the 鳴く verb reading,
@@ -196,7 +223,7 @@ def entry_classes(
         # godan 連用形 (焼きた is not Japanese): that shred is what read
         # 焼きたて as 焼き+た+て (round-6 audit).
         if surface == "た":
-            return (AUX_TA, AUX)
+            return (AUX_TA, AUX_TA_R)
         if surface in ("です", "でし", "でしょ"):
             return (AUX_COP, AUX)
         # だ: copula after nouns AND the voiced past auxiliary after
@@ -219,6 +246,10 @@ def entry_classes(
                 # Voiced 音便 (飲ん, 死ん, 遊ん, 泳い): the only stems
                 # whose past auxiliary is だ, and た never follows them.
                 kind = "cont_da"
+            elif cform == "連用タ接続" and top == "動詞":
+                # Unvoiced 音便 (行っ, 買っ, 書い): only た/て/たり attach
+                # — see VERB_ONBIN.
+                kind = "onbin"
             elif cform in _RENYO_FORMS:
                 # Godan 連用形 (焼き) is its own attachment state: ます/
                 # たい attach, た/ない/れる do not (those take 音便 or
@@ -256,17 +287,32 @@ def entry_classes(
             # (泳い).  Keeps lexicon-only verbs' 〜んだ past working
             # under the (VERB_CONT, AUX_DA) penalty below.
             if base_form is not None and base_form != surface:
-                if top == "動詞" and (
+                if top == "動詞" and (surface, base_form) in _IRREGULAR_MIZEN:
+                    # サ変 未然形 stems さ/せ (される, させる sites): the
+                    # blanket treat-as-continuative fallback handed them
+                    # the 連用形→助動詞 reward, which is what let hiragana
+                    # さます (冷ます) shred into さ(する)+ます.
+                    kind = "conj"
+                elif top == "動詞" and (
                     surface.endswith("ん")
                     or (surface.endswith("い") and base_form.endswith("ぐ"))
                 ):
                     kind = "cont_da"
+                elif top == "動詞" and (
+                    surface.endswith("っ")
+                    or (surface.endswith("い") and base_form.endswith("く"))
+                ):
+                    # Unvoiced 音便 recoverable from the surface alone:
+                    # no 連用形 ends in っ, and a く-base い-final surface
+                    # is カ行 イ音便 (書い) — see VERB_ONBIN.
+                    kind = "onbin"
                 else:
                     kind = "cont"
             else:
                 kind = "base"
         if top == "動詞":
             c = {"cont": VERB_CONT, "cont_da": VERB_CONT_DA,
+                 "onbin": VERB_ONBIN,
                  "ren": VERB_CONT_REN, "conj": VERB_CONJ,
                  "conj_u": VERB_CONJ_U, "base": VERB_BASE}[kind]
         else:
@@ -388,6 +434,7 @@ CONNECTION_COSTS[(NOUN, PARTICLE_TE)] = 200
 # still ends the sentence (fragments like さあ行こ keep parsing).
 EOS_COSTS: dict[int, int] = {
     VERB_CONT: 200, VERB_CONT_REN: 200, VERB_CONT_DA: 200,
+    VERB_ONBIN: 200,
 }
 
 # だ (AUX_DA) — the voiced 音便 split (wave 345).  Legal sites: nouns/
@@ -413,6 +460,36 @@ CONNECTION_COSTS[(VERB_CONT_DA, PARTICLE_CASE)] = 200
 for _next in (AUX_TA, AUX_TAI, AUX_VATT, AUX_NAI, AUX_NAKU,
               AUX_U, AUX_N, AUX_COP):
     CONNECTION_COSTS[(VERB_CONT_DA, _next)] = BLOCK
+
+# Unvoiced 音便 stems (VERB_ONBIN): た keeps the canonical reward
+# (行っ+た, 書い+た); て/たり are particles at the sparse default
+# (行っ+て, 買っ+たり); EVERYTHING else auxiliary is ungrammatical —
+# ×持ったい, ×書います, ×買っない, ×行っれる, ×聞いです all attach to
+# 連用形/未然形 instead.  This is the unvoiced mirror of the
+# VERB_CONT_DA block above, and what keeps もったいない whole.
+CONNECTION_COSTS[(VERB_ONBIN, AUX_TA)] = -800
+CONNECTION_COSTS[(VERB_ONBIN, PARTICLE_CASE)] = 200
+for _next in (AUX, AUX_DA, AUX_TAI, AUX_VATT, AUX_NAI, AUX_NAKU,
+              AUX_U, AUX_N, AUX_COP):
+    CONNECTION_COSTS[(VERB_ONBIN, _next)] = BLOCK
+
+# 未然形 + generic auxiliary is ungrammatical across the board: every
+# auxiliary that CAN follow 未然形 has its own left class (ない/なく/ん/
+# う/れる-family), and the generic residue (ます/まし/です/だろ/べき/
+# まい/よう/らしい…) attaches to 連用形 or 基本形 instead — ×さ+ます,
+# ×わか+まし.  This is what let hiragana さます (冷ます) shred into
+# する未然+ます (self-coverage audit).
+CONNECTION_COSTS[(VERB_CONJ, AUX)] = BLOCK
+# た + continuative verb stem (AUX_TA_R is た's right class): 連体形 た
+# modifies nouns (行った人), and verb-verb continuation goes through て —
+# ×もっ+た+い(いる)+ない, the reroute that kept shredding もったいない
+# after the ONBIN blocks above.  た+ん (食べたんだ) stays legal: AUX_TA_R
+# is deliberately NOT in ん's block list.
+CONNECTION_COSTS[(AUX_TA_R, VERB_CONT)] = BLOCK
+# …and た keeps generic AUX's left-side hard constraints (×た+れる,
+# ×た+たい) now that its right class is dedicated.
+CONNECTION_COSTS[(AUX_TA_R, AUX_VATT)] = BLOCK
+CONNECTION_COSTS[(AUX_TA_R, AUX_TAI)] = BLOCK
 
 # 未然ウ接続 rows exist for exactly one successor: う (行こ+う,
 # 高かろ+う).  Anything else after them is ungrammatical, and the

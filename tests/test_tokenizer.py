@@ -566,6 +566,49 @@ class TestConnectionMatrix:
         assert a.tokenize("祭りの準備をする") == ["祭り", "準備"]
         assert a.tokenize("問いに答える") == ["問い", "答える"]
 
+    def test_onbin_attachment_constraints(self):
+        # VERB_ONBIN (wave 350): unvoiced 音便 stems (行っ/買っ/書い) take
+        # only た/て/たり — ×持ったい is what shredded もったいない into
+        # もつ+たい+ない; the た reroute (もっ+た+い+ない) is closed by
+        # AUX_TA_R, and 未然形+generic-AUX by the VERB_CONJ block
+        # (さます read する未然+ます).
+        rich = JapaneseAnalyzer(stop_words=[], stop_tags=[])
+        assert rich.tokenize("もったいない") == ["もったいない"]
+        assert rich.tokenize("時間がもったいない") == ["時間", "が", "もったいない"]
+        assert rich.tokenize("さます") == ["さます"]
+        assert rich.tokenize("湯をさます") == ["湯", "を", "さます"]
+        # Canonical onbin grammar unharmed:
+        assert rich.tokenize("行った") == ["行く", "た"]
+        assert rich.tokenize("買ってきた") == ["買う", "て", "くる"]
+        assert rich.tokenize("行ったり来たり") == ["行く", "たり", "来る", "たり"]
+        assert rich.tokenize("食べたんだ") == ["食べる", "た", "ん", "だ"]
+        # される/させる sites survive the サ変 未然形 reclassification:
+        assert rich.tokenize("発表される") == ["発表", "する", "れる"]
+        assert rich.tokenize("質問させてください") == ["質問", "する", "せ", "て", "くださる"]
+
+    def test_nakatta_keeps_nai_family_class(self):
+        # なかっ sat in the generic AUX class until the 未然形+AUX block
+        # landed and took 〜なかった down with さ+ます — caught by the
+        # wave-350 probe sweep, pinned here.
+        rich = JapaneseAnalyzer(stop_words=[], stop_tags=[])
+        assert rich.tokenize("探さなかった") == ["探す", "なかっ", "た"]
+        assert rich.tokenize("知らなかった") == ["知る", "なかっ", "た"]
+        assert rich.tokenize("高くなかった") == ["高い", "なかっ", "た"]
+
+    def test_wave350_self_coverage_nouns(self):
+        # Hiragana nouns that lost to cheap function-word paths (もの=90,
+        # こと=400): dropped to 1150/750 — and the pinned skips stay
+        # particle runs (the は+と class).
+        a = JapaneseAnalyzer()
+        assert a.tokenize("さかなを焼く") == ["さかな", "焼く"]
+        assert a.tokenize("わかものの流行") == ["わかもの", "流行"]
+        assert a.tokenize("にわかに信じがたい") == ["にわか", "信じがたい"]
+        assert a.tokenize("ことことと煮込む") == ["ことこと", "煮込む"]
+        rich = JapaneseAnalyzer(stop_words=[], stop_tags=[])
+        assert rich.tokenize("これはとても") == ["これ", "は", "とても"]
+        assert rich.tokenize("間をおかずに") == ["間", "を", "おく", "ず", "に"]
+        assert rich.tokenize("嘘をつくね") == ["嘘", "を", "つく", "ね"]
+
     def test_godan_renyokei_split(self):
         # Round-6 連用形 split: godan 連用形 (焼き) takes ます/たい but NOT
         # た/ない/れる (those attach to 音便/未然形 — 焼きた is not
@@ -664,25 +707,33 @@ class TestConnectionMatrix:
         assert C.entry_classes("形容詞-自立", cform="連用タ接続") == (C.ADJ_CONT, C.ADJ_CONT)
         assert C.entry_classes("助動詞") == (C.AUX, C.AUX)
         assert C.entry_classes("助詞-格助詞-一般") == (C.PARTICLE, C.PARTICLE)
-        # Heuristic (no cform): conjugated iff base_form differs.
-        assert C.entry_classes("動詞-自立", "行く", "行っ") == (C.VERB_CONT, C.VERB_CONT)
+        # Heuristic (no cform): conjugated iff base_form differs; unvoiced
+        # 音便 (ends っ, or ends い with a く base) is VERB_ONBIN since
+        # wave 350 (only た/て/たり attach — ×持ったい).
+        assert C.entry_classes("動詞-自立", "行く", "行っ") == (C.VERB_ONBIN, C.VERB_ONBIN)
         assert C.entry_classes("動詞-自立", None, "行く") == (C.VERB_BASE, C.VERB_BASE)
         # Voiced 音便 split (wave 345): ガ/ナ/バ/マ行 連用タ接続 rows are
         # VERB_CONT_DA (だ attaches, た never) both via cform+ctype and
         # via the cform-less surface heuristic (ends ん, or ends い with
-        # a ぐ base); unvoiced 音便 (書い, 行っ) stays VERB_CONT.
+        # a ぐ base); unvoiced 音便 (書い, 行っ) is VERB_ONBIN.
         assert C.entry_classes(
             "動詞-自立", cform="連用タ接続", ctype="五段・マ行"
         ) == (C.VERB_CONT_DA, C.VERB_CONT_DA)
         assert C.entry_classes(
             "動詞-自立", cform="連用タ接続", ctype="五段・カ行イ音便"
-        ) == (C.VERB_CONT, C.VERB_CONT)
+        ) == (C.VERB_ONBIN, C.VERB_ONBIN)
         assert C.entry_classes("動詞-自立", "飲む", "飲ん") == (
             C.VERB_CONT_DA, C.VERB_CONT_DA)
         assert C.entry_classes("動詞-自立", "泳ぐ", "泳い") == (
             C.VERB_CONT_DA, C.VERB_CONT_DA)
         assert C.entry_classes("動詞-自立", "書く", "書い") == (
-            C.VERB_CONT, C.VERB_CONT)
+            C.VERB_ONBIN, C.VERB_ONBIN)
+        # サ変 未然形 stems (wave 350): さ/せ are conjugated, not
+        # continuative — される/させる sites, no 連用形 reward.
+        assert C.entry_classes("動詞-自立", "する", "さ") == (
+            C.VERB_CONJ, C.VERB_CONJ)
+        assert C.entry_classes("助動詞", surface="なかっ") == (C.AUX_NAI, C.AUX)
+        assert C.entry_classes("助動詞", surface="た") == (C.AUX_TA, C.AUX_TA_R)
         assert C.entry_classes("助動詞", surface="だ") == (C.AUX_DA, C.AUX)
 
     def test_da_attachment_split(self):
