@@ -134,10 +134,15 @@ _MIZEN_U_FORMS = frozenset({"未然ウ接続"})
 # and length-filtered out of the dictionaries, so it never reaches here.
 _IRREGULAR_MIZEN = frozenset({("さ", "する"), ("せ", "する")})
 
-# Other conjugated (non-terminal, non-連用) forms.
+# Other conjugated (non-terminal, non-連用) forms.  命令ｉ is NOT here:
+# for ラ行特殊 verbs (くださる/なさる/いらっしゃる) it doubles as the
+# マス接続 stem (ください+ます, なさい+ませ — IPADIC conjugates these
+# as 特殊・マス), so it takes the VERB_CONT_REN class below; the generic
+# conj class would hit the 未然形+AUX block and shred ご了承くださいます
+# into く+ださい+ます (wave-351 keigo audit).
 _OTHER_CONJ_FORMS = frozenset({
     "未然形", "未然ヌ接続", "未然レル接続", "仮定形",
-    "ガル接続", "体言接続", "命令ｒｏ", "命令ｉ", "命令ｙｏ", "命令ｅ",
+    "ガル接続", "体言接続", "命令ｒｏ", "命令ｙｏ", "命令ｅ",
 })
 
 
@@ -270,6 +275,11 @@ def entry_classes(
                     kind = "ren"
                 else:
                     kind = "cont"
+            elif cform == "命令ｉ":
+                # ラ行特殊 imperative-cum-マス接続 stem (ください/なさい):
+                # ます/ませ attach, た/ない do not — the godan 連用形
+                # profile (see _OTHER_CONJ_FORMS note).
+                kind = "ren"
             elif cform in _MIZEN_U_FORMS:
                 kind = "conj_u"
             elif cform in _OTHER_CONJ_FORMS:

@@ -586,6 +586,21 @@ class TestConnectionMatrix:
         assert rich.tokenize("発表される") == ["発表", "する", "れる"]
         assert rich.tokenize("質問させてください") == ["質問", "する", "せ", "て", "くださる"]
 
+    def test_meirei_i_takes_masu(self):
+        # 命令ｉ doubles as the マス接続 stem for ラ行特殊 verbs — the
+        # generic conj class hit the 未然形+AUX block and shredded
+        # ご了承くださいます into く+ださい+ます (wave-351 keigo audit).
+        rich = JapaneseAnalyzer(stop_words=[], stop_tags=[])
+        assert rich.tokenize("ご了承くださいますよう") == [
+            "ご了承", "くださる", "ます", "よう"]
+        assert rich.tokenize("ゆっくりなさいませ") == ["ゆっくり", "なさる", "ませ"]
+        assert rich.tokenize("こちらにいらっしゃいます") == [
+            "こちら", "に", "いらっしゃる", "ます"]
+        # Imperative uses unharmed:
+        assert rich.tokenize("お待ちください") == ["お", "待つ", "くださる"]
+        assert rich.tokenize("食べなさい") == ["食べる", "なさる"]
+        assert rich.tokenize("おやすみなさい") == ["おやすみなさい"]
+
     def test_nakatta_keeps_nai_family_class(self):
         # なかっ sat in the generic AUX class until the 未然形+AUX block
         # landed and took 〜なかった down with さ+ます — caught by the
