@@ -181,7 +181,7 @@ def entry_classes(
         # without rewarding 未然形 before every auxiliary (which would
         # re-analyze lexicalized causatives — see _RENYO_FORMS note).
         # Right class stays AUX: nothing keys on "after ない".
-        if surface in ("ない", "なかっ"):
+        if surface in ("ない", "なかっ", "なけれ"):
             # なかっ (ない's 連用タ接続) shares ない's attachment sites —
             # 探さ+なかっ+た is the canonical negative past.  It sat in
             # the generic AUX class until the (VERB_CONJ, AUX) block
