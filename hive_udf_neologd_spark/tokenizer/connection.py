@@ -82,6 +82,12 @@ VERB_CONT_DA = 25  # voiced 連用タ接続 (飲ん, 死ん, 遊ん, 泳い): ta
                  # だ/で, never た (×飲んた) — the ガ/ナ/バ/マ行 half of
                  # the 音便 split; unvoiced 音便 (書い, 買っ) stays
                  # VERB_CONT and keeps た.
+PARTICLE_DE = 29  # the conjunctive で alone (飲ん+で, 泳い+で): same
+                 # noun-side penalty as て, but NO 連用形 reward — で
+                 # attaches to VOICED 音便 stems only, and rewarding
+                 # VERB_CONT+で let 群れ(stem)+で steal the noun's case
+                 # reading in 群れで行動する (caught by the pinned
+                 # te-split test when the て reward landed in wave 355).
 AUX_TA_R = 28  # た's RIGHT class (what may follow た): legal successors
                  # are particles/nouns (連体形 行った人), ん (食べた+ん+だ)
                  # and other auxiliaries — but NOT a bare continuative verb
@@ -115,7 +121,7 @@ PARTICLE_CASE = 23  # を/が/の — a small authored PENALTY (not BLOCK)
                  # 買い+に+行く (purposive 連用形+に) is grammatical.
                  # Penalty not BLOCK: with no noun alternative the verb
                  # parse must survive (連用中止 before を-less gaps).
-N_CLASSES = 29
+N_CLASSES = 30
 
 # 連用 (continuative) forms — the state auxiliaries attach to (聴い+た,
 # でき+ます, 高かっ+た).  Deliberately NOT including 未然形: rewarding
@@ -172,9 +178,11 @@ def entry_classes(
         if surface in ("を", "が", "の", "と", "へ", "まで", "より"):
             return (PARTICLE_CASE, PARTICLE)
         # Conjunctive て/で only (で's 格助詞 row falls through to the
-        # generic class): see PARTICLE_TE.
-        if surface in ("て", "で") and "接続助詞" in pos:
+        # generic class): see PARTICLE_TE / PARTICLE_DE.
+        if surface == "て" and "接続助詞" in pos:
             return (PARTICLE_TE, PARTICLE)
+        if surface == "で" and "接続助詞" in pos:
+            return (PARTICLE_DE, PARTICLE)
         c = PARTICLE
     elif top == "助動詞":
         # ない gets its own left class so 未然形→ない can be rewarded
@@ -436,6 +444,16 @@ CONNECTION_COSTS[(ADJ_CONT, PARTICLE_CASE)] = 200
 # verb-side (群れ+て+いる lemmatizes 群れる) while を/が/の contexts stay
 # noun-side via the row above.  Penalty not BLOCK, same rationale.
 CONNECTION_COSTS[(NOUN, PARTICLE_TE)] = 200
+CONNECTION_COSTS[(NOUN, PARTICLE_DE)] = 200
+# 連用形 + て: the canonical te-form bigram (食べ+て, でき+て) — a
+# moderate reward so the fused カ変 row きて (wave 355) can never steal
+# でき+て as で+きて (the same guard きた gets from the −800 連用形→
+# 助動詞 reward; て is a particle so that reward never applied).  −300,
+# not −800: it only needs to clear て's 50-cost plus the fused row's
+# −50 discount with margin, and a smaller reward reorders fewer distant
+# ties.  ONBIN/音便 stems take て at the sparse default already (行っ+て
+# has no competing fused row).
+CONNECTION_COSTS[(VERB_CONT, PARTICLE_TE)] = -300
 # Right-context → EOS costs (matrix.def's BOS/EOS column analog).
 # Sentences do not END in a verb 連用形 — 連用中止 always continues —
 # so a trailing deverbal noun (晴れのち曇り, 会議の終わり) wins the
