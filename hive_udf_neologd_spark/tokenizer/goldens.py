@@ -120,7 +120,7 @@ T18_POOL = (
 T18_TOKENS: dict[int, tuple[str, ...]] = {
     0: ('新幹線', '東京駅', '出発', '名古屋駅', '経由', '新大阪', '向かう', '車内', '珈琲', '飲む', '雑誌', '読む', '窓', '外', '風景', '眺める'),
     1: ('昨日', '会議', '新しい', '計画', '変更', '点', '検討', '続ける', '資料', '修正', '担当者', '来週', '報告書', '提出', '予定', '説明'),
-    2: ('駅', '前', '商店街', '観光客', '集まり', '土産物', '特産品', '売る', '祭り', '夜', '花火', '上がる', '屋台', '焼きそば', '人気'),  # 集まり: wave-325 deverbal noun ties the 連用中止 verb reading (surface identical, lemma-only change); 祭り recaptured at wave 349 — the deverbal cost-parity pass makes 祭りの pick the noun row (matches IPADIC)
+    2: ('駅前', '商店街', '観光客', '集まり', '土産物', '特産品', '売る', '祭り', '夜', '花火', '上がる', '屋台', '焼きそば', '人気'),  # 集まり: wave-325 deverbal noun ties the 連用中止 verb reading (surface identical, lemma-only change); 祭り recaptured at wave 349 — the deverbal cost-parity pass makes 祭りの pick the noun row (matches IPADIC); 駅前 recaptured at wave 357 — the core-noun presence scan shipped it whole (IPADIC has 駅前 名詞)
     3: ('研究者', '実験', '結果', '分析', '新しい', '仮説', '検証', '手法', '提案', '測定', '精度', '高める', '装置', '改良', '必要'),
     # Recaptured (wave 130): 降り始める entered the snapshot as a compound
     # verb lemma, so 降り始めた now resolves to its own base form instead
