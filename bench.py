@@ -75,6 +75,8 @@ HEADLINE = [
     # Round-6: connection-matrix goldens (constant frame; gates the
     # fused-カ変 segmentation and the 連用形→助動詞 reward end-to-end).
     "t21_connection_matrix",
+    "t22_segmentation_parity",
+    "t23_ja_search_throughput",
 ]
 
 

@@ -596,8 +596,14 @@ def _cc_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.select(F.col("id_b").alias("u"), F.col("id_a").alias("v"))
     )
     edges = edges.localCheckpoint()  # d02 runs once, not once per iteration
-    labels = edges.select("u").distinct().select(
-        F.col("u").alias("n"), F.col("u").alias("lbl")
+    # Init fused with the first neighbor-min round (round 7): label(u) =
+    # min(u, min(neighbors)) in ONE groupBy over edges — the previous
+    # distinct-then-propagate shape paid a distinct shuffle AND a full
+    # join round for the same 1-hop state.
+    labels = (
+        edges.groupBy(F.col("u").alias("n"))
+        .agg(F.min("v").alias("mv"))
+        .select("n", F.least("n", "mv").alias("lbl"))
     )
     # Convergence check: labels are monotonically non-increasing under
     # min-propagation, so sum(lbl) strictly decreases until the fixpoint
@@ -613,12 +619,27 @@ def _cc_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     # hold sum(doc_id) for any corpus this engine could ever see.
     prev_sum = None
     for _ in range(_MAX_CC_ITERS):
+        # Neighbor-min: one hop along the dup graph.
         nbr = edges.join(labels, edges["v"] == labels["n"]).select(
             edges["u"].alias("n"), F.col("lbl")
         )
-        new_labels = (
+        stepped = (
             labels.unionByName(nbr).groupBy("n").agg(F.min("lbl").alias("lbl"))
-        ).localCheckpoint()
+        )
+        # Pointer jumping (round 7, VERDICT r6 #3): label-of-label halves
+        # the remaining chain length every round — neighbor-min alone is
+        # O(diameter) and the sf0.1 dup graph measured SIX rounds (chains,
+        # not the assumed near-cliques); with the jump it converges in
+        # O(log diameter).  Every lbl is itself a node (labels are mins
+        # over node ids), so the self-join is inner with no row loss.
+        jump = stepped.select(
+            F.col("n").alias("jn"), F.col("lbl").alias("jlbl")
+        )
+        new_labels = (
+            stepped.join(jump, stepped["lbl"] == jump["jn"])
+            .select("n", F.least("lbl", "jlbl").alias("lbl"))
+            .localCheckpoint()
+        )
         labels = new_labels
         cur_sum = new_labels.agg(F.sum(F.col("lbl").cast("decimal(38,0)"))).first()[0]
         if cur_sum == prev_sum:

@@ -20,6 +20,9 @@ aggregates map-side first.
 
 from __future__ import annotations
 
+from collections.abc import Iterator
+
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -1290,6 +1293,132 @@ T21_SQL = __import__(
 ).t21_values_sql()
 
 
+def t22_segmentation_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXTERNAL segmentation-parity metric (VERDICT r6 next-round #1): the
+    pinned multi-register corpus (tokenizer/parity.py — expected
+    segmentations hand-derived from MeCab/IPADIC + NEologd behavior, the
+    reference's own goldens seeding the NE register) scored as token-span
+    F1 per register plus a __total__ row.
+
+    Shape: a constant ~110-row frame through one narrow pandas UDF — no
+    shuffle beyond the 10-group aggregate, constant at any cluster scale
+    (the 100 TB shape of this harness is broadcast-corpus vs sampled
+    engine output; same plan).  Oracle replays the recorded aggregates
+    (T22_EXPECTED, recapture protocol) as a VALUES table with the same
+    IEEE f1 expression — full hash check."""
+    prepare(spark)
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import ArrayType, LongType
+
+    from hive_udf_neologd_spark.tokenizer.parity import (
+        PARITY_CORPUS,
+        expected_spans,
+    )
+
+    rows = [
+        (sid, register, text, expected_spans(text, surfaces))
+        for sid, register, text, surfaces in PARITY_CORPUS
+    ]
+    df = spark.createDataFrame(
+        rows, "sid long, register string, text string, exp_spans array<long>"
+    )
+
+    @pandas_udf(ArrayType(LongType()))
+    def _pred_spans(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        from hive_udf_neologd_spark.tokenizer.parity import predicted_spans
+
+        for series in batches:
+            yield series.map(predicted_spans)
+
+    pred = df.select(
+        "register", "exp_spans", _pred_spans("text").alias("pred_spans")
+    )
+    per = pred.select(
+        "register",
+        F.size("exp_spans").alias("n_exp_row"),
+        F.size(F.array_intersect("pred_spans", "exp_spans")).alias("tp_row"),
+        F.size("pred_spans").alias("n_pred_row"),
+    )
+    by_reg = per.groupBy("register").agg(
+        F.count(F.lit(1)).alias("n_sent"),
+        F.sum("tp_row").alias("tp"),
+        F.sum("n_pred_row").alias("n_pred"),
+        F.sum("n_exp_row").alias("n_exp"),
+    )
+    total = per.groupBy(F.lit("__total__").alias("register")).agg(
+        F.count(F.lit(1)).alias("n_sent"),
+        F.sum("tp_row").alias("tp"),
+        F.sum("n_pred_row").alias("n_pred"),
+        F.sum("n_exp_row").alias("n_exp"),
+    )
+    return (
+        by_reg.unionByName(total)
+        .withColumn(
+            "f1",
+            (F.col("tp") * 2).cast("double") / (F.col("n_pred") + F.col("n_exp")),
+        )
+        .orderBy("register")
+    )
+
+
+T22_SQL = __import__(
+    "hive_udf_neologd_spark.tokenizer.parity", fromlist=["t22_values_sql"]
+).t22_values_sql()
+
+
+def t23_ja_search_throughput(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEARCH-mode throughput gate (VERDICT r6 next-round #5): t18's twin
+    with ``mode="search"`` — the one tokenizer path that re-scans
+    ``prefix_matches`` per chosen node for compound-as-synonym emission
+    (lattice.py) had no throughput row, so its cost at corpus scale was
+    ungated.  Same shape as t18: one narrow ArrowEvalPython projection +
+    an 8-group map-side aggregate; oracle replays the pinned SEARCH
+    goldens (tokenizer/goldens.py T23_TOKENS) joined with DuckDB-computed
+    per-pid corpus counts."""
+    prepare(spark)
+    from hive_udf_neologd_spark.tokenizer.goldens import T18_POOL
+
+    docs = read_table(spark, sf_dir, "documents")
+    docs = ensure_parallelism(spark, docs)
+    tok = tokenize_ja(mode="search")
+    pool = F.array(*[F.lit(s) for s in T18_POOL])
+    toks = docs.select(
+        (F.col("doc_id") % len(T18_POOL)).alias("pid"),
+        tok(
+            F.element_at(pool, (F.col("doc_id") % len(T18_POOL)).cast("int") + 1)
+        ).alias("toks"),
+    )
+    return (
+        toks.groupBy("pid")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.first(F.concat_ws("|", "toks")).alias("tokens_str"),
+            F.first(F.size("toks")).alias("n_tokens_per_doc"),
+            F.sum(F.size("toks")).alias("total_tokens"),
+        )
+        .orderBy("pid")
+    )
+
+
+def _t23_sql() -> str:
+    from hive_udf_neologd_spark.tokenizer.goldens import t23_values_rows
+
+    return f"""
+WITH pool(pid, tokens_str, n_tokens_per_doc) AS (VALUES
+{t23_values_rows()}
+),
+d AS (SELECT doc_id % 8 AS pid FROM documents)
+SELECT p.pid, COUNT(*) AS n_docs, ANY_VALUE(p.tokens_str) AS tokens_str,
+       ANY_VALUE(p.n_tokens_per_doc) AS n_tokens_per_doc,
+       CAST(COUNT(*) * ANY_VALUE(p.n_tokens_per_doc) AS BIGINT) AS total_tokens
+FROM d JOIN pool p USING (pid)
+GROUP BY p.pid ORDER BY p.pid
+"""
+
+
+T23_SQL = _t23_sql()
+
+
 TEXT_QUERIES = {
     "t01_token_topk": t01_token_topk,
     "t02_token_stats": t02_token_stats,
@@ -1315,6 +1444,8 @@ TEXT_QUERIES = {
     "t19_training_pipeline": t19_training_pipeline,
     "t20_stratified_sample": t20_stratified_sample,
     "t21_connection_matrix": t21_connection_matrix,
+    "t22_segmentation_parity": t22_segmentation_parity,
+    "t23_ja_search_throughput": t23_ja_search_throughput,
 }
 
 # t08's oracle is a constant-literal VALUES table (see T08_SQL): DuckDB
@@ -1345,4 +1476,6 @@ TEXT_ORACLES = {
     "t19_training_pipeline": T19_SQL,
     "t20_stratified_sample": T20_SQL,
     "t21_connection_matrix": T21_SQL,
+    "t22_segmentation_parity": T22_SQL,
+    "t23_ja_search_throughput": T23_SQL,
 }

@@ -121,7 +121,55 @@ PARTICLE_CASE = 23  # を/が/の — a small authored PENALTY (not BLOCK)
                  # 買い+に+行く (purposive 連用形+に) is grammatical.
                  # Penalty not BLOCK: with no noun alternative the verb
                  # parse must survive (連用中止 before を-less gaps).
-N_CLASSES = 30
+PARTICLE_SHI = 34  # the 接続助詞 し alone — its RIGHT class: し ends a
+                 # coordinated clause, so よう can never follow it
+                 # (×勉強+し+よう — the volitional is 勉強+しよ+う, and
+                 # the 50-cost particle was underpricing the しよ row).
+                 # Its left side stays a generic particle: 出発し、/
+                 # 相談し、(サ変 noun + し) keep the cheap particle row —
+                 # boundary-identical to MeCab's サ変 noun + する連用形
+                 # parse, which a coarse 35-class matrix cannot split
+                 # from the 出+発し verb-verb reading without a dedicated
+                 # サ変 reward tier.  Mirrors every (PARTICLE, y) rule.
+AUX_YOU = 33  # よう (助動詞): attaches to 連体/基本形 (来る+よう, ない+
+                 # よう, た+よう) — NEVER to a 連用形 stem: IPADIC
+                 # lexicalizes the volitional as its own 未然ウ接続 row
+                 # (食べよ+う, しよ+う), and the generic −800 連用形→AUX
+                 # reward was letting 食べ+よう (500) outbid 食べよ+う
+                 # (1300) — the round-7 parity corpus measured it.
+AUX_NA = 32  # だ's 体言接続 な (助動詞): legal after 体言 ONLY (雨+な+
+                 # ので, 静か+な) — IPADIC's matrix prices な out
+                 # everywhere else, and so does the block loop below:
+                 # に+な+って and よく+な+って must never outbid なっ
+                 # (なる連用タ接続), whose word cost is 1200 against the
+                 # 100-cost な.
+PARTICLE_NA = 31  # the 終助詞 な alone (round-7 parity corpus): it
+                 # follows terminal forms (行く+な, いい+な+って) but
+                 # NEVER a continuative/音便 stem — without the block the
+                 # 50-cost な + the 100-cost quotative って outpriced the
+                 # 1200-cost verb row なっ in EVERY 〜なって (寒くなって
+                 # read 寒く+な+って since wave 353 shipped って; found by
+                 # the parity corpus, invisible to token-output goldens
+                 # because both readings POS-stop-filter away).
+PARTICLE_CONJ_V = 30  # のに/ので (助詞-接続助詞, genuine IPADIC rows,
+                 # round-7 parity corpus): they attach only to 用言/
+                 # 助動詞 (安い+ので, 行く+のに, まし+たら+…), NEVER to
+                 # nouns/particles/BOS — blocking those keeps 車の+におい
+                 # and every genitive の+に reading intact while the
+                 # one-row のに/ので win their verb-adjacent contexts the
+                 # way MeCab's matrix decides them.
+N_CLASSES = 35
+
+# Declared schema version of the CLASS-ASSIGNMENT mapping (entry_classes):
+# the marshal-precompiled dictionary snapshot bakes each row's (lc, rc)
+# ids, so ANY change to how entry_classes maps (pos, cform, ctype) →
+# classes MUST bump this constant — snapshot_digest (dictionary.py) folds
+# it into the marshal guard digest.  Comment-only / cost-matrix-only edits
+# do NOT need a bump (CONNECTION_COSTS is applied at runtime, never
+# baked).  A forgotten bump is caught by CI:
+# tests/test_dictionary_asset.py::test_binary_load_equals_csv_parse
+# compares the marshal rows tuple-for-tuple against a fresh CSV parse.
+CLASS_SCHEMA_VERSION = 1
 
 # 連用 (continuative) forms — the state auxiliaries attach to (聴い+た,
 # でき+ます, 高かっ+た).  Deliberately NOT including 未然形: rewarding
@@ -139,6 +187,12 @@ _MIZEN_U_FORMS = frozenset({"未然ウ接続"})
 # fallback in entry_classes): サ変 さ/せ.  くる's 未然形 こ is single-char
 # and length-filtered out of the dictionaries, so it never reaches here.
 _IRREGULAR_MIZEN = frozenset({("さ", "する"), ("せ", "する")})
+
+# Irregular 未然ウ接続 surfaces in the cform-less hand lexicon: サ変 しよ
+# (勉強しよ+う) and カ変 来よ/こよ — the volitional attachment sites IPADIC
+# lexicalizes as their own rows (round-7 AUX_YOU work).
+_IRREGULAR_MIZEN_U = frozenset({("しよ", "する"), ("来よ", "来る"),
+                                ("こよ", "くる")})
 
 # Other conjugated (non-terminal, non-連用) forms.  命令ｉ is NOT here:
 # for ラ行特殊 verbs (くださる/なさる/いらっしゃる) it doubles as the
@@ -183,6 +237,12 @@ def entry_classes(
             return (PARTICLE_TE, PARTICLE)
         if surface == "で" and "接続助詞" in pos:
             return (PARTICLE_DE, PARTICLE)
+        if surface in ("のに", "ので") and "接続助詞" in pos:
+            return (PARTICLE_CONJ_V, PARTICLE)
+        if surface == "な" and "終助詞" in pos:
+            return (PARTICLE_NA, PARTICLE)
+        if surface == "し" and "接続助詞" in pos:
+            return (PARTICLE, PARTICLE_SHI)
         c = PARTICLE
     elif top == "助動詞":
         # ない gets its own left class so 未然形→ない can be rewarded
@@ -210,6 +270,8 @@ def entry_classes(
         # left classes + the BLOCK rows below enforce that.
         if surface == "う":
             return (AUX_U, AUX)
+        if surface == "よう":
+            return (AUX_YOU, AUX)
         if surface == "ん":
             return (AUX_N, AUX)
         # Passive/causative morphemes and ぬ attach only to verb stems
@@ -237,8 +299,21 @@ def entry_classes(
         # 焼きたて as 焼き+た+て (round-6 audit).
         if surface == "た":
             return (AUX_TA, AUX_TA_R)
+        # たら/だら — た/だ's 仮定形 rows (IPADIC 特殊・タ/ダ): same
+        # attachment sites as their 基本形 twins (行っ+たら, 飲ん+だら,
+        # まし+たら), same right-side discipline (たら+continuative-stem
+        # is as ungrammatical as た's).
+        if surface == "たら":
+            return (AUX_TA, AUX_TA_R)
+        if surface == "だら":
+            return (AUX_DA, AUX)
         if surface in ("です", "でし", "でしょ"):
             return (AUX_COP, AUX)
+        # だ's 体言接続 な (round 7, 雨なので): noun-only attachment via
+        # its dedicated class (sharing です's AUX_COP left PARTICLE→な
+        # open, which let に+な+って outbid に+なっ+て).
+        if surface == "な":
+            return (AUX_NA, AUX)
         # だ: copula after nouns AND the voiced past auxiliary after
         # ガ/ナ/バ/マ行 音便 (飲ん+だ) — its own left class so plain
         # 連用形+だ can be penalized (見通しだ must read the deverbal
@@ -305,7 +380,9 @@ def entry_classes(
             # (泳い).  Keeps lexicon-only verbs' 〜んだ past working
             # under the (VERB_CONT, AUX_DA) penalty below.
             if base_form is not None and base_form != surface:
-                if top == "動詞" and (surface, base_form) in _IRREGULAR_MIZEN:
+                if top == "動詞" and (surface, base_form) in _IRREGULAR_MIZEN_U:
+                    kind = "conj_u"
+                elif top == "動詞" and (surface, base_form) in _IRREGULAR_MIZEN:
                     # サ変 未然形 stems さ/せ (される, させる sites): the
                     # blanket treat-as-continuative fallback handed them
                     # the 連用形→助動詞 reward, which is what let hiragana
@@ -518,6 +595,55 @@ CONNECTION_COSTS[(AUX_TA_R, VERB_CONT)] = BLOCK
 # ×た+たい) now that its right class is dedicated.
 CONNECTION_COSTS[(AUX_TA_R, AUX_VATT)] = BLOCK
 CONNECTION_COSTS[(AUX_TA_R, AUX_TAI)] = BLOCK
+# た + ない is ungrammatical (negative past is なかった) — without this
+# the new single-char カ変 き row (round 7) would shred きたない into
+# き+た+ない (600 after rewards, vs the adjective's 1200).
+CONNECTION_COSTS[(AUX_TA_R, AUX_NAI)] = BLOCK
+
+# のに/ので (PARTICLE_CONJ_V): legal ONLY after 用言 base forms and
+# auxiliaries (行く+ので, 安い+のに, 行っ+たら…は AUX side, ます+ので,
+# 行った+ので via AUX_TA_R).  Everything nominal/particle-side is blocked
+# — that is exactly the split MeCab's matrix enforces, and it protects
+# every genitive の reading (車の+におい, 私の+に) from the new rows.
+# 連用形 contexts are blocked too (×行きので — 連用中止 never takes them).
+for _left in (DEFAULT, BOS, NOUN, PARTICLE, PARTICLE_CASE, PARTICLE_TE,
+              PARTICLE_DE, PARTICLE_CONJ_V, VERB_CONT, VERB_CONT_REN,
+              VERB_CONT_DA, VERB_ONBIN, ADJ_CONT, VERB_CONJ, VERB_CONJ_U,
+              ADJ_CONJ, ADJ_CONJ_U):
+    CONNECTION_COSTS[(_left, PARTICLE_CONJ_V)] = BLOCK
+# …and in the legal contexts a small reward breaks the exact cost tie
+# with the の+に / の+で split (both 100 under the 50·len particle
+# formula) the way MeCab's matrix does — deterministically, not by
+# relaxation order.
+for _left in (VERB_BASE, ADJ_BASE, AUX, AUX_TA_R):
+    CONNECTION_COSTS[(_left, PARTICLE_CONJ_V)] = -100
+
+# 終助詞 な (PARTICLE_NA): legal ONLY after terminal forms and
+# auxiliaries (行く+な, いい+な+って, だ+な, 行った+な, ない+な) plus the
+# Kansai negative 未然形+な (行か+な) — everywhere else the 50-cost な is
+# a lattice thief: に+な+って and 寒く+な+って outbid the 1200-cost なっ
+# row, and noun+な is the 助動詞's context (AUX_NA), not the 終助詞's.
+# The one legal particle+な fusion, かな, is its own IPADIC row.
+for _left in (DEFAULT, BOS, NOUN, PARTICLE, VERB_CONT, VERB_CONT_REN,
+              VERB_CONT_DA, VERB_ONBIN, ADJ_CONT, VERB_CONJ_U,
+              ADJ_CONJ, ADJ_CONJ_U):
+    CONNECTION_COSTS[(_left, PARTICLE_NA)] = BLOCK
+
+# よう (AUX_YOU): blocked after every continuative/conjugated stem — the
+# volitional goes through the dedicated 未然ウ接続 rows (食べよ+う), and
+# 連用形+よう is never IPADIC's parse.  Base forms, nouns (仕事のよう via
+# PARTICLE), た (行ったよう), ない/ます etc. keep the sparse default.
+for _left in (VERB_CONT, VERB_CONT_REN, VERB_CONT_DA, VERB_ONBIN,
+              VERB_CONJ, VERB_CONJ_U, ADJ_CONJ, ADJ_CONJ_U):
+    CONNECTION_COSTS[(_left, AUX_YOU)] = BLOCK
+
+# 助動詞 な (AUX_NA): 体言接続 means exactly that — block every left
+# context except NOUN.  Unknown runs (class DEFAULT) are blocked too:
+# boundary-wise the な token still stands alone (script switch ends the
+# run), so コロナ+な keeps its spans and only pays the degraded cost.
+for _left in range(N_CLASSES):
+    if _left != NOUN:
+        CONNECTION_COSTS[(_left, AUX_NA)] = BLOCK
 
 # 未然ウ接続 rows exist for exactly one successor: う (行こ+う,
 # 高かろ+う).  Anything else after them is ungrammatical, and the
@@ -541,3 +667,12 @@ CONNECTION_COSTS[(VERB_CONJ, AUX_NAKU)] = -500
 for _left in (DEFAULT, BOS, PARTICLE, VERB_BASE, VERB_CONJ_U,
               ADJ_BASE, ADJ_CONJ, ADJ_CONJ_U, VERB_CONT_REN):
     CONNECTION_COSTS[(_left, AUX_NAKU)] = BLOCK
+
+# し (PARTICLE_SHI right class) — LAST, after every (PARTICLE, y) rule is
+# registered: mirror them all so し's right side behaves like any
+# particle, then close the one gap the dedicated class exists for —
+# し+よう (see the class comment).
+for (_l, _r), _c in list(CONNECTION_COSTS.items()):
+    if _l == PARTICLE:
+        CONNECTION_COSTS.setdefault((PARTICLE_SHI, _r), _c)
+CONNECTION_COSTS[(PARTICLE_SHI, AUX_YOU)] = BLOCK

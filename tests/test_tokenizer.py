@@ -438,6 +438,16 @@ def test_t18_pool_matches_shared_goldens():
         assert tuple(analyzer.tokenize(text)) == T18_TOKENS[pid], pid
 
 
+def test_t23_pool_matches_search_goldens():
+    # t23 (round 7): the SEARCH-mode twin — compound-as-synonym emission
+    # over the same pool, pinned the same way.
+    from hive_udf_neologd_spark.tokenizer.goldens import T18_POOL, T23_TOKENS
+
+    analyzer = JapaneseAnalyzer(mode="search")
+    for pid, text in enumerate(T18_POOL):
+        assert tuple(analyzer.tokenize(text)) == T23_TOKENS[pid], pid
+
+
 class TestConnectionMatrix:
     """The coarse connection-cost matrix (tokenizer/connection.py) — the
     engine analog of MeCab's matrix.def / Kuromoji's ConnectionCosts
@@ -579,7 +589,10 @@ class TestConnectionMatrix:
         assert rich.tokenize("湯をさます") == ["湯", "を", "さます"]
         # Canonical onbin grammar unharmed:
         assert rich.tokenize("行った") == ["行く", "た"]
-        assert rich.tokenize("買ってきた") == ["買う", "て", "くる"]
+        # Recaptured round 7: the カ変 連用形 き row (parity corpus s104)
+        # splits 買っ|て|き|た the way MeCab does — た now surfaces as its
+        # own auxiliary instead of being absorbed by the fused きた row.
+        assert rich.tokenize("買ってきた") == ["買う", "て", "くる", "た"]
         assert rich.tokenize("行ったり来たり") == ["行く", "たり", "来る", "たり"]
         assert rich.tokenize("食べたんだ") == ["食べる", "た", "ん", "だ"]
         # される/させる sites survive the サ変 未然形 reclassification:
@@ -591,8 +604,11 @@ class TestConnectionMatrix:
         # generic conj class hit the 未然形+AUX block and shredded
         # ご了承くださいます into く+ださい+ます (wave-351 keigo audit).
         rich = JapaneseAnalyzer(stop_words=[], stop_tags=[])
+        # Recaptured round 7 (wave 369 parity trim): ご了承 is ご+了承 in
+        # MeCab — the 命令ｉ behavior under test (ください+ます) is
+        # unchanged.
         assert rich.tokenize("ご了承くださいますよう") == [
-            "ご了承", "くださる", "ます", "よう"]
+            "ご", "了承", "くださる", "ます", "よう"]
         assert rich.tokenize("ゆっくりなさいませ") == ["ゆっくり", "なさる", "ませ"]
         assert rich.tokenize("こちらにいらっしゃいます") == [
             "こちら", "に", "いらっしゃる", "ます"]
@@ -647,7 +663,12 @@ class TestConnectionMatrix:
         assert rich.tokenize("通知が来なくなった") == ["通知", "が", "来る", "なく", "なる", "た"]
         assert rich.tokenize("食べなくなった") == ["食べる", "なく", "なる", "た"]
         assert rich.tokenize("行きたくなくて") == ["行く", "たく", "なく", "て"]
-        assert "なく" not in rich.tokenize("鳥がなく")  # no aux reading after が
+        # No AUX reading after が: since round 7's PARTICLE_NA block the
+        # winning path is one unknown-run noun token (surface なく), so
+        # assert on POS — the string itself legitimately appears.
+        assert all(
+            t["pos"] != "助動詞" for t in rich.analyze_rich("鳥がなく")
+        )
 
     def test_zu_zaru_negative_auxiliaries(self):
         # Waves 318-319: the negative auxiliary ず (and 連体形 ざる) with
@@ -773,6 +794,27 @@ class TestConnectionMatrix:
         # Noun copula unaffected (sparse default-0 sites).
         assert surfaces("静かだ") == ["静か", "だ"]
         assert surfaces("のだ") == ["の", "だ"]
+
+    def test_mizen_u_surface_abutting_noun_falls_to_unknown(self):
+        """ADVICE r6 #4 pinned: VERB_CONJ_U/ADJ_CONJ_U block every
+        successor except AUX_U with BLOCK=10000 — a penalty, not
+        infinity.  When a 未然ウ接続 surface abuts a noun (ungrammatical
+        prose, e.g. OCR damage), the intended degradation is the
+        unknown-run / single-char escape hatch, NOT the blocked
+        行こ+公園 bigram and NOT a crash."""
+        rich = JapaneseAnalyzer(stop_words=[], stop_tags=[])
+
+        def surfaces(s):
+            return [t["surface"] for t in rich.analyze_rich(s)]
+
+        # Ungrammatical abutment: the lattice must not pay BLOCK for
+        # 行こ+公園; it degrades to single-char/unknown nodes.
+        assert surfaces("行こ公園") == ["行", "こ", "公園"]
+        # The grammatical neighbors stay pinned: 未然ウ接続 + う wins…
+        assert surfaces("行こう、公園へ。") == ["行こ", "う", "公園", "へ"]
+        # …including for adjectives (高かろ+う), with the noun following
+        # across a particle boundary as real prose would have it.
+        assert surfaces("高かろうと品質") == ["高かろ", "う", "と", "品質"]
 
 
 class TestLatticeFuzz:

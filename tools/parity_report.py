@@ -1,0 +1,51 @@
+"""Per-sentence parity report: engine segmentation vs the pinned corpus.
+
+Usage: python tools/parity_report.py [--all]
+Prints every sentence whose predicted spans differ from the expected ones
+(or all with --all), with aligned token lists — the authoring loop for
+dictionary waves driven by measured F1 failures (VERDICT r6 #8).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from hive_udf_neologd_spark.tokenizer.parity import (  # noqa: E402
+    PARITY_CORPUS,
+    _raw_lattice,
+    compute_expected,
+    expected_spans,
+    micro_f1,
+    predicted_spans,
+)
+
+
+def main() -> int:
+    show_all = "--all" in sys.argv
+    n_diff = 0
+    for sid, register, text, surfaces in PARITY_CORPUS:
+        exp = expected_spans(text, surfaces)
+        pred = predicted_spans(text)
+        if set(exp) == set(pred) and not show_all:
+            continue
+        if set(exp) != set(pred):
+            n_diff += 1
+        pred_surf = [t.surface for t in _raw_lattice().segment(text)]
+        print(f"--- {sid} [{register}] {text}")
+        print(f"  exp : {'|'.join(surfaces)}")
+        print(f"  pred: {'|'.join(pred_surf)}")
+    agg = compute_expected()
+    n, tp, n_pred, n_exp = agg["__total__"]
+    print(f"\nsentences={n} differing={n_diff} tp={tp} n_pred={n_pred} n_exp={n_exp}")
+    print(f"micro-F1={micro_f1(agg):.6f}  P={tp/n_pred:.4f}  R={tp/n_exp:.4f}")
+    for reg, (ns, t, p, e) in agg.items():
+        if reg != "__total__":
+            print(f"  {reg:8s} n={ns:3d} f1={2*t/(p+e):.4f}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
