@@ -143,6 +143,7 @@ def tokenize_ja_rich(
                 StructField("surface", StringType()),
                 StructField("pos", StringType()),
                 StructField("base_form", StringType()),
+                StructField("reading", StringType()),
                 StructField("unknown", BooleanType()),
             ]
         )

@@ -784,6 +784,7 @@ def t17_tokenize_rich(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("tok.surface").alias("surface"),
             F.col("tok.pos").alias("pos"),
             F.col("tok.base_form").alias("base_form"),
+            F.col("tok.reading").alias("reading"),
             F.col("tok.unknown").cast("int").alias("is_unknown"),
         )
         .orderBy("sentence_id", "pos_idx")

@@ -166,6 +166,11 @@ class JapaneseAnalyzer:
                         "surface": tok.surface,
                         "pos": tok.pos,
                         "base_form": tok.base_form,
+                        # Katakana reading where the engine knows it (asset
+                        # column / exact kana fold / user-dict readings) —
+                        # round-7 t17 extension; None for kanji surfaces
+                        # without authored readings.
+                        "reading": tok.reading,
                         "unknown": tok.is_unknown,
                     }
                 )

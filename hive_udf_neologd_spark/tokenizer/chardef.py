@@ -128,6 +128,29 @@ _KATAKANA_STEM_CHARS = frozenset(
 )
 
 
+_HIRAGANA_LO, _HIRAGANA_HI = 0x3041, 0x3096  # ぁ..ゖ
+_KANA_EXTRA = frozenset("ーゝゞ・")
+
+
+def kana_reading(surface: str) -> str | None:
+    """Exact katakana reading for a kana-only surface — IPADIC stores
+    readings in katakana, and for a surface that is already pure kana the
+    reading is the mechanical hiragana→katakana fold (offset 0x60).
+    Returns None for any surface containing kanji/latin/digits: those
+    readings require lexical knowledge this engine does not fabricate
+    (t17 reading support is deliberately partial, SURVEY.md §2)."""
+    out = []
+    for c in surface:
+        o = ord(c)
+        if _HIRAGANA_LO <= o <= _HIRAGANA_HI:
+            out.append(chr(o + 0x60))
+        elif c in _KATAKANA_STEM_CHARS or c in _KANA_EXTRA:
+            out.append(c)
+        else:
+            return None
+    return "".join(out) if out else None
+
+
 def katakana_stem(term: str) -> str:
     """JapaneseKatakanaStemFilter: strip trailing ー from katakana terms of
     length >= 4 (SURVEY.md §2.2 row 6)."""

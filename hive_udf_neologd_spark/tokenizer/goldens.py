@@ -74,17 +74,27 @@ def t08_values_sql() -> str:
 T17_SENTENCES = (
     (1, "関西国際空港へ行った。"),
     (2, "美術館で絵画を眺めた。"),
+    # Round 7: kana-heavy sentence exercising the new reading surface
+    # (VERDICT r6 next-round #6) — kana surfaces carry exact katakana
+    # readings; kanji surfaces stay NULL (partial by design, never
+    # fabricated).
+    (3, "きゃりーぱみゅぱみゅがテレビでうたう。"),
 )
 
-# Rows of (sentence_id, pos_idx, term, surface, pos, base_form, is_unknown)
-# in output order — base_form None ⇔ the analyzer reports no base form
-# (non-conjugating token).
+# Rows of (sentence_id, pos_idx, term, surface, pos, base_form, reading,
+# is_unknown) in output order — base_form None ⇔ the analyzer reports no
+# base form (non-conjugating token); reading None ⇔ no authored/derivable
+# katakana reading (kanji surfaces).
 T17_ROWS: tuple[tuple, ...] = (
-    (1, 0, "関西国際空港", "関西国際空港", "名詞-固有名詞-組織", None, 0),
-    (1, 1, "行く", "行っ", "動詞-自立", "行く", 0),
-    (2, 0, "美術館", "美術館", "名詞-一般", None, 0),
-    (2, 1, "絵画", "絵画", "名詞-一般", None, 0),
-    (2, 2, "眺める", "眺め", "動詞-自立", "眺める", 0),
+    (1, 0, "関西国際空港", "関西国際空港", "名詞-固有名詞-組織", None, None, 0),
+    (1, 1, "行く", "行っ", "動詞-自立", "行く", None, 0),
+    (2, 0, "美術館", "美術館", "名詞-一般", None, None, 0),
+    (2, 1, "絵画", "絵画", "名詞-一般", None, None, 0),
+    (2, 2, "眺める", "眺め", "動詞-自立", "眺める", None, 0),
+    (3, 0, "きゃりーぱみゅぱみゅ", "きゃりーぱみゅぱみゅ",
+     "名詞-固有名詞-人名-一般", None, "キャリーパミュパミュ", 0),
+    (3, 1, "テレビ", "テレビ", "名詞-一般", None, "テレビ", 0),
+    (3, 2, "うたう", "うたう", "動詞-自立", None, "ウタウ", 0),
 )
 
 
@@ -174,16 +184,18 @@ def t23_values_rows() -> str:
 
 def t17_values_sql() -> str:
     lines = []
-    for sid, idx, term, surface, pos, base, unk in T17_ROWS:
+    for sid, idx, term, surface, pos, base, reading, unk in T17_ROWS:
         b = "CAST(NULL AS VARCHAR)" if base is None else f"'{base}'"
+        r = "CAST(NULL AS VARCHAR)" if reading is None else f"'{reading}'"
         lines.append(
             f"  (CAST({sid} AS BIGINT), {idx}, '{term}', '{surface}', "
-            f"'{pos}', {b}, {unk})"
+            f"'{pos}', {b}, {r}, {unk})"
         )
     return (
         "SELECT * FROM (VALUES\n"
         + ",\n".join(lines)
-        + "\n) AS t(sentence_id, pos_idx, term, surface, pos, base_form, is_unknown)\n"
+        + "\n) AS t(sentence_id, pos_idx, term, surface, pos, base_form, "
+        "reading, is_unknown)\n"
         "ORDER BY sentence_id, pos_idx\n"
     )
 

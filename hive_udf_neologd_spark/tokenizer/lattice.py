@@ -351,7 +351,7 @@ class Lattice:
                         best_e.norm if best_e.norm is not None else surf,
                         best_e.pos,
                         best_e.base_form,
-                        None,
+                        best_e.reading,
                         False,
                         False,
                     )
@@ -374,7 +374,7 @@ class Lattice:
             if e is not None:
                 term = e.norm if e.norm is not None else surface
                 tokens.append(
-                    Token(surface, term, e.pos, e.base_form, None, False, False)
+                    Token(surface, term, e.pos, e.base_form, e.reading, False, False)
                 )
             else:
                 tokens.append(

@@ -409,6 +409,7 @@ class TestSharedGoldenMatrix:
                         tok["surface"],
                         tok["pos"],
                         tok["base_form"],
+                        tok["reading"],
                         int(tok["unknown"]),
                     )
                 )
@@ -703,7 +704,10 @@ class TestConnectionMatrix:
         assert rich.tokenize("彼はとても優しい") == ["彼", "は", "とても", "優しい"]
         assert rich.tokenize("なかなか難しい") == ["なかなか", "難しい"]
         assert rich.tokenize("さようなら") == ["さようなら"]
-        assert rich.tokenize("いただきます") == ["いただきます"]
+        # Recaptured round 7 (wave 370): the fused いただきます interjection
+        # row was removed — IPADIC reads いただき+ます everywhere, meal
+        # greeting included (parity corpus s222).
+        assert rich.tokenize("いただきます") == ["いただく", "ます"]
         assert rich.tokenize("きつねうどん") == ["きつね", "うどん"]
         assert rich.tokenize("きついね") == ["きつい", "ね"]  # NOT きつね
         assert rich.tokenize("よさを知る") == ["よさ", "を", "知る"]
