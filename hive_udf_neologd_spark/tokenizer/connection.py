@@ -121,6 +121,14 @@ PARTICLE_CASE = 23  # を/が/の — a small authored PENALTY (not BLOCK)
                  # 買い+に+行く (purposive 連用形+に) is grammatical.
                  # Penalty not BLOCK: with no noun alternative the verb
                  # parse must survive (連用中止 before を-less gaps).
+PREFIX = 35  # 接頭詞 rows (お/ご, round 7): the honorific prefixes were
+                 # previously single-char UNKNOWN nodes (4400), which is
+                 # why お+かけ (5600) lost to おか+けし (2400) and every
+                 # rich-output prefix carried the wrong POS.  A prefix
+                 # attaches to nominals/adjectives/deverbal stems ONLY —
+                 # the block loop below prices out お+particle and
+                 # お+auxiliary so the cost-800 rows cannot shred hiragana
+                 # function-word sequences.
 PARTICLE_SHI = 34  # the 接続助詞 し alone — its RIGHT class: し ends a
                  # coordinated clause, so よう can never follow it
                  # (×勉強+し+よう — the volitional is 勉強+しよ+う, and
@@ -158,7 +166,7 @@ PARTICLE_CONJ_V = 30  # のに/ので (助詞-接続助詞, genuine IPADIC rows,
                  # and every genitive の+に reading intact while the
                  # one-row のに/ので win their verb-adjacent contexts the
                  # way MeCab's matrix decides them.
-N_CLASSES = 35
+N_CLASSES = 36
 
 # Declared schema version of the CLASS-ASSIGNMENT mapping (entry_classes):
 # the marshal-precompiled dictionary snapshot bakes each row's (lc, rc)
@@ -221,6 +229,8 @@ def entry_classes(
     a verb/adjective row carrying a base_form different from its surface
     is a conjugated form (that is exactly when the generator sets one)."""
     top = pos.split("-", 1)[0] if pos else ""
+    if top == "接頭詞":
+        return (DEFAULT, PREFIX)
     if top == "名詞":
         c = NOUN
     elif top == "助詞":
@@ -541,6 +551,21 @@ EOS_COSTS: dict[int, int] = {
     VERB_CONT: 200, VERB_CONT_REN: 200, VERB_CONT_DA: 200,
     VERB_ONBIN: 200,
 }
+# Round 7: sentences never END in a 接頭詞 or a 未然(ウ)接続 form either
+# (matrix.def's EOS column prices these out hard).  This is what stops
+# the cost-800 お/ご prefix rows from stealing word-FINAL お/ご (はしご
+# → は+し+ご, しお → し+お) and the 未然ウ rows from winning isolation
+# parses (かお → か+お would otherwise tie 買おう's stem row) — while
+# mid-sentence keigo (を+お+かけ+し+て) pays nothing.  命令形 shares
+# VERB_CONJ and CAN end a sentence (行け！) — +500 is a penalty, not a
+# block, so a fragment with no alternative still parses.
+EOS_COSTS[PREFIX] = 800
+# VERB_CONJ(_U) deliberately carry NO EOS penalty: taxing them taxed
+# every isolated conjugated surface (self-coverage audit exploded 240 →
+# 3000+ because 未然ウ rows exist for every verb), 命令形 really does
+# end sentences — and the PREFIX EOS row alone already settles the
+# isolation ties it was meant for (かお: か+お pays 50+800+800 > the
+# 1200 stem row).
 
 # だ (AUX_DA) — the voiced 音便 split (wave 345).  Legal sites: nouns/
 # particles/auxiliaries (copula/のだ — sparse default 0) and voiced
@@ -585,6 +610,14 @@ for _next in (AUX, AUX_DA, AUX_TAI, AUX_VATT, AUX_NAI, AUX_NAKU,
 # ×わか+まし.  This is what let hiragana さます (冷ます) shred into
 # する未然+ます (self-coverage audit).
 CONNECTION_COSTS[(VERB_CONJ, AUX)] = BLOCK
+# …and 未然形 + VERB is equally ungrammatical (round 7): おかけしました
+# read おか(おく未然)+けし(消す連用)+まし through the 連用形→助動詞
+# reward until this block.  Verb-verb continuation goes through 連用形/
+# て-forms, never 未然形.  (ADJ classes NOT included: ガル接続 stems
+# share ADJ_CONJ and legitimately take verbs — 面白+すぎる.)
+for _next in (VERB_BASE, VERB_CONT, VERB_CONT_REN, VERB_CONT_DA,
+              VERB_ONBIN, VERB_CONJ, VERB_CONJ_U):
+    CONNECTION_COSTS[(VERB_CONJ, _next)] = BLOCK
 # た + continuative verb stem (AUX_TA_R is た's right class): 連体形 た
 # modifies nouns (行った人), and verb-verb continuation goes through て —
 # ×もっ+た+い(いる)+ない, the reroute that kept shredding もったいない
@@ -667,6 +700,17 @@ CONNECTION_COSTS[(VERB_CONJ, AUX_NAKU)] = -500
 for _left in (DEFAULT, BOS, PARTICLE, VERB_BASE, VERB_CONJ_U,
               ADJ_BASE, ADJ_CONJ, ADJ_CONJ_U, VERB_CONT_REN):
     CONNECTION_COSTS[(_left, AUX_NAKU)] = BLOCK
+
+# 接頭詞 (PREFIX right class): successors are nominals (ご+連絡, お+茶),
+# adjectives (お+忙しい, お+早く), deverbal/連用 stems (お+待ち, お+かけ,
+# お+送り) and unknown runs (DEFAULT: novel nouns).  Everything
+# functional — particles, auxiliaries, terminal verb forms — is blocked,
+# which is what keeps the cost-800 single-kana rows out of hiragana
+# function-word territory (おは…, ごと… sequences).
+for _next in range(N_CLASSES):
+    if _next not in (NOUN, DEFAULT, ADJ_BASE, ADJ_CONT,
+                     VERB_CONT, VERB_CONT_REN):
+        CONNECTION_COSTS[(PREFIX, _next)] = BLOCK
 
 # し (PARTICLE_SHI right class) — LAST, after every (PARTICLE, y) rule is
 # registered: mirror them all so し's right side behaves like any

@@ -381,7 +381,12 @@ _NOUNS_PLACE = ["日本", "東京", "大阪", "京都", "関西", "関東", "名
 # KuromojiNEologdUDFTest.java:280-299).
 _NOUNS_COMPONENT = ["経済", "国際", "空港", "朝日", "テレビ", "スカイ", "ツリー"]
 
-_PREFIXES = [("第", "接頭詞-数接続")]
+# お/ご added round 7: they were single-char UNKNOWN nodes before
+# (correct boundaries, wrong POS — and お+かけ could never outbid
+# おか+けし, the last measured keigo parity deviation); attachment is
+# class-restricted, see connection.PREFIX.
+_PREFIXES = [("第", "接頭詞-数接続"),
+             ("お", "接頭詞-名詞接続"), ("ご", "接頭詞-名詞接続")]
 _SUFFIXES = [
     ("系", "名詞-接尾-一般"), ("的", "名詞-接尾-形容動詞語幹"),
     ("さん", "名詞-接尾-人名"), ("氏", "名詞-接尾-人名"),

@@ -563,17 +563,18 @@ def micro_f1(expected: dict[str, tuple[int, int, int, int]] | None = None) -> fl
 # RECORDED aggregates — the recapture-protocol constants the t22 oracle
 # replays.  Regenerate with ``python -m hive_udf_neologd_spark.tokenizer.parity``
 # after any dictionary/matrix change and paste here.  Recorded round 7 at
-# 152 sentences: micro-F1 0.997812; the only deviations are the two
-# documented ones — the おかけ override (s67, keigo) and the さ-nominal
-# tier (s247, narr).
+# 152 sentences: micro-F1 0.998906; the one remaining deviation is the
+# documented さ-nominal tier (s247, narr).  The おかけ deviation was
+# FIXED by the 接頭詞 お/ご rows + the 未然形+verb block (the corpus's
+# expectation was the spec; the engine moved to it).
 T22_EXPECTED: dict[str, tuple[int, int, int, int]] = {
-    "__total__": (152, 1368, 1370, 1372),
+    "__total__": (152, 1370, 1371, 1372),
     "acad": (5, 47, 47, 47),
     "conv": (30, 260, 260, 260),
     "cook": (5, 41, 41, 41),
     "email": (5, 46, 46, 46),
     "howto": (10, 96, 96, 96),
-    "keigo": (10, 91, 92, 93),
+    "keigo": (10, 93, 93, 93),
     "mixed": (10, 97, 97, 97),
     "narr": (12, 112, 113, 114),
     "ne": (10, 63, 63, 63),
