@@ -121,6 +121,24 @@ PARTICLE_CASE = 23  # を/が/の — a small authored PENALTY (not BLOCK)
                  # 買い+に+行く (purposive 連用形+に) is grammatical.
                  # Penalty not BLOCK: with no noun alternative the verb
                  # parse must survive (連用中止 before を-less gaps).
+NOUN_SOU = 38  # the 接尾 そう row (名詞,接尾,助動詞語幹 — appearance
+                 # そうだ): attaches to ガル接続 stems (高+そう) and 連用形
+                 # stems (降り+そう, 読み+そう) ONLY.  Its right side is
+                 # NOUN, which is what lets 助動詞 な follow (高そう+な —
+                 # the AUX_NA noun-only constraint broke 〜そうな until
+                 # this row existed; the 副詞 そう row is DEFAULT-class
+                 # and な is blocked after it).
+NOUN_SA = 37  # the 接尾 さ row alone (round 7, さ-nominal redesign):
+                 # IPADIC reads non-lexicalized degree nouns as ガル接続
+                 # stem + 名詞,接尾,特殊 さ (美し+さ) — さ attaches ONLY
+                 # to adjective stems (ADJ_GARU) and 体言/形容動詞語幹
+                 # (NOUN: 穏やか+さ); blocking every other left context
+                 # keeps the cheap single-kana row out of hiragana words
+                 # (×か+さ, ×く+さ).
+ADJ_GARU = 36  # 形容詞 ガル接続 stem rows (高/美し/嬉し): the attachment
+                 # site of さ/そう/がる — split out of ADJ_CONJ so さ's
+                 # hard left constraint can name it (and so 未然ウ/仮定形
+                 # rows can never take さ: ×高けれ+さ).
 PREFIX = 35  # 接頭詞 rows (お/ご, round 7): the honorific prefixes were
                  # previously single-char UNKNOWN nodes (4400), which is
                  # why お+かけ (5600) lost to おか+けし (2400) and every
@@ -166,7 +184,7 @@ PARTICLE_CONJ_V = 30  # のに/ので (助詞-接続助詞, genuine IPADIC rows,
                  # and every genitive の+に reading intact while the
                  # one-row のに/ので win their verb-adjacent contexts the
                  # way MeCab's matrix decides them.
-N_CLASSES = 36
+N_CLASSES = 39
 
 # Declared schema version of the CLASS-ASSIGNMENT mapping (entry_classes):
 # the marshal-precompiled dictionary snapshot bakes each row's (lc, rc)
@@ -177,7 +195,9 @@ N_CLASSES = 36
 # baked).  A forgotten bump is caught by CI:
 # tests/test_dictionary_asset.py::test_binary_load_equals_csv_parse
 # compares the marshal rows tuple-for-tuple against a fresh CSV parse.
-CLASS_SCHEMA_VERSION = 1
+# v2: 形容詞 ガル接続 rows moved ADJ_CONJ → ADJ_GARU (round-7 さ-nominal
+# redesign) — existing baked ids changed meaning for those rows.
+CLASS_SCHEMA_VERSION = 2
 
 # 連用 (continuative) forms — the state auxiliaries attach to (聴い+た,
 # でき+ます, 高かっ+た).  Deliberately NOT including 未然形: rewarding
@@ -232,6 +252,12 @@ def entry_classes(
     if top == "接頭詞":
         return (DEFAULT, PREFIX)
     if top == "名詞":
+        # The 接尾 さ row: see NOUN_SA.  Its RIGHT side is an ordinary
+        # noun (美しさ+を, 高さ+だ).
+        if surface == "さ" and "接尾" in pos:
+            return (NOUN_SA, NOUN)
+        if surface == "そう" and "接尾" in pos:
+            return (NOUN_SOU, NOUN)
         c = NOUN
     elif top == "助詞":
         # を/が/の carry the penalty left class (see PARTICLE_CASE);
@@ -249,7 +275,10 @@ def entry_classes(
             return (PARTICLE_DE, PARTICLE)
         if surface in ("のに", "ので") and "接続助詞" in pos:
             return (PARTICLE_CONJ_V, PARTICLE)
-        if surface == "な" and "終助詞" in pos:
+        if surface in ("な", "かな") and "終助詞" in pos:
+            # かな shares な's terminal-only attachment (いい+かな) — as a
+            # generic particle its 100-cost row stole かなしさ's first two
+            # chars from the ガル stem (round-7 さ redesign probes).
             return (PARTICLE_NA, PARTICLE)
         if surface == "し" and "接続助詞" in pos:
             return (PARTICLE, PARTICLE_SHI)
@@ -375,6 +404,10 @@ def entry_classes(
                 kind = "ren"
             elif cform in _MIZEN_U_FORMS:
                 kind = "conj_u"
+            elif cform == "ガル接続" and top == "形容詞":
+                # The さ/そう/がる attachment stem — its own class so the
+                # 接尾 さ row can name it (verbs have no ガル接続 row).
+                kind = "garu"
             elif cform in _OTHER_CONJ_FORMS:
                 kind = "conj"
             else:
@@ -421,7 +454,7 @@ def entry_classes(
                  "ren": VERB_CONT_REN, "conj": VERB_CONJ,
                  "conj_u": VERB_CONJ_U, "base": VERB_BASE}[kind]
         else:
-            c = {"cont": ADJ_CONT, "conj": ADJ_CONJ,
+            c = {"cont": ADJ_CONT, "conj": ADJ_CONJ, "garu": ADJ_GARU,
                  "conj_u": ADJ_CONJ_U, "base": ADJ_BASE}[kind]
     else:
         c = DEFAULT
@@ -720,3 +753,33 @@ for (_l, _r), _c in list(CONNECTION_COSTS.items()):
     if _l == PARTICLE:
         CONNECTION_COSTS.setdefault((PARTICLE_SHI, _r), _c)
 CONNECTION_COSTS[(PARTICLE_SHI, AUX_YOU)] = BLOCK
+
+# ADJ_GARU mirrors every ADJ_CONJ rule on both sides (ガル接続 stems
+# carried those blocks before the split — 面白+う must stay blocked, the
+# めんどう guard), then opens the one pair the class exists for: stem+さ.
+for (_l, _r), _c in list(CONNECTION_COSTS.items()):
+    if _l == ADJ_CONJ:
+        CONNECTION_COSTS.setdefault((ADJ_GARU, _r), _c)
+    if _r == ADJ_CONJ:
+        CONNECTION_COSTS.setdefault((_l, ADJ_GARU), _c)
+for _left in range(N_CLASSES):
+    if _left not in (ADJ_GARU, NOUN):
+        CONNECTION_COSTS[(_left, NOUN_SA)] = BLOCK
+for _left in range(N_CLASSES):
+    if _left not in (ADJ_GARU, VERB_CONT, VERB_CONT_REN):
+        CONNECTION_COSTS[(_left, NOUN_SOU)] = BLOCK
+# …except unknown runs, at a penalty: 1-char kanji ガル stems (高, 安)
+# are length-filtered out of the dictionary, and katakana stems (コワ
+# そう) are open-class — their そう must attach through the unknown node
+# (高(5200)+そう beats the そうな unknown merge), while the penalty keeps
+# 副詞+そう and other DEFAULT-class bigrams from abusing the cheap row.
+CONNECTION_COSTS[(DEFAULT, NOUN_SOU)] = 600
+
+# Sentences do not START with case/conjunctive particles — IPADIC's BOS
+# row prices them out, and without the penalty the 50-cost rows tie
+# dictionary words char-for-char (かなしさ read か+なし+さ against
+# かなし+さ, exact 2100 tie decided by registration order).  +400 only
+# reorders ties/near-ties: a genuine particle-initial fragment still
+# parses.  PARTICLE_DE is exempt — turn-initial で/では is real prose.
+for _next in (PARTICLE, PARTICLE_CASE, PARTICLE_TE):
+    CONNECTION_COSTS[(BOS, _next)] = 400

@@ -388,6 +388,13 @@ _NOUNS_COMPONENT = ["経済", "国際", "空港", "朝日", "テレビ", "スカ
 _PREFIXES = [("第", "接頭詞-数接続"),
              ("お", "接頭詞-名詞接続"), ("ご", "接頭詞-名詞接続")]
 _SUFFIXES = [
+    # さ added round 7 (さ-nominal redesign): IPADIC's 名詞,接尾,特殊 row
+    # — 美し+さ, 穏やか+さ; attachment hard-restricted to ガル接続 stems
+    # and 体言 (connection.NOUN_SA).
+    ("さ", "名詞-接尾-特殊"),
+    # そう (appearance そうだ — IPADIC 名詞,接尾,助動詞語幹): 高+そう+な,
+    # 降り+そう+だ; attachment hard-restricted, see connection.NOUN_SOU.
+    ("そう", "名詞-接尾-助動詞語幹"),
     ("系", "名詞-接尾-一般"), ("的", "名詞-接尾-形容動詞語幹"),
     ("さん", "名詞-接尾-人名"), ("氏", "名詞-接尾-人名"),
     ("日", "名詞-接尾-助数詞"), ("月", "名詞-接尾-助数詞"),

@@ -482,12 +482,10 @@ PARITY_CORPUS: tuple[tuple[int, str, str, tuple[str, ...]], ...] = (
     (247, "narr", "自然の美しさに心を打たれた。",
      ("自然", "の", "美し", "さ", "に", "心", "を", "打た", "れ",
       "た")),
-     # 美しさ: NOT an IPADIC row — ガル接続 stem 美し + 接尾 さ.  KNOWN
-     # ENGINE DEVIATION: the generated さ-nominal tier keeps 美しさ whole
-     # (load-bearing against hiragana shreds: よさ → よ+さ(する未然));
-     # kept in the corpus so the F1 keeps measuring the family until a
-     # whitelisted 接尾-さ row design lands (wave-370 note in
-     # tools/gen_mecab_dict.py).
+     # 美しさ: NOT an IPADIC row — ガル接続 stem 美し + 接尾 さ.  The
+     # engine matched this only after the wave-371 さ-nominal redesign
+     # (接尾 さ row + ADJ_GARU class + lexicalized whitelist) replaced
+     # the generate-for-every-adjective tier.
 )
 
 
@@ -563,12 +561,13 @@ def micro_f1(expected: dict[str, tuple[int, int, int, int]] | None = None) -> fl
 # RECORDED aggregates — the recapture-protocol constants the t22 oracle
 # replays.  Regenerate with ``python -m hive_udf_neologd_spark.tokenizer.parity``
 # after any dictionary/matrix change and paste here.  Recorded round 7 at
-# 152 sentences: micro-F1 0.998906; the one remaining deviation is the
-# documented さ-nominal tier (s247, narr).  The おかけ deviation was
-# FIXED by the 接頭詞 お/ご rows + the 未然形+verb block (the corpus's
-# expectation was the spec; the engine moved to it).
+# 152 sentences: micro-F1 1.000000 — every measured deviation was fixed
+# by moving the ENGINE to the corpus's expectations, never the reverse:
+# おかけ via the 接頭詞 お/ご rows + the 未然形+verb block, the
+# さ-nominal tier via the 接尾 さ/そう rows + ADJ_GARU class + the
+# lexicalized whitelist (wave 371).
 T22_EXPECTED: dict[str, tuple[int, int, int, int]] = {
-    "__total__": (152, 1370, 1371, 1372),
+    "__total__": (152, 1372, 1372, 1372),
     "acad": (5, 47, 47, 47),
     "conv": (30, 260, 260, 260),
     "cook": (5, 41, 41, 41),
@@ -576,7 +575,7 @@ T22_EXPECTED: dict[str, tuple[int, int, int, int]] = {
     "howto": (10, 96, 96, 96),
     "keigo": (10, 93, 93, 93),
     "mixed": (10, 97, 97, 97),
-    "narr": (12, 112, 113, 114),
+    "narr": (12, 114, 114, 114),
     "ne": (10, 63, 63, 63),
     "news": (25, 244, 244, 244),
     "sns": (10, 77, 77, 77),
@@ -588,8 +587,9 @@ T22_EXPECTED: dict[str, tuple[int, int, int, int]] = {
 # Gated floor on total micro-F1 (tests/test_parity.py): set just below the
 # measured value at recording time so fidelity can only ratchet upward —
 # a dictionary wave that costs more than ~1 point of external parity
-# fails CI instead of shipping silently.
-T22_F1_FLOOR = 0.985
+# fails CI instead of shipping silently.  Raised 0.985 → 0.995 when the
+# round-7 fixes reached 1.000 on the 152-sentence corpus.
+T22_F1_FLOOR = 0.995
 
 
 def t22_values_sql() -> str:
