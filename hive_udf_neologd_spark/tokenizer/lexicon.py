@@ -395,6 +395,10 @@ _SUFFIXES = [
     # そう (appearance そうだ — IPADIC 名詞,接尾,助動詞語幹): 高+そう+な,
     # 降り+そう+だ; attachment hard-restricted, see connection.NOUN_SOU.
     ("そう", "名詞-接尾-助動詞語幹"),
+    # がち (IPADIC 名詞,接尾,形容動詞語幹): ためらい+がち, 曇り+がち —
+    # wave-373 audit; generic NOUN classes (its left neighbors are
+    # deverbal nouns, which the dictionary carries as NOUN-class rows).
+    ("がち", "名詞-接尾-形容動詞語幹"),
     ("系", "名詞-接尾-一般"), ("的", "名詞-接尾-形容動詞語幹"),
     ("さん", "名詞-接尾-人名"), ("氏", "名詞-接尾-人名"),
     ("日", "名詞-接尾-助数詞"), ("月", "名詞-接尾-助数詞"),
