@@ -121,6 +121,10 @@ PARTICLE_CASE = 23  # を/が/の — a small authored PENALTY (not BLOCK)
                  # 買い+に+行く (purposive 連用形+に) is grammatical.
                  # Penalty not BLOCK: with no noun alternative the verb
                  # parse must survive (連用中止 before を-less gaps).
+AUX_MAI = 39  # まい (negative volitional 助動詞): legal after 終止形
+                 # (行く+まい) and auxiliaries (ます+まい); blocked after
+                 # every stem/nominal/particle context — see the
+                 # entry_classes branch.
 NOUN_SOU = 38  # the 接尾 そう row (名詞,接尾,助動詞語幹 — appearance
                  # そうだ): attaches to ガル接続 stems (高+そう) and 連用形
                  # stems (降り+そう, 読み+そう) ONLY.  Its right side is
@@ -184,7 +188,7 @@ PARTICLE_CONJ_V = 30  # のに/ので (助詞-接続助詞, genuine IPADIC rows,
                  # and every genitive の+に reading intact while the
                  # one-row のに/ので win their verb-adjacent contexts the
                  # way MeCab's matrix decides them.
-N_CLASSES = 39
+N_CLASSES = 40
 
 # Declared schema version of the CLASS-ASSIGNMENT mapping (entry_classes):
 # the marshal-precompiled dictionary snapshot bakes each row's (lc, rc)
@@ -311,6 +315,13 @@ def entry_classes(
             return (AUX_U, AUX)
         if surface == "よう":
             return (AUX_YOU, AUX)
+        # まい (negative volitional): attaches to 終止形 (行く+まい) and
+        # auxiliaries (ます+まい) — NEVER a 連用形, where the generic AUX
+        # class's −800 reward let て+し+まい outbid て+しまい (しまう's
+        # 連用形; round-7 audit 116).  AUX_MAI below blocks the stem
+        # contexts.
+        if surface == "まい":
+            return (AUX_MAI, AUX)
         if surface == "ん":
             return (AUX_N, AUX)
         # Passive/causative morphemes and ぬ attach only to verb stems
@@ -768,6 +779,9 @@ for _left in range(N_CLASSES):
 for _left in range(N_CLASSES):
     if _left not in (ADJ_GARU, VERB_CONT, VERB_CONT_REN):
         CONNECTION_COSTS[(_left, NOUN_SOU)] = BLOCK
+for _left in range(N_CLASSES):
+    if _left not in (VERB_BASE, AUX, AUX_TA_R):
+        CONNECTION_COSTS[(_left, AUX_MAI)] = BLOCK
 # …except unknown runs, at a penalty: 1-char kanji ガル stems (高, 安)
 # are length-filtered out of the dictionary, and katakana stems (コワ
 # そう) are open-class — their そう must attach through the unknown node

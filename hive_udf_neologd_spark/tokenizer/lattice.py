@@ -283,13 +283,23 @@ class Lattice:
                     # Full-run grouped candidate (cheapest per char) ...
                     relax(rl, 3000 + 500 * rl, None, unk_pos, False, _DEF, _DEF)
                     # ... plus short prefixes so embedded dictionary words
-                    # can win.
+                    # can win.  Ladder extended to 5 in round 7 (audit
+                    # 116): a missing 4-char word (なめらか) had no
+                    # matching prefix, so the full run swallowed the
+                    # ELEVEN characters なめらかになるまでよく — with the
+                    # 4/5 rungs the unknown word ends where the particle
+                    # begins (7100+50+… < 8500) even before a dictionary
+                    # wave ships the word itself.
                     if rl > 1:
                         relax(1, 4400, None, unk_pos, False, _DEF, _DEF)
                         if rl > 2:
                             relax(2, 5300, None, unk_pos, False, _DEF, _DEF)
                             if rl > 3:
                                 relax(3, 6200, None, unk_pos, False, _DEF, _DEF)
+                                if rl > 4:
+                                    relax(4, 7100, None, unk_pos, False, _DEF, _DEF)
+                                    if rl > 5:
+                                        relax(5, 8000, None, unk_pos, False, _DEF, _DEF)
                 else:
                     relax(1, 6000, None, unk_pos, False, _DEF, _DEF)
 

@@ -186,6 +186,21 @@ class TestFilters:
         assert katakana_stem("カー") == "カー"  # length < 4 untouched
         assert katakana_stem("data-ー") == "data-ー"  # non-katakana untouched
 
+    def test_kana_reading(self):
+        # Round-7 t17 readings: exact katakana fold for kana-only
+        # surfaces, None for anything needing lexical knowledge.
+        from hive_udf_neologd_spark.tokenizer.chardef import kana_reading
+
+        assert kana_reading("きゃりーぱみゅぱみゅ") == "キャリーパミュパミュ"
+        assert kana_reading("テレビ") == "テレビ"
+        assert kana_reading("うたう") == "ウタウ"
+        assert kana_reading("ラーメン") == "ラーメン"
+        assert kana_reading("ゝゞ・ー") == "ゝゞ・ー"  # iteration/middle marks kept
+        assert kana_reading("漢字") is None
+        assert kana_reading("お茶") is None  # mixed kana+kanji
+        assert kana_reading("abc") is None
+        assert kana_reading("") is None
+
     def test_base_form_filter(self, analyzer):
         # 明かし → 明かす (README.md:29 evidence; SURVEY.md §2.2 row 2).
         toks = analyzer.tokenize("勘違いを明かした。")
