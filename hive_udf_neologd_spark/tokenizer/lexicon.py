@@ -41,6 +41,7 @@ _PARTICLES = [
     # parity corpus (tokenizer/parity.py) measures both directions.
     ("という", "助詞-格助詞-連語"), ("として", "助詞-格助詞-連語"),
     ("によって", "助詞-格助詞-連語"), ("における", "助詞-格助詞-連語"),
+    ("により", "助詞-格助詞-連語"),
     ("に対して", "助詞-格助詞-連語"), ("に関する", "助詞-格助詞-連語"),
     ("に対する", "助詞-格助詞-連語"), ("に関して", "助詞-格助詞-連語"),
     ("について", "助詞-格助詞-連語"), ("につき", "助詞-格助詞-連語"),
