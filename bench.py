@@ -77,6 +77,7 @@ HEADLINE = [
     "t21_connection_matrix",
     "t22_segmentation_parity",
     "t23_ja_search_throughput",
+    "t24_ja_extended_throughput",
 ]
 
 

@@ -1420,6 +1420,55 @@ GROUP BY p.pid ORDER BY p.pid
 T23_SQL = _t23_sql()
 
 
+def t24_ja_extended_throughput(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXTENDED-mode throughput gate — completes the mode matrix (t18
+    NORMAL, t23 SEARCH, t24 EXTENDED): EXTENDED lowers decompound
+    thresholds and 1-grams unknown runs, the highest-token-count path
+    through the lattice.  Same shape and oracle pattern as t18/t23."""
+    prepare(spark)
+    from hive_udf_neologd_spark.tokenizer.goldens import T18_POOL
+
+    docs = read_table(spark, sf_dir, "documents")
+    docs = ensure_parallelism(spark, docs)
+    tok = tokenize_ja(mode="extended")
+    pool = F.array(*[F.lit(s) for s in T18_POOL])
+    toks = docs.select(
+        (F.col("doc_id") % len(T18_POOL)).alias("pid"),
+        tok(
+            F.element_at(pool, (F.col("doc_id") % len(T18_POOL)).cast("int") + 1)
+        ).alias("toks"),
+    )
+    return (
+        toks.groupBy("pid")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.first(F.concat_ws("|", "toks")).alias("tokens_str"),
+            F.first(F.size("toks")).alias("n_tokens_per_doc"),
+            F.sum(F.size("toks")).alias("total_tokens"),
+        )
+        .orderBy("pid")
+    )
+
+
+def _t24_sql() -> str:
+    from hive_udf_neologd_spark.tokenizer.goldens import t24_values_rows
+
+    return f"""
+WITH pool(pid, tokens_str, n_tokens_per_doc) AS (VALUES
+{t24_values_rows()}
+),
+d AS (SELECT doc_id % 8 AS pid FROM documents)
+SELECT p.pid, COUNT(*) AS n_docs, ANY_VALUE(p.tokens_str) AS tokens_str,
+       ANY_VALUE(p.n_tokens_per_doc) AS n_tokens_per_doc,
+       CAST(COUNT(*) * ANY_VALUE(p.n_tokens_per_doc) AS BIGINT) AS total_tokens
+FROM d JOIN pool p USING (pid)
+GROUP BY p.pid ORDER BY p.pid
+"""
+
+
+T24_SQL = _t24_sql()
+
+
 TEXT_QUERIES = {
     "t01_token_topk": t01_token_topk,
     "t02_token_stats": t02_token_stats,
@@ -1447,6 +1496,7 @@ TEXT_QUERIES = {
     "t21_connection_matrix": t21_connection_matrix,
     "t22_segmentation_parity": t22_segmentation_parity,
     "t23_ja_search_throughput": t23_ja_search_throughput,
+    "t24_ja_extended_throughput": t24_ja_extended_throughput,
 }
 
 # t08's oracle is a constant-literal VALUES table (see T08_SQL): DuckDB
@@ -1479,4 +1529,5 @@ TEXT_ORACLES = {
     "t21_connection_matrix": T21_SQL,
     "t22_segmentation_parity": T22_SQL,
     "t23_ja_search_throughput": T23_SQL,
+    "t24_ja_extended_throughput": T24_SQL,
 }

@@ -182,6 +182,36 @@ def t23_values_rows() -> str:
     return ",\n".join(rows)
 
 
+# pid → exact EXTENDED-mode sequence for T18_POOL[pid] (t24): EXTENDED
+# lowers the decompound thresholds further and 1-grams unknown runs —
+# the third and last tokenization mode, so every mode now carries a
+# throughput gate.  (避難所's parts surface as 避+難所 here: the engine's
+# EXTENDED path picks the cheapest sub-path under the lowered penalties
+# and 難所 is itself a dictionary word — pinned engine behavior; the
+# reference never pins EXTENDED output beyond its unigram rule.)
+T24_TOKENS: dict[int, tuple[str, ...]] = {
+    0: ('新幹線', '東京駅', '東京', '駅', '出発', '名古屋駅', '経由', '新大阪', '新', '大阪', '向かう', '車内', '珈琲', '飲む', '雑誌', '読む', '窓', '外', '風景', '眺める'),
+    1: ('昨日', '会議', '新しい', '計画', '変更', '点', '検討', '続ける', '資料', '修正', '担当者', '担当', '者', '来週', '報告書', '報告', '書', '提出', '予定', '説明'),
+    2: ('駅前', '商店街', '商店', '街', '観光客', '観光', '客', '集まり', '土産物', '土産', '物', '特産品', '売る', '祭り', '夜', '花火', '上がる', '屋台', '焼きそば', '人気'),
+    3: ('研究者', '研究', '者', '実験', '結果', '分析', '新しい', '仮説', '検証', '手法', '提案', '測定', '精度', '高める', '装置', '改良', '必要'),
+    4: ('美術館', '美術', '館', '絵画', '眺める', '後', '公園', '散歩', '写真', '撮る', '夕方', '雨', '降り始める', '急ぐ', '駅', '戻る'),
+    5: ('企業', '経営者', '経営', '者', '市場', '動向', '分析', '投資', '戦略', '慎重', '決定', '円安', '影響', '輸出', '伸びる', '売上高', '売上', '高', '大幅', '増加'),
+    6: ('子供', '図書室', '図書', '室', '本', '借りる', '宿題', '済ませる', '校庭', '遊ぶ', '放課後', '教室', '合唱', '練習', '行う'),
+    7: ('台風', '接近', '伴う', '気象庁', '気象', '庁', '大雨', '警戒', '呼び掛ける', '避難所', '避', '難所', '場所', '確認', '非常食', '非常', '食', '懐中電灯', '準備', 'ほしい'),
+}
+
+
+def t24_values_rows() -> str:
+    rows = []
+    for pid in range(len(T18_POOL)):
+        toks = T24_TOKENS[pid]
+        rows.append(
+            f"  (CAST({pid} AS BIGINT), '{'|'.join(toks)}', "
+            f"CAST({len(toks)} AS INTEGER))"
+        )
+    return ",\n".join(rows)
+
+
 def t17_values_sql() -> str:
     lines = []
     for sid, idx, term, surface, pos, base, reading, unk in T17_ROWS:

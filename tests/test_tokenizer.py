@@ -464,6 +464,15 @@ def test_t23_pool_matches_search_goldens():
         assert tuple(analyzer.tokenize(text)) == T23_TOKENS[pid], pid
 
 
+def test_t24_pool_matches_extended_goldens():
+    # t24 (round 7): EXTENDED completes the mode matrix.
+    from hive_udf_neologd_spark.tokenizer.goldens import T18_POOL, T24_TOKENS
+
+    analyzer = JapaneseAnalyzer(mode="extended")
+    for pid, text in enumerate(T18_POOL):
+        assert tuple(analyzer.tokenize(text)) == T24_TOKENS[pid], pid
+
+
 class TestConnectionMatrix:
     """The coarse connection-cost matrix (tokenizer/connection.py) — the
     engine analog of MeCab's matrix.def / Kuromoji's ConnectionCosts
