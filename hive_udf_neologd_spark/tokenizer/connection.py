@@ -121,6 +121,17 @@ PARTICLE_CASE = 23  # を/が/の — a small authored PENALTY (not BLOCK)
                  # 買い+に+行く (purposive 連用形+に) is grammatical.
                  # Penalty not BLOCK: with no noun alternative the verb
                  # parse must survive (連用中止 before を-less gaps).
+NOUN_KD = 41  # RIGHT class of 名詞-形容動詞語幹 rows (大事/静か/きれい):
+                 # 語幹+な is THE canonical na-adjective bigram and IPADIC
+                 # rewards it hard — without the reward the cheap 接続詞
+                 # なお (300) outbid な+お in 大事なお知らせ (audit 120).
+                 # Left side stays NOUN; every (NOUN, y) rule is mirrored.
+AUX_NA_R = 40  # 助動詞 な's RIGHT class (round-7 audit 120): 体言接続
+                 # means its successors are nominals and の-family
+                 # particles ONLY (静か+な+人, 雨+な+ので, 好き+な+の+だ)
+                 # — never another auxiliary: 日+な+た outbid the 日なた
+                 # noun through the generic AUX right class (な 100 +
+                 # た 100 < any 1500-tier noun).
 AUX_MAI = 39  # まい (negative volitional 助動詞): legal after 終止形
                  # (行く+まい) and auxiliaries (ます+まい); blocked after
                  # every stem/nominal/particle context — see the
@@ -188,7 +199,7 @@ PARTICLE_CONJ_V = 30  # のに/ので (助詞-接続助詞, genuine IPADIC rows,
                  # and every genitive の+に reading intact while the
                  # one-row のに/ので win their verb-adjacent contexts the
                  # way MeCab's matrix decides them.
-N_CLASSES = 40
+N_CLASSES = 42
 
 # Declared schema version of the CLASS-ASSIGNMENT mapping (entry_classes):
 # the marshal-precompiled dictionary snapshot bakes each row's (lc, rc)
@@ -201,7 +212,9 @@ N_CLASSES = 40
 # compares the marshal rows tuple-for-tuple against a fresh CSV parse.
 # v2: 形容詞 ガル接続 rows moved ADJ_CONJ → ADJ_GARU (round-7 さ-nominal
 # redesign) — existing baked ids changed meaning for those rows.
-CLASS_SCHEMA_VERSION = 2
+# v3: 名詞-形容動詞語幹 rows gained the dedicated right class NOUN_KD
+# (round-7 audit 120 — the 語幹+な reward site).
+CLASS_SCHEMA_VERSION = 3
 
 # 連用 (continuative) forms — the state auxiliaries attach to (聴い+た,
 # でき+ます, 高かっ+た).  Deliberately NOT including 未然形: rewarding
@@ -262,6 +275,8 @@ def entry_classes(
             return (NOUN_SA, NOUN)
         if surface == "そう" and "接尾" in pos:
             return (NOUN_SOU, NOUN)
+        if "形容動詞語幹" in pos:
+            return (NOUN, NOUN_KD)
         c = NOUN
     elif top == "助詞":
         # を/が/の carry the penalty left class (see PARTICLE_CASE);
@@ -361,9 +376,10 @@ def entry_classes(
             return (AUX_COP, AUX)
         # だ's 体言接続 な (round 7, 雨なので): noun-only attachment via
         # its dedicated class (sharing です's AUX_COP left PARTICLE→な
-        # open, which let に+な+って outbid に+なっ+て).
+        # open, which let に+な+って outbid に+なっ+て); its RIGHT side
+        # accepts nominals/の-particles only (AUX_NA_R — audit 120).
         if surface == "な":
-            return (AUX_NA, AUX)
+            return (AUX_NA, AUX_NA_R)
         # だ: copula after nouns AND the voiced past auxiliary after
         # ガ/ナ/バ/マ行 音便 (飲ん+だ) — its own left class so plain
         # 連用形+だ can be penalized (見通しだ must read the deverbal
@@ -604,6 +620,10 @@ EOS_COSTS: dict[int, int] = {
 # VERB_CONJ and CAN end a sentence (行け！) — +500 is a penalty, not a
 # block, so a fragment with no alternative still parses.
 EOS_COSTS[PREFIX] = 800
+# Passive/causative stems (れ/られ/せ/させ) never end a sentence either —
+# same tier as the 連用形 EOS rows above (audit 120: 知ら+せ at EOS was
+# undercutting noun readings because the stems carried no EOS cost).
+EOS_COSTS[AUX_VSTEM] = 200
 # VERB_CONJ(_U) deliberately carry NO EOS penalty: taxing them taxed
 # every isolated conjugated surface (self-coverage audit exploded 240 →
 # 3000+ because 未然ウ rows exist for every verb), 命令形 really does
@@ -715,12 +735,18 @@ for _left in (VERB_CONT, VERB_CONT_REN, VERB_CONT_DA, VERB_ONBIN,
     CONNECTION_COSTS[(_left, AUX_YOU)] = BLOCK
 
 # 助動詞 な (AUX_NA): 体言接続 means exactly that — block every left
-# context except NOUN.  Unknown runs (class DEFAULT) are blocked too:
-# boundary-wise the な token still stands alone (script switch ends the
-# run), so コロナ+な keeps its spans and only pays the degraded cost.
+# context except NOUN/NOUN_KD.  Unknown runs (class DEFAULT) are blocked
+# too: boundary-wise the な token still stands alone (script switch ends
+# the run), so コロナ+な keeps its spans and only pays the degraded cost.
 for _left in range(N_CLASSES):
-    if _left != NOUN:
+    if _left not in (NOUN, NOUN_KD):
         CONNECTION_COSTS[(_left, AUX_NA)] = BLOCK
+# …and the 形容動詞語幹+な reward itself (audit 120: the 300-cost 接続詞
+# なお stole な+お in 大事なお知らせ — IPADIC's matrix makes 語幹+な
+# nearly free).  −800 like the other canonical 活用+助動詞 rewards;
+# −600 left 大事+な+お+知らせ in an exact registration-order tie with
+# 大事+なお+知らせ.
+CONNECTION_COSTS[(NOUN_KD, AUX_NA)] = -800
 
 # 未然ウ接続 rows exist for exactly one successor: う (行こ+う,
 # 高かろ+う).  Anything else after them is ungrammatical, and the
@@ -765,6 +791,13 @@ for (_l, _r), _c in list(CONNECTION_COSTS.items()):
         CONNECTION_COSTS.setdefault((PARTICLE_SHI, _r), _c)
 CONNECTION_COSTS[(PARTICLE_SHI, AUX_YOU)] = BLOCK
 
+# NOUN_KD mirrors every (NOUN, y) rule (形容動詞語幹 rows are nouns on
+# their left AND — apart from the な reward above — on their right:
+# 静か+で, 便利+だ keep noun behavior).
+for (_l, _r), _c in list(CONNECTION_COSTS.items()):
+    if _l == NOUN:
+        CONNECTION_COSTS.setdefault((NOUN_KD, _r), _c)
+
 # ADJ_GARU mirrors every ADJ_CONJ rule on both sides (ガル接続 stems
 # carried those blocks before the split — 面白+う must stay blocked, the
 # めんどう guard), then opens the one pair the class exists for: stem+さ.
@@ -774,14 +807,24 @@ for (_l, _r), _c in list(CONNECTION_COSTS.items()):
     if _r == ADJ_CONJ:
         CONNECTION_COSTS.setdefault((_l, ADJ_GARU), _c)
 for _left in range(N_CLASSES):
-    if _left not in (ADJ_GARU, NOUN):
+    if _left not in (ADJ_GARU, NOUN, NOUN_KD):
         CONNECTION_COSTS[(_left, NOUN_SA)] = BLOCK
 for _left in range(N_CLASSES):
-    if _left not in (ADJ_GARU, VERB_CONT, VERB_CONT_REN):
+    if _left not in (ADJ_GARU, VERB_CONT, VERB_CONT_REN, NOUN_KD):
         CONNECTION_COSTS[(_left, NOUN_SOU)] = BLOCK
+# NOUN_KD in そう's allowlist: 元気+そう, 丈夫+そう — 形容動詞語幹 is a
+# legal そうだ attachment site.
 for _left in range(N_CLASSES):
     if _left not in (VERB_BASE, AUX, AUX_TA_R):
         CONNECTION_COSTS[(_left, AUX_MAI)] = BLOCK
+
+# 助動詞 な's successors (AUX_NA_R): nominals, unknown runs, and the
+# の-family particles — everything auxiliary/verbal is ungrammatical
+# after the 体言接続 form (×な+た, ×な+ます, ×な+だ).
+for _next in range(N_CLASSES):
+    if _next not in (NOUN, NOUN_KD, DEFAULT, PARTICLE, PARTICLE_CONJ_V,
+                     PARTICLE_CASE, NOUN_SA, NOUN_SOU, PREFIX):
+        CONNECTION_COSTS[(AUX_NA_R, _next)] = BLOCK
 # …except unknown runs, at a penalty: 1-char kanji ガル stems (高, 安)
 # are length-filtered out of the dictionary, and katakana stems (コワ
 # そう) are open-class — their そう must attach through the unknown node
