@@ -832,11 +832,13 @@ for _next in range(N_CLASSES):
 # 副詞+そう and other DEFAULT-class bigrams from abusing the cheap row.
 CONNECTION_COSTS[(DEFAULT, NOUN_SOU)] = 600
 
-# Sentences do not START with case/conjunctive particles — IPADIC's BOS
-# row prices them out, and without the penalty the 50-cost rows tie
-# dictionary words char-for-char (かなしさ read か+なし+さ against
-# かなし+さ, exact 2100 tie decided by registration order).  +400 only
-# reorders ties/near-ties: a genuine particle-initial fragment still
-# parses.  PARTICLE_DE is exempt — turn-initial で/では is real prose.
-for _next in (PARTICLE, PARTICLE_CASE, PARTICLE_TE):
+# Sentences do not START with case/conjunctive particles or bare
+# auxiliaries — IPADIC's BOS row prices them out, and without the
+# penalty the 50-100-cost rows tie or undercut dictionary words
+# char-for-char (かなしさ read か+なし+さ; sentence-initial だから/でも
+# read だ+から/で+も instead of their 接続詞 rows).  +400 only reorders
+# ties/near-ties: a genuine particle/aux-initial fragment (ですので…)
+# still parses when nothing cheaper competes.
+for _next in (PARTICLE, PARTICLE_CASE, PARTICLE_TE, PARTICLE_DE, AUX,
+              AUX_DA, AUX_COP):
     CONNECTION_COSTS[(BOS, _next)] = 400
