@@ -59,6 +59,40 @@ class TestCorpusIntegrity:
                 last_end = end
 
 
+class TestAllModesOverCorpus:
+    @pytest.mark.parametrize("mode", ["normal", "search", "extended"])
+    def test_every_sentence_partitions_in_every_mode(self, mode):
+        """The 250-sentence corpus is the richest pinned Japanese text in
+        the repo — run it through ALL THREE modes: no crash, and the
+        non-punct surfaces must partition the input in order (the
+        TestLatticeFuzz invariant on real prose).  SEARCH/EXTENDED emit
+        compound synonyms BEFORE their parts, so the partition check
+        skips a token whose span equals the following tokens' combined
+        span (the synonym)."""
+        from hive_udf_neologd_spark.tokenizer.analyzer import JapaneseAnalyzer
+
+        analyzer = JapaneseAnalyzer(mode=mode, stop_words=[], stop_tags=[])
+        for sid, _register, text, _surfaces in PARITY_CORPUS:
+            toks = analyzer._lattice.segment(text)
+            cursor = 0
+            i = 0
+            while i < len(toks):
+                s = toks[i].surface
+                idx = text.find(s, cursor)
+                assert idx >= 0, (mode, sid, s)
+                # Synonym compound: the NEXT tokens re-cover this span.
+                if i + 1 < len(toks) and text.find(
+                    toks[i + 1].surface, idx
+                ) == idx and len(toks[i + 1].surface) < len(s):
+                    i += 1
+                    continue  # parts will advance the cursor
+                cursor = idx + len(s)
+                i += 1
+            residue = text[cursor:]
+            assert all(not ("一" <= c <= "鿿" or "ぁ" <= c <= "ヺ")
+                       for c in residue), (mode, sid, residue)
+
+
 class TestRecordedAggregates:
     def test_recorded_matches_live_engine(self):
         """The recapture guard: T22_EXPECTED (the t22 oracle constants)
