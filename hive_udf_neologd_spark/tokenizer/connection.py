@@ -121,6 +121,15 @@ PARTICLE_CASE = 23  # を/が/の — a small authored PENALTY (not BLOCK)
                  # 買い+に+行く (purposive 連用形+に) is grammatical.
                  # Penalty not BLOCK: with no noun alternative the verb
                  # parse must survive (連用中止 before を-less gaps).
+PARTICLE_TTE = 42  # the quotative/topic って (格助詞-連語) alone — its
+                 # LEFT class: って attaches to nominals, terminal
+                 # verb/adjective forms and auxiliaries (田中って人,
+                 # 行くって, ですって, いいなって) but never to another
+                 # particle — や+って was outbidding やっ+て (やる促音便)
+                 # in every やってきた (audit 123; the same thief class
+                 # as な+って, now closed at the って side for ALL
+                 # particles).  終助詞 な carries its own right class so
+                 # いいなって stays legal.
 NOUN_KD = 41  # RIGHT class of 名詞-形容動詞語幹 rows (大事/静か/きれい):
                  # 語幹+な is THE canonical na-adjective bigram and IPADIC
                  # rewards it hard — without the reward the cheap 接続詞
@@ -199,7 +208,7 @@ PARTICLE_CONJ_V = 30  # のに/ので (助詞-接続助詞, genuine IPADIC rows,
                  # and every genitive の+に reading intact while the
                  # one-row のに/ので win their verb-adjacent contexts the
                  # way MeCab's matrix decides them.
-N_CLASSES = 42
+N_CLASSES = 43
 
 # Declared schema version of the CLASS-ASSIGNMENT mapping (entry_classes):
 # the marshal-precompiled dictionary snapshot bakes each row's (lc, rc)
@@ -298,7 +307,12 @@ def entry_classes(
             # かな shares な's terminal-only attachment (いい+かな) — as a
             # generic particle its 100-cost row stole かなしさ's first two
             # chars from the ガル stem (round-7 さ redesign probes).
-            return (PARTICLE_NA, PARTICLE)
+            # Right class PARTICLE_NA too: って must stay attachable after
+            # 終助詞 な (いいなって) while every other particle+って is
+            # blocked (audit 123).
+            return (PARTICLE_NA, PARTICLE_NA)
+        if surface == "って":
+            return (PARTICLE_TTE, PARTICLE)
         if surface == "し" and "接続助詞" in pos:
             return (PARTICLE, PARTICLE_SHI)
         c = PARTICLE
@@ -797,6 +811,19 @@ CONNECTION_COSTS[(PARTICLE_SHI, AUX_YOU)] = BLOCK
 for (_l, _r), _c in list(CONNECTION_COSTS.items()):
     if _l == NOUN:
         CONNECTION_COSTS.setdefault((NOUN_KD, _r), _c)
+
+# 終助詞 な's right side mirrors generic PARTICLE (same rationale as
+# PARTICLE_SHI's mirror above) …
+for (_l, _r), _c in list(CONNECTION_COSTS.items()):
+    if _l == PARTICLE:
+        CONNECTION_COSTS.setdefault((PARTICLE_NA, _r), _c)
+# … and って (PARTICLE_TTE) is blocked after every particle class EXCEPT
+# 終助詞 な — closing the particle+って thief for や/と/か/の while
+# いいなって stays legal (see the class comment).
+for _left in (PARTICLE, PARTICLE_SHI, VERB_CONT, VERB_CONT_REN,
+              VERB_CONJ, VERB_CONJ_U, ADJ_CONJ, ADJ_CONJ_U, ADJ_GARU,
+              PREFIX, BOS):
+    CONNECTION_COSTS[(_left, PARTICLE_TTE)] = BLOCK
 
 # ADJ_GARU mirrors every ADJ_CONJ rule on both sides (ガル接続 stems
 # carried those blocks before the split — 面白+う must stay blocked, the
