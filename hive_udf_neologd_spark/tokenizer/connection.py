@@ -824,6 +824,12 @@ for _left in (PARTICLE, PARTICLE_SHI, VERB_CONT, VERB_CONT_REN,
               VERB_CONJ, VERB_CONJ_U, ADJ_CONJ, ADJ_CONJ_U, ADJ_GARU,
               PREFIX, BOS):
     CONNECTION_COSTS[(_left, PARTICLE_TTE)] = BLOCK
+# noun+って stays legal (quotative 東京って人) but at a penalty: a bare
+# suffix noun + って was outbidding 促音便+て (風車が回+って vs 回っ+て,
+# audit 124) — +300 retips toward the verb where one exists and leaves
+# quotatives (no competing path) untouched.
+CONNECTION_COSTS[(NOUN, PARTICLE_TTE)] = 300
+CONNECTION_COSTS[(NOUN_KD, PARTICLE_TTE)] = 300
 
 # ADJ_GARU mirrors every ADJ_CONJ rule on both sides (ガル接続 stems
 # carried those blocks before the split — 面白+う must stay blocked, the
