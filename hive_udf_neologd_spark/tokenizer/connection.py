@@ -279,9 +279,14 @@ def entry_classes(
         return (DEFAULT, PREFIX)
     if top == "名詞":
         # The 接尾 さ row: see NOUN_SA.  Its RIGHT side is an ordinary
-        # noun (美しさ+を, 高さ+だ).
+        # noun (美しさ+を, 高さ+だ).  げ (うれし+げ, 不安+げ — IPADIC
+        # 名詞,接尾,形容動詞語幹) shares さ's attachment sites but makes
+        # a 形容動詞語幹: its right side is NOUN_KD so な/に attach the
+        # na-adjective way (うれしげ+な+表情).
         if surface == "さ" and "接尾" in pos:
             return (NOUN_SA, NOUN)
+        if surface == "げ" and "接尾" in pos:
+            return (NOUN_SA, NOUN_KD)
         if surface == "そう" and "接尾" in pos:
             return (NOUN_SOU, NOUN)
         if "形容動詞語幹" in pos:

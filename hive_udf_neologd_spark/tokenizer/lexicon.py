@@ -396,6 +396,9 @@ _SUFFIXES = [
     # そう (appearance そうだ — IPADIC 名詞,接尾,助動詞語幹): 高+そう+な,
     # 降り+そう+だ; attachment hard-restricted, see connection.NOUN_SOU.
     ("そう", "名詞-接尾-助動詞語幹"),
+    # げ (IPADIC 名詞,接尾,形容動詞語幹): うれし+げ+な, 不安+げ+に —
+    # さ's attachment sites, NOUN_KD right side (wave 388).
+    ("げ", "名詞-接尾-形容動詞語幹"),
     # がち (IPADIC 名詞,接尾,形容動詞語幹): ためらい+がち, 曇り+がち —
     # wave-373 audit; generic NOUN classes (its left neighbors are
     # deverbal nouns, which the dictionary carries as NOUN-class rows).
