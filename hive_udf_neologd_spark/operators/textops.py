@@ -1052,13 +1052,13 @@ def t18_ja_tokenize_throughput(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _t18_sql() -> str:
-    from hive_udf_neologd_spark.tokenizer.goldens import t18_values_rows
+    from hive_udf_neologd_spark.tokenizer.goldens import T18_POOL, t18_values_rows
 
     return f"""
 WITH pool(pid, tokens_str, n_tokens_per_doc) AS (VALUES
 {t18_values_rows()}
 ),
-d AS (SELECT doc_id % 8 AS pid FROM documents)
+d AS (SELECT doc_id % {len(T18_POOL)} AS pid FROM documents)
 SELECT p.pid, COUNT(*) AS n_docs, ANY_VALUE(p.tokens_str) AS tokens_str,
        ANY_VALUE(p.n_tokens_per_doc) AS n_tokens_per_doc,
        CAST(COUNT(*) * ANY_VALUE(p.n_tokens_per_doc) AS BIGINT) AS total_tokens
@@ -1402,13 +1402,13 @@ def t23_ja_search_throughput(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _t23_sql() -> str:
-    from hive_udf_neologd_spark.tokenizer.goldens import t23_values_rows
+    from hive_udf_neologd_spark.tokenizer.goldens import T18_POOL, t23_values_rows
 
     return f"""
 WITH pool(pid, tokens_str, n_tokens_per_doc) AS (VALUES
 {t23_values_rows()}
 ),
-d AS (SELECT doc_id % 8 AS pid FROM documents)
+d AS (SELECT doc_id % {len(T18_POOL)} AS pid FROM documents)
 SELECT p.pid, COUNT(*) AS n_docs, ANY_VALUE(p.tokens_str) AS tokens_str,
        ANY_VALUE(p.n_tokens_per_doc) AS n_tokens_per_doc,
        CAST(COUNT(*) * ANY_VALUE(p.n_tokens_per_doc) AS BIGINT) AS total_tokens
@@ -1451,13 +1451,13 @@ def t24_ja_extended_throughput(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _t24_sql() -> str:
-    from hive_udf_neologd_spark.tokenizer.goldens import t24_values_rows
+    from hive_udf_neologd_spark.tokenizer.goldens import T18_POOL, t24_values_rows
 
     return f"""
 WITH pool(pid, tokens_str, n_tokens_per_doc) AS (VALUES
 {t24_values_rows()}
 ),
-d AS (SELECT doc_id % 8 AS pid FROM documents)
+d AS (SELECT doc_id % {len(T18_POOL)} AS pid FROM documents)
 SELECT p.pid, COUNT(*) AS n_docs, ANY_VALUE(p.tokens_str) AS tokens_str,
        ANY_VALUE(p.n_tokens_per_doc) AS n_tokens_per_doc,
        CAST(COUNT(*) * ANY_VALUE(p.n_tokens_per_doc) AS BIGINT) AS total_tokens

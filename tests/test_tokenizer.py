@@ -359,6 +359,33 @@ class TestMecabCsvIngest:
         # New noun segments as one token; inflected verb folds to base form.
         assert a.tokenize("形態素解析器で走った。") == ["形態素解析器", "走る"]
 
+    def test_cform_rows_keep_surface_scoped_classes(self):
+        """IPADIC 助動詞/助詞 rows carry conjugation columns AND
+        surface-scoped class assignments.  The cform branch of
+        load_mecab_csv must still pass the surface into entry_classes —
+        otherwise な/たら/まい/って land in the generic AUX/PARTICLE
+        classes and the lattice-thief parses round 7 fixed (に+な+って)
+        come back the moment a real NEologd CSV is swapped in."""
+        from hive_udf_neologd_spark.tokenizer import connection as C
+        from hive_udf_neologd_spark.tokenizer.dictionary import load_mecab_csv
+
+        rows = [
+            # だ's 体言接続 な — must get AUX_NA/AUX_NA_R, not AUX/AUX.
+            "な,100,100,100,助動詞,*,*,*,特殊・ダ,体言接続,だ,ナ,ナ",
+            # た's 仮定形 たら — AUX_TA left, AUX_TA_R right.
+            "たら,100,100,100,助動詞,*,*,*,特殊・タ,仮定形,た,タラ,タラ",
+            # まい (特殊・マイ, cform 基本形) — AUX_MAI left.
+            "まい,100,100,100,助動詞,*,*,*,特殊・マイ,基本形,まい,マイ,マイ",
+            # Same-cform twin with a different surface must NOT reuse な's
+            # cached classes (the cache must key on the surface).
+            "だっ,100,100,100,助動詞,*,*,*,特殊・ダ,体言接続,だ,ダッ,ダッ",
+        ]
+        na, tara, mai, datt = load_mecab_csv(rows)
+        assert (na.lc, na.rc) == (C.AUX_NA, C.AUX_NA_R)
+        assert (tara.lc, tara.rc) == (C.AUX_TA, C.AUX_TA_R)
+        assert mai.lc == C.AUX_MAI
+        assert (datt.lc, datt.rc) != (na.lc, na.rc)
+
     def test_path_source(self, tmp_path):
         from hive_udf_neologd_spark.tokenizer.dictionary import load_mecab_csv
 
