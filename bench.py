@@ -78,6 +78,10 @@ HEADLINE = [
     "t22_segmentation_parity",
     "t23_ja_search_throughput",
     "t24_ja_extended_throughput",
+    # Round-8: the SQL-surface tokenizer path (row-dispatch Arrow UDF behind
+    # the registered Hive name) — pinned vs t18's pandas-UDF path (VERDICT
+    # r7 next-round #4).
+    "sql03_sql_udf_throughput",
 ]
 
 

@@ -217,12 +217,20 @@ def register_udfs(spark: SparkSession) -> None:
     # tokenize_ja() with no arguments.
     key = (Mode.parse(None).value, None, None, None)
 
+    # One-slot worker-side cache so the hot path is a single bound-method
+    # call: list-cell (not a dict lookup + tuple hash per row).  The cell
+    # deserializes empty on each worker; _get_engine still dedupes the
+    # analyzer build across UDF instances (O10).
+    _cell: list = []
+
     def _dispatch(line=_ABSENT):
         if isinstance(line, _VersionSentinel):
             return tokenize_ja_version()
         if not isinstance(line, str):
             return None  # O9: NULL → NULL
-        return _get_engine(key).tokenize(line)
+        if not _cell:
+            _cell.append(_get_engine(key).tokenize)
+        return _cell[0](line)
 
     overloaded = udf(_dispatch, ArrayType(StringType()), useArrow=True)
     spark.udf.register("tokenize_ja_neologd", overloaded)

@@ -1469,6 +1469,54 @@ GROUP BY p.pid ORDER BY p.pid
 T24_SQL = _t24_sql()
 
 
+# --- sql03: SQL-registered tokenizer throughput ----------------------------
+def sql03_sql_udf_throughput(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Throughput gate for the SQL-surface tokenizer (VERDICT r7 next-round
+    #4).  ``tokenize_ja_neologd`` as registered for SQL is a row-dispatch
+    Arrow UDF (the sentinel-default overload that restores the reference's
+    0-arg/1-arg arity split — functions/tokenize.py:register_udfs), NOT the
+    iterator-form pandas UDF that t18 measures.  A Hive-migrating user
+    reaches for this name first (reference README.md:22-29), so its cost is
+    pinned here with the exact t18 workload: every doc row mapped to one of
+    the 8 pinned Japanese texts and pushed through the full lattice, but
+    via ``spark.sql`` and the registered name.  Comparing this row to t18's
+    in BENCH_r*.json gives the measured row-dispatch overhead.
+
+    Correctness: NORMAL-mode output is identical to t18, so the oracle is
+    T18_SQL (the pinned per-pid golden join).
+
+    Scale: same shape as t18 — broadcast 8-row pool join, one
+    ArrowEvalPython projection, 8-group partial-agg; no corpus shuffle."""
+    prepare(spark)
+    from hive_udf_neologd_spark.functions.tokenize import register_udfs
+    from hive_udf_neologd_spark.tokenizer.goldens import T18_POOL
+
+    register_udfs(spark)
+    docs = read_table(spark, sf_dir, "documents")
+    docs = ensure_parallelism(spark, docs)
+    docs.createOrReplaceTempView("sql03_docs")
+    assert not any("'" in s for s in T18_POOL)
+    pool_rows = ",\n".join(f"  ({i}, '{s}')" for i, s in enumerate(T18_POOL))
+    return spark.sql(f"""
+WITH pool(pid, line) AS (VALUES
+{pool_rows}
+),
+d AS (SELECT doc_id % {len(T18_POOL)} AS pid FROM sql03_docs),
+toks AS (
+  SELECT d.pid, tokenize_ja_neologd(p.line) AS toks
+  FROM d JOIN pool p ON d.pid = p.pid
+)
+SELECT pid, COUNT(*) AS n_docs,
+       any_value(concat_ws('|', toks)) AS tokens_str,
+       any_value(size(toks)) AS n_tokens_per_doc,
+       CAST(SUM(size(toks)) AS BIGINT) AS total_tokens
+FROM toks GROUP BY pid ORDER BY pid
+""")
+
+
+SQL03_SQL = T18_SQL
+
+
 TEXT_QUERIES = {
     "t01_token_topk": t01_token_topk,
     "t02_token_stats": t02_token_stats,
@@ -1497,6 +1545,7 @@ TEXT_QUERIES = {
     "t22_segmentation_parity": t22_segmentation_parity,
     "t23_ja_search_throughput": t23_ja_search_throughput,
     "t24_ja_extended_throughput": t24_ja_extended_throughput,
+    "sql03_sql_udf_throughput": sql03_sql_udf_throughput,
 }
 
 # t08's oracle is a constant-literal VALUES table (see T08_SQL): DuckDB
@@ -1530,4 +1579,5 @@ TEXT_ORACLES = {
     "t22_segmentation_parity": T22_SQL,
     "t23_ja_search_throughput": T23_SQL,
     "t24_ja_extended_throughput": T24_SQL,
+    "sql03_sql_udf_throughput": SQL03_SQL,
 }
