@@ -82,6 +82,10 @@ HEADLINE = [
     # the registered Hive name) — pinned vs t18's pandas-UDF path (VERDICT
     # r7 next-round #4).
     "sql03_sql_udf_throughput",
+    # Round-8: sampled-train IVF (the 100 TB training-cost fix, VERDICT r7
+    # next-round #6) — gated from birth so the sampled Lloyd path can't
+    # silently regress vs a08's full-corpus training.
+    "a12_ivf_sampled_train",
 ]
 
 

@@ -422,16 +422,22 @@ def _assign(emb: DataFrame, cents: DataFrame, carry: tuple = ()) -> DataFrame:
     )
 
 
-def _trained_centroids(emb: DataFrame) -> DataFrame:
+def _trained_centroids(emb: DataFrame, train: DataFrame | None = None) -> DataFrame:
     """Two rounded Lloyd iterations from the deterministic seed sample —
     shared by a06 (reports cluster stats) and a08 (uses the centroids as
     an IVF coarse quantizer).  Rounding to 4 dp between iterations is what
-    lets the DuckDB oracle replay training bit-for-bit."""
+    lets the DuckDB oracle replay training bit-for-bit.
+
+    ``train`` restricts the Lloyd refinement passes to a sample (a12) —
+    seeds still come from ``emb`` so K matches a08's index; only the
+    per-iteration assignment cost shrinks with the sample."""
+    if train is None:
+        train = emb
     cents = emb.filter(F.col("vec_id") % _KM_SEED_MOD == 1).select(
         F.col("vec_id").alias("c_id"), F.col("e").alias("ce")
     )
     for _ in range(_KM_ITERS):
-        assigned = _assign(emb, cents)
+        assigned = _assign(train, cents)
         cents = (
             assigned.select("c_id", F.posexplode("e").alias("dim", "x"))
             .groupBy("c_id", "dim")
@@ -525,6 +531,14 @@ def a08_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     # materialization each reference re-runs the full two-iteration Lloyd
     # lineage (train once, use twice; K-sized, same values bit-for-bit).
     cents = _trained_centroids(emb.select("vec_id", "e")).localCheckpoint()
+    return _ivf_probe_rescore(emb, cents)
+
+
+def _ivf_probe_rescore(emb: DataFrame, cents: DataFrame) -> DataFrame:
+    """The index-build → probe → exact-rescore tail shared by a08 and a12
+    (identical for any trained centroid set): full-corpus inverted-list
+    assignment, per-query top-``_N_PROBE`` lists, exact cosine on
+    candidates only."""
     inv = _assign(emb, cents, carry=("nrm",)).select(
         "vec_id", "e", "nrm", F.col("c_id").alias("list_id")
     )
@@ -561,7 +575,10 @@ def a08_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ivf_trained_sql() -> str:
+def _ivf_trained_sql(train_where: str = "") -> str:
+    """a08's oracle; with ``train_where`` the two Lloyd refinement passes
+    run over that sample of ``emb`` (a12) while seeds and the final
+    inverted-list assignment stay full-corpus."""
     assign = """
   SELECT vec_id, e, c_id, d2 FROM (
     SELECT emb.vec_id, emb.e, c.c_id,
@@ -571,7 +588,7 @@ def _ivf_trained_sql() -> str:
              list_aggregate(list_transform(range(1, len(emb.e) + 1),
                             i -> (emb.e[i] - c.ce[i]) * (emb.e[i] - c.ce[i])), 'sum') ASC,
              c.c_id ASC) AS r
-    FROM emb CROSS JOIN {cents} c
+    FROM {src} AS emb CROSS JOIN {cents} c
   ) WHERE r = 1
 """
     recompute = """
@@ -581,14 +598,20 @@ def _ivf_trained_sql() -> str:
     GROUP BY c_id, u.i
   ) GROUP BY c_id
 """
+    train_cte = (
+        f"train AS (SELECT vec_id, e FROM emb WHERE {train_where}),\n"
+        if train_where
+        else ""
+    )
+    tsrc = "train" if train_where else "emb"
     return f"""
 WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-seeds AS (SELECT vec_id AS c_id, e AS ce FROM emb WHERE vec_id % {_KM_SEED_MOD} = 1),
-a1 AS ({assign.format(cents="seeds")}),
+{train_cte}seeds AS (SELECT vec_id AS c_id, e AS ce FROM emb WHERE vec_id % {_KM_SEED_MOD} = 1),
+a1 AS ({assign.format(src=tsrc, cents="seeds")}),
 c1 AS ({recompute.format(assigned="a1")}),
-a2 AS ({assign.format(cents="c1")}),
+a2 AS ({assign.format(src=tsrc, cents="c1")}),
 c2 AS ({recompute.format(assigned="a2")}),
-inv AS (SELECT vec_id, e, c_id AS list_id FROM ({assign.format(cents="c2")})),
+inv AS (SELECT vec_id, e, c_id AS list_id FROM ({assign.format(src="emb", cents="c2")})),
 q AS (SELECT vec_id AS q_id, e AS qe FROM emb WHERE vec_id % {_QUERY_MOD} = 0),
 probes AS (
   SELECT q_id, list_id FROM (
@@ -925,6 +948,36 @@ LEFT JOIN ({_ivf_sql(nprobe)}) ivf
 A11_SQL = _a11_sql()
 
 
+# --- a12: IVF trained on a sample (the 100 TB training-cost fix) -----------
+_TRAIN_MOD = 4  # vec_id % 4 == 1 → Lloyd refinement sample (~25% of corpus)
+
+
+def a12_ivf_sampled_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """a08's trained IVF with SAMPLED Lloyd refinement — the training-cost
+    fix SCALING.md prescribes for real scale (VERDICT r7 next-round #6):
+    centroid quality doesn't need every vector, assignment does.  Seeds are
+    a08's exact deterministic set (K unchanged), but each Lloyd iteration's
+    broadcast-assignment pass runs over only ``vec_id % {mod} == 1`` (~25%)
+    — at sf1 that is the dominant a08 cost (two full-corpus passes), so
+    training drops ~4× while the index/probe/rescore tail is identical in
+    shape and plan to a08.  At 100 TB the sample is a fixed-size frame and
+    training cost decouples from corpus size entirely.
+
+    Deterministic end-to-end (fixed sample + 4 dp centroid rounding), so
+    the DuckDB oracle replays sampled training bit-for-bit — assignment
+    exactness on the trained centroids, same oracle pattern as a08."""
+    prepare(spark)
+    emb = _emb(spark, sf_dir)
+    train = emb.select("vec_id", "e").filter(F.col("vec_id") % _TRAIN_MOD == 1)
+    cents = _trained_centroids(
+        emb.select("vec_id", "e"), train=train
+    ).localCheckpoint()
+    return _ivf_probe_rescore(emb, cents)
+
+
+A12_SQL = _ivf_trained_sql(train_where=f"vec_id % {_TRAIN_MOD} = 1")
+
+
 ANN_QUERIES = {
     "a01_ann_bruteforce": a01_ann_bruteforce,
     "a02_ann_lsh": a02_ann_lsh,
@@ -938,6 +991,7 @@ ANN_QUERIES = {
     "a10_range_search": a10_range_search,
     # Append-only (DRIVER_GATED_50 contract): new entries go at the END.
     "a11_recall_curve": a11_recall_curve,
+    "a12_ivf_sampled_train": a12_ivf_sampled_train,
 }
 
 ANN_ORACLES = {
@@ -954,4 +1008,5 @@ ANN_ORACLES = {
     "a09_ivf_np_kernel": A08_SQL,
     "a10_range_search": A10_SQL,
     "a11_recall_curve": A11_SQL,
+    "a12_ivf_sampled_train": A12_SQL,
 }
