@@ -208,7 +208,28 @@ PARTICLE_CONJ_V = 30  # のに/ので (助詞-接続助詞, genuine IPADIC rows,
                  # and every genitive の+に reading intact while the
                  # one-row のに/ので win their verb-adjacent contexts the
                  # way MeCab's matrix decides them.
-N_CLASSES = 43
+PARTICLE_JA = 43  # じゃ (では contraction, 助詞-副助詞) and じゃん
+                 # (終助詞) — round-8 held-out tranche (ho_casual):
+                 # both attach to 体言/連体形/助動詞 (学生じゃない,
+                 # できる+じゃ+ない+か, 言ってない+じゃん, 言った+じゃん)
+                 # and NEVER to particles/stems/BOS — without the left
+                 # restriction the cheap rows would shred hiragana
+                 # sequences the way bare な did (PARTICLE_NA history).
+NOUN_NOMI = 44  # 準体 ん (名詞-非自立 — the の contraction: 行く+ん+だ,
+                 # いい+ん+じゃない, 食べた+ん+だ, そんな+ん).  IPADIC
+                 # carries ん as 名詞,非自立,一般; its attachment sites
+                 # are 連体形 contexts only: verb/adjective base forms,
+                 # auxiliaries (ない/てる/た), and 連体詞/unknown runs
+                 # (DEFAULT).  The single-kana row would shred everything
+                 # else, so every other left context is blocked.  Right
+                 # side is NOUN: ん+だ (copula after 体言), ん+です,
+                 # ん+じゃ all inherit noun behavior.
+AUX_DATT = 45  # だっ's RIGHT class (だ's 連用タ接続, IPADIC 特殊・ダ):
+                 # its ONLY legal successors are た/たら (最高だっ+た,
+                 # 雨だっ+たら) — the generic AUX right class let
+                 # だっ+て outbid だ+って in なるんだって (round-8
+                 # held-out tranche, ho_casual s509).
+N_CLASSES = 46
 
 # Declared schema version of the CLASS-ASSIGNMENT mapping (entry_classes):
 # the marshal-precompiled dictionary snapshot bakes each row's (lc, rc)
@@ -223,7 +244,11 @@ N_CLASSES = 43
 # redesign) — existing baked ids changed meaning for those rows.
 # v3: 名詞-形容動詞語幹 rows gained the dedicated right class NOUN_KD
 # (round-7 audit 120 — the 語幹+な reward site).
-CLASS_SCHEMA_VERSION = 3
+# v4: round-8 held-out tranche — new classes PARTICLE_JA (じゃ/じゃん),
+# NOUN_NOMI (準体 ん), AUX_DATT (だっ right side); 終助詞 わ joins な's
+# PARTICLE_NA branch; なきゃ joins the ない family; だって/しか/なあ are
+# new generic-particle surfaces (no class change but new rows).
+CLASS_SCHEMA_VERSION = 4
 
 # 連用 (continuative) forms — the state auxiliaries attach to (聴い+た,
 # でき+ます, 高かっ+た).  Deliberately NOT including 未然形: rewarding
@@ -247,6 +272,12 @@ _IRREGULAR_MIZEN = frozenset({("さ", "する"), ("せ", "する")})
 # lexicalizes as their own rows (round-7 AUX_YOU work).
 _IRREGULAR_MIZEN_U = frozenset({("しよ", "する"), ("来よ", "来る"),
                                 ("こよ", "くる")})
+
+# Irregular 命令形 surfaces in the cform-less hand lexicon: カ変 来い
+# (round-8 held-out tranche).  Imperatives are non-連用 conjugated forms
+# — VERB_CONJ, so no auxiliary may follow (the cont fallback would have
+# handed 来い the 連用形 rewards).
+_IRREGULAR_CONJ = frozenset({("来い", "来る")})
 
 # Other conjugated (non-terminal, non-連用) forms.  命令ｉ is NOT here:
 # for ラ行特殊 verbs (くださる/なさる/いらっしゃる) it doubles as the
@@ -289,6 +320,10 @@ def entry_classes(
             return (NOUN_SA, NOUN_KD)
         if surface == "そう" and "接尾" in pos:
             return (NOUN_SOU, NOUN)
+        # 準体 ん (名詞-非自立): see NOUN_NOMI — 連体形-context attachment
+        # only, noun behavior on the right (round-8 held-out tranche).
+        if surface == "ん" and "非自立" in pos:
+            return (NOUN_NOMI, NOUN)
         if "形容動詞語幹" in pos:
             return (NOUN, NOUN_KD)
         c = NOUN
@@ -308,7 +343,7 @@ def entry_classes(
             return (PARTICLE_DE, PARTICLE)
         if surface in ("のに", "ので") and "接続助詞" in pos:
             return (PARTICLE_CONJ_V, PARTICLE)
-        if surface in ("な", "かな") and "終助詞" in pos:
+        if surface in ("な", "かな", "わ") and "終助詞" in pos:
             # かな shares な's terminal-only attachment (いい+かな) — as a
             # generic particle its 100-cost row stole かなしさ's first two
             # chars from the ガル stem (round-7 さ redesign probes).
@@ -318,6 +353,10 @@ def entry_classes(
             return (PARTICLE_NA, PARTICLE_NA)
         if surface == "って":
             return (PARTICLE_TTE, PARTICLE)
+        # じゃ (では contraction) / じゃん (終助詞): 体言/連体形/助動詞
+        # left contexts only — see PARTICLE_JA (round-8 held-out tranche).
+        if surface in ("じゃ", "じゃん"):
+            return (PARTICLE_JA, PARTICLE)
         if surface == "し" and "接続助詞" in pos:
             return (PARTICLE, PARTICLE_SHI)
         c = PARTICLE
@@ -326,7 +365,10 @@ def entry_classes(
         # without rewarding 未然形 before every auxiliary (which would
         # re-analyze lexicalized causatives — see _RENYO_FORMS note).
         # Right class stays AUX: nothing keys on "after ない".
-        if surface in ("ない", "なかっ", "なけれ"):
+        # なきゃ (なければ's colloquial contraction, IPADIC 特殊・ナイ
+        # paradigm): same attachment sites as なけれ (やら+なきゃ+いけ+
+        # ない — round-8 held-out tranche, ho_casual).
+        if surface in ("ない", "なかっ", "なけれ", "なきゃ"):
             # なかっ (ない's 連用タ接続) shares ない's attachment sites —
             # 探さ+なかっ+た is the canonical negative past.  It sat in
             # the generic AUX class until the (VERB_CONJ, AUX) block
@@ -406,6 +448,10 @@ def entry_classes(
         # だっ/で stay generic AUX (飲んだろう keeps its reward path).
         if surface == "だ":
             return (AUX_DA, AUX)
+        # だっ (だ's 連用タ接続): only た/たら may follow — see AUX_DATT.
+        # Left side stays generic AUX (最高だっ+た via NOUN→AUX default).
+        if surface == "だっ":
+            return (AUX, AUX_DATT)
         c = AUX
     elif top in ("動詞", "形容詞"):
         if cform is not None:
@@ -471,6 +517,8 @@ def entry_classes(
             if base_form is not None and base_form != surface:
                 if top == "動詞" and (surface, base_form) in _IRREGULAR_MIZEN_U:
                     kind = "conj_u"
+                elif top == "動詞" and (surface, base_form) in _IRREGULAR_CONJ:
+                    kind = "conj"
                 elif top == "動詞" and (surface, base_form) in _IRREGULAR_MIZEN:
                     # サ変 未然形 stems さ/せ (される, させる sites): the
                     # blanket treat-as-continuative fallback handed them
@@ -869,6 +917,62 @@ for _next in range(N_CLASSES):
 # (高(5200)+そう beats the そうな unknown merge), while the penalty keeps
 # 副詞+そう and other DEFAULT-class bigrams from abusing the cheap row.
 CONNECTION_COSTS[(DEFAULT, NOUN_SOU)] = 600
+
+# --- Round-8 held-out-tranche rows (honest pre-fix F1 0.9795; each rule
+# below closes a measured ho_* failure and is re-judged by the full
+# 355-sentence corpus + goldens + oracle sweep) -----------------------------
+# じゃ/じゃん (PARTICLE_JA): legal after 体言/連体形/助動詞 only.
+for _left in range(N_CLASSES):
+    if _left not in (NOUN, NOUN_KD, NOUN_NOMI, VERB_BASE, ADJ_BASE,
+                     AUX, AUX_TA_R):
+        CONNECTION_COSTS[(_left, PARTICLE_JA)] = BLOCK
+# 準体 ん (NOUN_NOMI): legal after 連体形 contexts — verb/adjective base
+# forms, auxiliaries (ない+ん, てる+ん), た (食べた+ん), and 連体詞/
+# unknown runs (そんな+ん — 連体詞 rows are DEFAULT class).  Everything
+# else blocked: the 1-char row must never shred hiragana words (same
+# discipline as 助動詞 ん's AUX_N).
+for _left in range(N_CLASSES):
+    if _left not in (VERB_BASE, ADJ_BASE, AUX, AUX_TA_R, DEFAULT):
+        CONNECTION_COSTS[(_left, NOUN_NOMI)] = BLOCK
+# だっ (AUX_DATT right side): only た/たら (AUX_TA) may follow — IPADIC's
+# 連用タ接続 successors.  だ+って keeps its quotative reading (s509).
+for _next in range(N_CLASSES):
+    if _next != AUX_TA:
+        CONNECTION_COSTS[(AUX_DATT, _next)] = BLOCK
+# し (PARTICLE_SHI) + particle: ungrammatical — し ends a coordinated
+# clause, and the one genuine fusion (しか 副助詞) is its own IPADIC row
+# (ho_num s432/s454: 5日しか was shredding into し+か because the two
+# 50-cost rows undercut the 400-cost しか; the penalty re-prices the
+# shred without touching し+noun / し+punctuation contexts).
+CONNECTION_COSTS[(PARTICLE_SHI, PARTICLE)] = 500
+# 連用形 + 連用形 verb chaining: IPADIC's matrix disfavors bare 連用+連用
+# (compound verbs are lexicalized rows) — without the penalty 出(出る
+# 連用)+発し(発する連用) outbids the サ変 reading 出発+し+た by 300
+# (ho_ne s409).  +400 reorders only paths where a lexicalized or サ変
+# alternative exists; a genuine 連用中止 chain with no alternative still
+# parses (penalty, not BLOCK).
+CONNECTION_COSTS[(VERB_CONT, VERB_CONT)] = 400
+# 終助詞 な after 連用形 — the soft imperative (行き+な, 持ってき+な,
+# 寝+な): IPADIC allows it and the held-out tranche measured the gap
+# (s514/s516).  Opened for VERB_CONT/VERB_CONT_REN only; the なって
+# thieves the block was built for came from PARTICLE/ADJ_CONT lefts,
+# which stay blocked.
+del CONNECTION_COSTS[(VERB_CONT, PARTICLE_NA)]
+del CONNECTION_COSTS[(VERB_CONT_REN, PARTICLE_NA)]
+# 音便 stem + conjugated verb: the ておく/てしまう contraction family
+# attaches non-連用 verb forms directly to 音便 stems (やっ+とか+ない,
+# 言っ+とけ+ば — IPADIC carries とく/ちゃう as ordinary verbs and its
+# matrix rewards the bigram).  Without the reward the 副詞 やっと + か
+# shred (1150) undercuts やっ+とか+ない (2000) — ho_casual s511.  The
+# pair requires BOTH sides to be dictionary verb rows, which is why the
+# blanket reward is safe at this magnitude (unknowns are DEFAULT class;
+# the corpus + golden + oracle sweeps gate it).
+CONNECTION_COSTS[(VERB_ONBIN, VERB_CONJ)] = -1000
+# 連用形 + quotative って: quoting a polite imperative is real grammar
+# (寝なさい+って, ご覧なさい+って — なさい is classed REN for its マス
+# attachment), and the original thief this block closed came from
+# particle lefts (や+って), which stay blocked — ho_casual s520.
+del CONNECTION_COSTS[(VERB_CONT_REN, PARTICLE_TTE)]
 
 # Sentences do not START with case/conjunctive particles or bare
 # auxiliaries — IPADIC's BOS row prices them out, and without the

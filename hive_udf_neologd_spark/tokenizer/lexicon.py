@@ -80,6 +80,32 @@ _PARTICLES = [
     # wave-353 casual-register probe: やばいって shredded into
     # や+ば+言って because っ+て had no one-row alternative.
     ("って", "助詞-格助詞-連語"),
+    # --- round-8 held-out tranche (ho_casual/ho_quote measured gaps) ---
+    # わ (IPADIC 終助詞): terminal-form attachment via な's PARTICLE_NA
+    # class (知らん+わ, 行く+わ — s518/s519); the bare 1-char row needs
+    # な's discipline or it shreds hiragana words.
+    ("わ", "助詞-終助詞"),
+    # なあ (IPADIC 終助詞): generic particle class — unlike な it must
+    # follow other 終助詞 (だ+よ+なあ, s521), which PARTICLE_NA blocks.
+    ("なあ", "助詞-終助詞"),
+    # じゃ (では contraction, IPADIC 副助詞) / じゃん (終助詞):
+    # PARTICLE_JA left class — 体言/連体形/助動詞 contexts only
+    # (いい+ん+じゃ+ない s517, できる+じゃ+ない+か s499, 言ってない+
+    # じゃん s508).
+    ("じゃ", "助詞-副助詞"),
+    ("じゃん", "助詞-終助詞"),
+    # だって (IPADIC 副助詞: 体言+だって — 子供だって, なるん+だって
+    # s509).  At the 50·len formula (150) it beats だ+って (200) in its
+    # contexts and loses to them nowhere (だっ+て is closed by AUX_DATT).
+    ("だって", "助詞-副助詞"),
+]
+
+# Particles whose IPADIC cost band is NOT the 50·len formula: しか must
+# sit above しかし−50 so the 接続詞 keeps its row (しか+し at 400+50
+# loses to しかし 300 ✓) while still beating the し+か shred once
+# (PARTICLE_SHI → PARTICLE) carries its +500 (ho_num s432/s454).
+_PARTICLES_COSTED = [
+    ("しか", "助詞-副助詞", 400),
 ]
 
 # --- auxiliary verbs (助動詞) --------------------------------------------
@@ -100,6 +126,10 @@ _AUX = [
     # ない's 仮定形 (行かなければ) — absent until the wave-353 probe found
     # なければ shredding into な+ける+ば; ない-family left class.
     "なけれ",
+    # なきゃ — なければ's colloquial contraction (round-8 held-out
+    # tranche s506: やら+なきゃ+いけ+ない); ない-family left class via
+    # the entry_classes surface scope.
+    "なきゃ",
     "まい", "たい", "たく", "たかっ", "らしい", "れる", "られる", "せる", "させる",
     "れ", "られ", "せ", "させ", "なら",
     # Polite copula stem (IPADIC: ございます = 助動詞 ござい + 助動詞 ます,
@@ -182,6 +212,18 @@ _VERBS = [
     # き+た (100-cost aux + −800 連用 reward) now wins wherever MeCab
     # splits.  きたない stays whole via the (AUX_TA_R, AUX_NAI) BLOCK.
     ("き", "くる"),
+    # カ変 命令形 来い (IPADIC ro-imperative row): 「早く来い」と — the
+    # round-8 held-out tranche (ho_quote s486) measured 来+い(いる)
+    # winning without it.  Classed 未然形-like via _IRREGULAR_CONJ
+    # (connection.py): nothing auxiliary may follow a 命令形.
+    ("来い", "来る"),
+    # てる's 連用形 て (IPADIC 動詞,非自立,一段 てる paradigm): the
+    # contracted-progressive past/negative chains attach here — 見+て+た,
+    # し+て+た+の (s515/s525), 言っ+て+ない (s508).  The 接続助詞 て row
+    # keeps every ordinary te-form (50 vs 1200); this row only wins when
+    # its VERB_CONT right side unlocks an auxiliary the particle cannot
+    # take.
+    ("て", "てる"),
     ("ある", "ある"), ("あっ", "ある"), ("あり", "ある"), ("あれ", "ある"),
     ("なる", "なる"), ("なっ", "なる"), ("なり", "なる"), ("なれ", "なる"),
     ("いう", "いう"), ("いっ", "いう"), ("いい", "いう"),
@@ -408,6 +450,10 @@ _SUFFIXES = [
     ("日", "名詞-接尾-助数詞"), ("月", "名詞-接尾-助数詞"),
     ("年", "名詞-接尾-助数詞"), ("回", "名詞-接尾-助数詞"),
     ("個", "名詞-接尾-助数詞"), ("人", "名詞-接尾-助数詞"),
+    # 時/半 (IPADIC 名詞,接尾,助数詞): without them adjacent single-kanji
+    # unknowns MERGE — 6時半 read 6+時半 as one unk-kanji2 node because
+    # 時(5200)+半(5200) > 時半(6900) (round-8 held-out tranche, s439).
+    ("時", "名詞-接尾-助数詞"), ("半", "名詞-接尾-助数詞"),
 ]
 
 _ADVERBS = ["とても", "すごく", "もっと", "ちょっと", "よく", "まだ", "もう", "ずっと",
@@ -576,6 +622,23 @@ def _build() -> list[tuple]:
     entries: list[tuple] = []
     for surface, pos in _PARTICLES:
         entries.append((surface, pos, 50 * max(1, len(surface)), None, None))
+    for surface, pos, cost in _PARTICLES_COSTED:
+        entries.append((surface, pos, cost, None, None))
+    # 準体 ん (IPADIC 名詞,非自立,一般 — の contraction: 行くんだ, いい
+    # んじゃない; round-8 held-out tranche).  800: far under the 1-char
+    # unknown (3500) it replaces, far over every competing particle/aux
+    # row, and left-gated hard by NOUN_NOMI (connection.py).
+    entries.append(("ん", "名詞-非自立-一般", 800, None, None))
+    # Wi-Fi (NEologd row): the unknown path splits at the hyphen (PUNCT
+    # char class) — Wi+Fi (round-8 held-out tranche, s463).  Contains
+    # '-', so it can never match inside a pure-alnum line and the ASCII
+    # fast-path gate (ascii_matchable_surfaces: [A-Za-z0-9 ]+ fullmatch)
+    # is provably unaffected.
+    entries.append(("Wi-Fi", "名詞-固有名詞-一般", 1200, None, None))
+    # ほんと (IPADIC row — 本当's informal spelling; round-8 tranche
+    # s512: the unknown run swallowed ほんとにあるんだと whole).  The
+    # all-hiragana 1150 tier (wave-350 class).
+    entries.append(("ほんと", "名詞-一般", 1150, None, None))
     for surface in _AUX:
         entries.append((surface, "助動詞", 100, None, None))
     for surface, base in _VERBS:
