@@ -248,7 +248,11 @@ N_CLASSES = 46
 # NOUN_NOMI (準体 ん), AUX_DATT (だっ right side); 終助詞 わ joins な's
 # PARTICLE_NA branch; なきゃ joins the ない family; だって/しか/なあ are
 # new generic-particle surfaces (no class change but new rows).
-CLASS_SCHEMA_VERSION = 4
+# v5: mechanical tuple classes (VERDICT r7 #3) — (pos, ctype, cform)
+# tuples get ids above the 46 behavior classes; overridden tuples
+# (連体詞, カ行イ音便未然形) now bake their own canonical ids.  Any
+# TUPLE_OVERRIDES edit re-canonicalizes baked ids → bump this again.
+CLASS_SCHEMA_VERSION = 5
 
 # 連用 (continuative) forms — the state auxiliaries attach to (聴い+た,
 # でき+ます, 高かっ+た).  Deliberately NOT including 未然形: rewarding
@@ -291,6 +295,38 @@ _OTHER_CONJ_FORMS = frozenset({
 })
 
 
+# --- mechanical tuple classes (round 8, VERDICT r7 #3) ---------------------
+# matrix.def keys costs on context ids derived from the full feature
+# tuple; the engine's analog: every (pos, conj_type, conj_form) tuple
+# realized in the snapshot + hand lexicon (tokenizer/conn_tuples.py,
+# GENERATED by tools/gen_conn_classes.py) gets an id above the 46
+# authored behavior classes.  Each tuple id carries the coarse behavior
+# GROUP the classification below always produced (computed by running
+# entry_classes itself on the bare tuple, so the mapping can never drift
+# from the logic), and TUPLE_OVERRIDES prices individual tuple pairs the
+# way matrix.def prices context-id pairs.  CANONICALIZATION: an id named
+# by no override collapses back to its group before it ever reaches a
+# DictEntry, so the lattice's per-position live-state count is unchanged
+# wherever no finer rule exists — full granularity in addressing, zero
+# runtime cost until a rule uses it.  The three dicts below are filled
+# at module bottom (after the authored matrix), in dependency order.
+TUPLE_IDS: dict[tuple[str, str, str], int] = {}
+_CANON_LC: list[int] = []
+_CANON_RC: list[int] = []
+
+
+def _tupleize(lc0: int, rc0: int, pos: str, ctype: str | None,
+              cform: str | None) -> tuple[int, int]:
+    """Swap a tuple-determined class pair for its canonical mechanical
+    ids.  Inert while TUPLE_IDS is empty (bootstrap: group computation
+    runs entry_classes before the table is filled)."""
+    mid = TUPLE_IDS.get((pos, ctype or "", cform or ""))
+    if mid is None:
+        return (lc0, rc0)
+    k = mid - N_CLASSES
+    return (_CANON_LC[k], _CANON_RC[k])
+
+
 def entry_classes(
     pos: str,
     base_form: str | None = None,
@@ -307,7 +343,7 @@ def entry_classes(
     is a conjugated form (that is exactly when the generator sets one)."""
     top = pos.split("-", 1)[0] if pos else ""
     if top == "接頭詞":
-        return (DEFAULT, PREFIX)
+        return _tupleize(DEFAULT, PREFIX, pos, ctype, cform)
     if top == "名詞":
         # The 接尾 さ row: see NOUN_SA.  Its RIGHT side is an ordinary
         # noun (美しさ+を, 高さ+だ).  げ (うれし+げ, 不安+げ — IPADIC
@@ -325,7 +361,7 @@ def entry_classes(
         if surface == "ん" and "非自立" in pos:
             return (NOUN_NOMI, NOUN)
         if "形容動詞語幹" in pos:
-            return (NOUN, NOUN_KD)
+            return _tupleize(NOUN, NOUN_KD, pos, ctype, cform)
         c = NOUN
     elif top == "助詞":
         # を/が/の carry the penalty left class (see PARTICLE_CASE);
@@ -552,7 +588,17 @@ def entry_classes(
                  "conj_u": ADJ_CONJ_U, "base": ADJ_BASE}[kind]
     else:
         c = DEFAULT
-    return (c, c)
+    if (
+        cform is None
+        and top in ("動詞", "形容詞")
+        and base_form is not None
+        and base_form != surface
+    ):
+        # Hand-lexicon conjugated rows: the class came from surface/base
+        # INFERENCE, so the (pos, ctype, cform) tuple alone does not
+        # determine it — these keep their coarse behavior class.
+        return (c, c)
+    return _tupleize(c, c, pos, ctype, cform)
 
 
 # The authored matrix: {(prev_right_class, next_left_class): cost}.
@@ -959,15 +1005,15 @@ CONNECTION_COSTS[(VERB_CONT, VERB_CONT)] = 400
 # which stay blocked.
 del CONNECTION_COSTS[(VERB_CONT, PARTICLE_NA)]
 del CONNECTION_COSTS[(VERB_CONT_REN, PARTICLE_NA)]
-# 音便 stem + conjugated verb: the ておく/てしまう contraction family
-# attaches non-連用 verb forms directly to 音便 stems (やっ+とか+ない,
-# 言っ+とけ+ば — IPADIC carries とく/ちゃう as ordinary verbs and its
-# matrix rewards the bigram).  Without the reward the 副詞 やっと + か
-# shred (1150) undercuts やっ+とか+ない (2000) — ho_casual s511.  The
-# pair requires BOTH sides to be dictionary verb rows, which is why the
-# blanket reward is safe at this magnitude (unknowns are DEFAULT class;
-# the corpus + golden + oracle sweeps gate it).
-CONNECTION_COSTS[(VERB_ONBIN, VERB_CONJ)] = -1000
+# 音便 stem + カ行イ音便 未然形: the ておく contraction family attaches
+# とく's 未然形 directly to 音便 stems (やっ+とか+ない — IPADIC carries
+# とく as an ordinary verb and its matrix rewards the bigram).  Without
+# the reward the 副詞 やっと + か shred (1150) undercuts やっ+とか+ない
+# (2000) — ho_casual s511.  Authored as a TUPLE override (see the
+# mechanical-class section at module bottom): the reward targets exactly
+# the (動詞-自立, 五段・カ行イ音便, 未然形) rows instead of every
+# VERB_CONJ — matrix.def granularity where the coarse class would have
+# rewarded all 未然/仮定/命令 rows after every 音便 stem.
 # 連用形 + quotative って: quoting a polite imperative is real grammar
 # (寝なさい+って, ご覧なさい+って — なさい is classed REN for its マス
 # attachment), and the original thief this block closed came from
@@ -984,3 +1030,94 @@ del CONNECTION_COSTS[(VERB_CONT_REN, PARTICLE_TTE)]
 for _next in (PARTICLE, PARTICLE_CASE, PARTICLE_TE, PARTICLE_DE, AUX,
               AUX_DA, AUX_COP):
     CONNECTION_COSTS[(BOS, _next)] = 400
+
+
+# --- mechanical tuple-class machinery (fills the tables declared above
+# entry_classes; runs LAST so the authored matrix is complete) --------------
+from hive_udf_neologd_spark.tokenizer.conn_tuples import TUPLES  # noqa: E402
+
+# 1) Behavior group of every tuple: run the classification itself on the
+# bare tuple (surface="", base_form=None) — TUPLE_IDS is still empty, so
+# _tupleize is inert and entry_classes returns the coarse pair.  Groups
+# are PAIRS: some tuple-determined classes are asymmetric (接頭詞 →
+# (DEFAULT, PREFIX), 形容動詞語幹 → (NOUN, NOUN_KD)).
+_TUPLE_GROUPS: tuple[tuple[int, int], ...] = tuple(
+    entry_classes(_pos, None, "", cform=_cf or None, ctype=_ct or None)
+    for (_pos, _ct, _cf) in TUPLES
+)
+
+# 2) Ids: N_CLASSES..N_TOTAL-1 in the generated (sorted) tuple order.
+TUPLE_IDS.update({t: N_CLASSES + i for i, t in enumerate(TUPLES)})
+N_TOTAL = N_CLASSES + len(TUPLES)
+
+# 3) Authored tuple-pair overrides — the matrix.def-granular tier.
+# Sparse like CONNECTION_COSTS; any pair not listed inherits the coarse
+# cost of its behavior groups.  CHANGING THIS DICT re-canonicalizes
+# baked marshal class ids: bump CLASS_SCHEMA_VERSION and regenerate
+# (same recapture protocol as entry_classes edits).
+_ADN = TUPLE_IDS[("連体詞", "", "")]
+_KAGYO_MIZEN = TUPLE_IDS[("動詞-自立", "五段・カ行イ音便", "未然形")]
+TUPLE_OVERRIDES: dict[tuple[int, int], int] = {
+    # 連体詞 attach to 体言 — particles/auxiliaries after them are
+    # ungrammatical (×この+が, ×その+だ).  +600 retires the wave-370
+    # cost hack: こんなに/そんなに/あんなに/どんなに now live at the
+    # normal 1000 adverb tier because 連体詞(400)+に(50)+600 = 1050
+    # no longer undercuts them (they needed 390 before).  Penalty, not
+    # BLOCK: a 連体詞+particle with no competing path still parses
+    # (こんなの at +600 beats every unknown merge).
+    **{(_ADN, _nl): 600
+       for _nl in (PARTICLE, PARTICLE_CASE, PARTICLE_TE, PARTICLE_DE,
+                   AUX, AUX_DA, AUX_COP)},
+    # 音便 stem + とく-family 未然形 (やっ+とか+ない) — see the authored-
+    # matrix comment where the coarse (VERB_ONBIN, VERB_CONJ) version of
+    # this rule was retired.
+    (VERB_ONBIN, _KAGYO_MIZEN): -1000,
+}
+EOS_OVERRIDES: dict[int, int] = {}
+
+# 4) Canonicalization: an id is live as a LEFT class only if an override
+# names it on the right; live as a RIGHT class only if an override names
+# it on the left (or EOS).  Everything else collapses to its group, so
+# unoverridden tuples cost nothing at runtime.
+_OVR_AS_LEFT = {l for (l, _r) in TUPLE_OVERRIDES} | set(EOS_OVERRIDES)
+_OVR_AS_RIGHT = {r for (_l, r) in TUPLE_OVERRIDES}
+_CANON_LC.extend(
+    (N_CLASSES + i) if (N_CLASSES + i) in _OVR_AS_RIGHT else g[0]
+    for i, g in enumerate(_TUPLE_GROUPS)
+)
+_CANON_RC.extend(
+    (N_CLASSES + i) if (N_CLASSES + i) in _OVR_AS_LEFT else g[1]
+    for i, g in enumerate(_TUPLE_GROUPS)
+)
+
+
+def _group_lc(i: int) -> int:
+    return i if i < N_CLASSES else _TUPLE_GROUPS[i - N_CLASSES][0]
+
+
+def _group_rc(i: int) -> int:
+    return i if i < N_CLASSES else _TUPLE_GROUPS[i - N_CLASSES][1]
+
+
+def dense_matrix() -> tuple[tuple[int, ...], ...]:
+    """N_TOTAL×N_TOTAL dense cost matrix for the Viterbi hot loop:
+    tuple-pair overrides first, else the coarse cost of the behavior
+    groups.  Rows for non-canonical ids are exact group copies (they are
+    never consulted at runtime, but indexing stays branch-free)."""
+    return tuple(
+        tuple(
+            TUPLE_OVERRIDES.get(
+                (pr, nl),
+                CONNECTION_COSTS.get((_group_rc(pr), _group_lc(nl)), 0),
+            )
+            for nl in range(N_TOTAL)
+        )
+        for pr in range(N_TOTAL)
+    )
+
+
+def eos_vector() -> tuple[int, ...]:
+    return tuple(
+        EOS_OVERRIDES.get(rc, EOS_COSTS.get(_group_rc(rc), 0))
+        for rc in range(N_TOTAL)
+    )

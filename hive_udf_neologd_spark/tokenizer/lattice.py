@@ -68,25 +68,17 @@ _POS_PUNCT = "記号-一般"
 _BOS = connection.BOS
 _DEF = connection.DEFAULT
 
-# Precomputed rows of the sparse matrix: prev_right_class → {next_left: cost}.
-_CONN_ROWS: dict[int, dict[int, int]] = {}
-for (_pr, _nl), _c in connection.CONNECTION_COSTS.items():
-    _CONN_ROWS.setdefault(_pr, {})[_nl] = _c
-
 # Dense form for the Viterbi hot loop: _CONN2D[prev_rc][next_lc] → cost
 # (0 for unlisted pairs).  Tuples of ints — one index op per candidate.
-_CONN2D: tuple[tuple[int, ...], ...] = tuple(
-    tuple(
-        connection.CONNECTION_COSTS.get((pr, nl), 0)
-        for nl in range(connection.N_CLASSES)
-    )
-    for pr in range(connection.N_CLASSES)
-)
+# Built by connection.dense_matrix(): N_TOTAL×N_TOTAL covering the 46
+# authored behavior classes PLUS the mechanical tuple classes (round 8 —
+# unoverridden tuples canonicalize to their group before reaching any
+# DictEntry, so the extra rows are exact group copies and the live-state
+# count per position is unchanged).
+_CONN2D: tuple[tuple[int, ...], ...] = connection.dense_matrix()
 
-# Dense right-context → EOS vector (connection.EOS_COSTS; 0 default).
-_EOS_COSTS: tuple[int, ...] = tuple(
-    connection.EOS_COSTS.get(rc, 0) for rc in range(connection.N_CLASSES)
-)
+# Dense right-context → EOS vector (connection.eos_vector(); 0 default).
+_EOS_COSTS: tuple[int, ...] = connection.eos_vector()
 
 
 class Token(tuple):

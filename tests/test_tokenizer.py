@@ -924,3 +924,86 @@ class TestLatticeFuzz:
         for s in ("がき", "👨‍👩‍👧", "𠮷野家", "Ａｂｃ１２３", "ｱｲｳｴｵﾞ"):
             out = a.tokenize(s)
             assert isinstance(out, list)
+
+
+class TestMechanicalTupleClasses:
+    """Round-8 mechanical connection classes (VERDICT r7 #3): the
+    (pos, ctype, cform) tuple table, canonical collapse, and the two
+    authored tuple-pair overrides."""
+
+    def test_table_is_generated_and_nonempty(self):
+        from hive_udf_neologd_spark.tokenizer import connection as C
+        from hive_udf_neologd_spark.tokenizer.conn_tuples import TUPLES
+
+        assert len(TUPLES) > 80
+        assert C.N_TOTAL == C.N_CLASSES + len(TUPLES)
+        # Table covers the snapshot: regenerating it from the CSV must be
+        # a no-op (a stale table would silently drop tuple addressing).
+        import sys
+        sys.path.insert(0, "tools")
+        from gen_conn_classes import realized_tuples
+
+        assert tuple(realized_tuples()) == TUPLES
+
+    def test_unoverridden_tuples_collapse_to_groups(self):
+        """Canonicalization invariant: an id named by no override must
+        never reach a DictEntry — entry_classes returns its GROUP, so the
+        lattice's live-state count is exactly the coarse engine's."""
+        from hive_udf_neologd_spark.tokenizer import connection as C
+        from hive_udf_neologd_spark.tokenizer.conn_tuples import TUPLES
+
+        named = ({left for (left, _) in C.TUPLE_OVERRIDES}
+                 | {right for (_, right) in C.TUPLE_OVERRIDES}
+                 | set(C.EOS_OVERRIDES))
+        for i, t in enumerate(TUPLES):
+            mid = C.N_CLASSES + i
+            lc, rc = C.entry_classes(t[0], None, "", cform=t[2] or None,
+                                     ctype=t[1] or None)
+            if mid not in named:
+                assert lc < C.N_CLASSES and rc < C.N_CLASSES, t
+                assert (lc, rc) == C._TUPLE_GROUPS[i], t
+
+    def test_dense_matrix_inherits_group_costs(self):
+        """Every unoverridden (pr, nl) cell equals the coarse cost of the
+        behavior groups — the all-override-empty matrix is provably the
+        coarse matrix expanded."""
+        from hive_udf_neologd_spark.tokenizer import connection as C
+
+        m = C.dense_matrix()
+        # Spot-lattice of coarse ids: exact equality with CONNECTION_COSTS.
+        for pr in range(C.N_CLASSES):
+            for nl in range(C.N_CLASSES):
+                if (pr, nl) not in C.TUPLE_OVERRIDES:
+                    assert m[pr][nl] == C.CONNECTION_COSTS.get((pr, nl), 0)
+        # Mechanical rows copy their group rows except override cells.
+        adn = C._ADN
+        for nl in range(C.N_CLASSES):
+            expect = C.TUPLE_OVERRIDES.get(
+                (adn, nl), C.CONNECTION_COSTS.get((C.DEFAULT, nl), 0))
+            assert m[adn][nl] == expect
+
+    def test_adnominal_particle_penalty_replaces_cost_hack(self):
+        """こんなに at the NORMAL 1000 adverb tier (wave-370 hack retired)
+        must still beat 連体詞+に — the tuple rule does the pricing."""
+        from hive_udf_neologd_spark.tokenizer.analyzer import JapaneseAnalyzer
+
+        a = JapaneseAnalyzer(stop_words=[], stop_tags=[])
+        assert a.tokenize("こんなに安いとは思わなかった。")[0] == "こんなに"
+        assert a.tokenize("そんなに焦らなくてもいい。")[0] == "そんなに"
+        # 連体詞+NOUN contexts keep their ordinary parse (penalty only
+        # touches particle/aux successors).
+        assert a.tokenize("この店は安い。")[:2] == ["この", "店"]
+
+    def test_onbin_mizen_reward_is_tuple_scoped(self):
+        """やっ+とか keeps its reward via the (音便, カ行イ音便未然形)
+        override; an ordinary 未然形 after 音便 stays unrewarded (the
+        retired coarse rule rewarded ALL of VERB_CONJ)."""
+        from hive_udf_neologd_spark.tokenizer import connection as C
+        from hive_udf_neologd_spark.tokenizer.parity import _raw_lattice
+
+        m = C.dense_matrix()
+        assert m[C.VERB_ONBIN][C._KAGYO_MIZEN] == -1000
+        assert m[C.VERB_ONBIN][C.VERB_CONJ] == 0
+        toks = [t.surface for t in _raw_lattice().segment(
+            "明日までにやっとかないと間に合わないよ。")]
+        assert toks[3:6] == ["やっ", "とか", "ない"]
