@@ -315,7 +315,11 @@ _VERBS = [
 
 # --- conjunctions (接続詞) ------------------------------------------------
 _CONJ = ["そして", "しかし", "また", "なお", "および", "及び", "さらに",
-         "ただし", "または", "つまり", "だから", "でも", "ところが"]
+         "ただし", "または", "つまり", "だから", "でも", "ところが",
+         # しかも moved here from a generator cost override (wave-390
+         # shadow re-audit): at the 300 接続詞 tier it clears しか(400)+
+         # も, which the generator's 1000 tier would not.
+         "しかも"]
 
 # --- common nouns ---------------------------------------------------------
 _NOUNS_GENERAL = [
