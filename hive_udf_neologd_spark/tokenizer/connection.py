@@ -229,7 +229,15 @@ AUX_DATT = 45  # ã ã£'s RIGHT class (ã 's é€£ç”¨ã‚¿æ¥ç¶š, IPADIC ç‰¹æ®Šãƒ»ãƒ
                  # é›¨ã ã£+ãŸã‚‰) â€” the generic AUX right class let
                  # ã ã£+ã¦ outbid ã +ã£ã¦ in ãªã‚‹ã‚“ã ã£ã¦ (round-8
                  # held-out tranche, ho_casual s509).
-N_CLASSES = 46
+PARTICLE_DEMO = 46  # ã§ã‚‚ (å‰¯åŠ©è© â€” èª°ã«ã§ã‚‚, å­ä¾›ã§ã‚‚åˆ†ã‹ã‚‹): attaches
+                 # to ä½“è¨€ and â€” via a TUPLE override, the first place
+                 # the mechanical layer distinguishes contexts the
+                 # coarse classes lump â€” to æ ¼åŠ©è© rows (ã«+ã§ã‚‚, ã‹ã‚‰+
+                 # ã§ã‚‚) but NEVER to the æ¥ç¶šåŠ©è© ã¦/ã§ or to éŸ³ä¾¿
+                 # stems: a generic-particle ã§ã‚‚ would have merged
+                 # every te-form é£²ã‚“+ã§+ã‚‚ into é£²ã‚“+ã§ã‚‚ (corpus 231
+                 # pins ãªã/ã¦/ã‚‚).  Round-8 held-out tranche 2, s557.
+N_CLASSES = 47
 
 # Declared schema version of the CLASS-ASSIGNMENT mapping (entry_classes):
 # the marshal-precompiled dictionary snapshot bakes each row's (lc, rc)
@@ -252,7 +260,9 @@ N_CLASSES = 46
 # tuples get ids above the 46 behavior classes; overridden tuples
 # (é€£ä½“è©, ã‚«è¡Œã‚¤éŸ³ä¾¿æœªç„¶å½¢) now bake their own canonical ids.  Any
 # TUPLE_OVERRIDES edit re-canonicalizes baked ids â†’ bump this again.
-CLASS_SCHEMA_VERSION = 5
+# v6: tranche-2 fixes â€” PARTICLE_DEMO (ã§ã‚‚), ã ã‚Š joins AUX_DA's left
+# class, new tuple overrides (æ ¼åŠ©è©â†’ã§ã‚‚ open, ä¿‚åŠ©è©â†’æ ¼åŠ©è© penalty).
+CLASS_SCHEMA_VERSION = 6
 
 # é€£ç”¨ (continuative) forms â€” the state auxiliaries attach to (è´ã„+ãŸ,
 # ã§ã+ã¾ã™, é«˜ã‹ã£+ãŸ).  Deliberately NOT including æœªç„¶å½¢: rewarding
@@ -393,6 +403,17 @@ def entry_classes(
         # left contexts only â€” see PARTICLE_JA (round-8 held-out tranche).
         if surface in ("ã˜ã‚ƒ", "ã˜ã‚ƒã‚“"):
             return (PARTICLE_JA, PARTICLE)
+        # ã§ã‚‚ å‰¯åŠ©è© (èª°ã«ã§ã‚‚): see PARTICLE_DEMO â€” the æ¥ç¶šè© ã§ã‚‚ row
+        # keeps its own generic class.
+        if surface == "ã§ã‚‚" and "å‰¯åŠ©è©" in pos:
+            return (PARTICLE_DEMO, PARTICLE)
+        # ã ã‚Š â€” ãŸã‚Š's voiced ä¸¦ç«‹åŠ©è© twin (IPADIC: é£²ã‚“ã ã‚Š, ã‚„ã‚“ã ã‚Š):
+        # attaches exactly where ã  does (voiced æ’¥éŸ³ä¾¿/ã‚¬è¡Œã‚¤éŸ³ä¾¿ stems,
+        # with ã 's reward; penalized after plain é€£ç”¨å½¢ â€” é£Ÿã¹ã ã‚Š is
+        # é£Ÿã¹ãŸã‚Š), so it shares AUX_DA's left class; right side is an
+        # ordinary particle (round-8 tranche 2, s565/s566).
+        if surface == "ã ã‚Š":
+            return (AUX_DA, PARTICLE)
         if surface == "ã—" and "æ¥ç¶šåŠ©è©" in pos:
             return (PARTICLE, PARTICLE_SHI)
         c = PARTICLE
@@ -1005,6 +1026,34 @@ CONNECTION_COSTS[(VERB_CONT, VERB_CONT)] = 400
 # which stay blocked.
 del CONNECTION_COSTS[(VERB_CONT, PARTICLE_NA)]
 del CONNECTION_COSTS[(VERB_CONT_REN, PARTICLE_NA)]
+# --- Tranche-2 rows (pre-fix F1 0.9896 over 415 sentences) ----------------
+# ã§ã‚‚ å‰¯åŠ©è© (PARTICLE_DEMO): ä½“è¨€ contexts here; the æ ¼åŠ©è© lefts
+# (èª°ã«+ã§ã‚‚) open through a TUPLE override below â€” the coarse PARTICLE
+# class cannot distinguish ã« from the te-form ã¦, and opening all of it
+# would merge every é£²ã‚“+ã§+ã‚‚.
+for _left in range(N_CLASSES):
+    if _left not in (NOUN, NOUN_KD, NOUN_NOMI, VERB_BASE, ADJ_BASE,
+                     AUX_TA_R):
+        CONNECTION_COSTS[(_left, PARTICLE_DEMO)] = BLOCK
+# â€¦and noun+ã§ã‚‚ at a small penalty, not open: é›»è©±+ã§+ã‚‚ (instrumental
+# ã§ + ä¿‚åŠ©è© ã‚‚, corpus s319) must keep beating the fused reading â€”
+# MeCab picks the split after nouns â€” while æ ¼åŠ©è©+ã§ã‚‚ (èª°ã«+ã§ã‚‚) wins
+# through the tuple-opened row below (ã§+ã‚‚ is not even grammatical
+# there).
+for _left in (NOUN, NOUN_KD, NOUN_NOMI):
+    CONNECTION_COSTS[(_left, PARTICLE_DEMO)] = 100
+# é€£ç”¨å½¢ + çµ‚æ­¢å½¢ verb: same ungrammatical chaining as é€£ç”¨+é€£ç”¨ (å‡º+
+# ç™ºã™ã‚‹ outbid å‡ºç™º+ã™ã‚‹ in å‡ºç™ºã™ã‚‹ã«ã‚ãŸã£ã¦, s571) â€” compound verbs
+# are lexicalized rows; a genuine é€£ç”¨ä¸­æ­¢ before a new clause crosses
+# punctuation, never butts directly.
+CONNECTION_COSTS[(VERB_CONT, VERB_BASE)] = 400
+# Particle + æœªç„¶å½¢: grammatical but dispreferred exactly enough that a
+# lexicalized alternative wins â€” ãšã«ã¯+ã„+ã‚‰ã‚Œ (s547) was losing by 50
+# to ãšã«+ã¯ã„ã‚‰(é€™å…¥ã‚‹ kana twin)+ã‚Œ; IPADIC has no hiragana ã¯ã„ã‚‹ row
+# so MeCab never faces the tie, and its matrix prices particle+æœªç„¶
+# above particle+ä½“è¨€ anyway.  +100 reorders only near-ties: æ°—ã«å…¥ã‚‰ãª
+# ã„ keeps å…¥ã‚‰ (its only path), æœ¬ã‚’+èª­ã¾+ãªã„ unchanged (no competitor).
+CONNECTION_COSTS[(PARTICLE, VERB_CONJ)] = 100
 # éŸ³ä¾¿ stem + ã‚«è¡Œã‚¤éŸ³ä¾¿ æœªç„¶å½¢: the ã¦ãŠã contraction family attaches
 # ã¨ã's æœªç„¶å½¢ directly to éŸ³ä¾¿ stems (ã‚„ã£+ã¨ã‹+ãªã„ â€” IPADIC carries
 # ã¨ã as an ordinary verb and its matrix rewards the bigram).  Without
@@ -1057,7 +1106,28 @@ N_TOTAL = N_CLASSES + len(TUPLES)
 # (same recapture protocol as entry_classes edits).
 _ADN = TUPLE_IDS[("é€£ä½“è©", "", "")]
 _KAGYO_MIZEN = TUPLE_IDS[("å‹•è©-è‡ªç«‹", "äº”æ®µãƒ»ã‚«è¡Œã‚¤éŸ³ä¾¿", "æœªç„¶å½¢")]
+_KAKU = TUPLE_IDS[("åŠ©è©-æ ¼åŠ©è©-ä¸€èˆ¬", "", "")]
+_KEIJO = TUPLE_IDS[("åŠ©è©-ä¿‚åŠ©è©", "", "")]
 TUPLE_OVERRIDES: dict[tuple[int, int], int] = {
+    # æ ¼åŠ©è© (ã«/ã§/ã‹ã‚‰ â€” the generic rows; ã‚’/ãŒ/ã¨ carry the surface-
+    # scoped PARTICLE_CASE class and never reach the tuple) + ã§ã‚‚: open
+    # â€” èª°ã«+ã§ã‚‚, ä»Šã‹ã‚‰+ã§ã‚‚ (tranche 2, s557).  The coarse PARTICLE
+    # block above keeps ã¦+ã§ã‚‚ merged-free; this is the granularity the
+    # mechanical layer exists for.
+    (_KAKU, PARTICLE_DEMO): 0,
+    # ä¿‚åŠ©è© (ã¯/ã‚‚/ã“ã) + æ ¼åŠ©è© (ã‚’/ãŒ/ã®/ã¨/ã¸/ã¾ã§/ã‚ˆã‚Š): ã‚‚+ã¨ was
+    # undercutting the noun ã‚‚ã¨ by 1400 in ã‚’ã‚‚ã¨ã« (s572) â€” the bigram
+    # is ungrammatical (ä¿‚åŠ©è© never feeds a case particle); +800 is a
+    # penalty, not a block, so å½¼ã“ããŒ (no competing path) still parses
+    # with identical spans.
+    (_KEIJO, PARTICLE_CASE): 800,
+    # godan é€£ç”¨å½¢ + ä¸¦ç«‹åŠ©è© (ã‚„/ãŸã‚Š): ungrammatical â€” coordination
+    # joins ä½“è¨€ (ã‚„) or attaches to éŸ³ä¾¿/ichidan stems (ç„¼ã„+ãŸã‚Š,
+    # é£Ÿã¹+ãŸã‚Š, both untouched here); the æ»‘ã‚Šã‚„ã™ããªã£ã¦ shred rode
+    # æ»‘ã‚Š+ã‚„+ã™ã+ãª+ã£ã¦ through this gap once æ»‘ã‚Šã‚„ã™ã„ was trimmed
+    # (s585).  +1200 penalty, not BLOCK: the emphatic èª­ã¿ã‚„ã—ãªã„
+    # pattern survives when nothing competes.
+    (VERB_CONT_REN, TUPLE_IDS[("åŠ©è©-ä¸¦ç«‹åŠ©è©", "", "")]): 1200,
     # é€£ä½“è© attach to ä½“è¨€ â€” particles/auxiliaries after them are
     # ungrammatical (Ã—ã“ã®+ãŒ, Ã—ãã®+ã ).  +600 retires the wave-370
     # cost hack: ã“ã‚“ãªã«/ãã‚“ãªã«/ã‚ã‚“ãªã«/ã©ã‚“ãªã« now live at the

@@ -98,6 +98,15 @@ _PARTICLES = [
     # s509).  At the 50·len formula (150) it beats だ+って (200) in its
     # contexts and loses to them nowhere (だっ+て is closed by AUX_DATT).
     ("だって", "助詞-副助詞"),
+    # --- round-8 tranche 2 (ho2_* measured gaps) ---
+    # でも (IPADIC 副助詞: 誰に+でも s557, 子供でも) — PARTICLE_DEMO
+    # class: 体言 + (tuple-opened) 格助詞 lefts only, so te-form
+    # 飲ん+で+も can never merge.  The 接続詞 でも row (sentence-initial)
+    # lives in _CONJ.
+    ("でも", "助詞-副助詞"),
+    # だり — たり's voiced twin (IPADIC 並立助詞: やん+だり s565);
+    # AUX_DA-left class via the entry_classes surface scope.
+    ("だり", "助詞-並立助詞"),
 ]
 
 # Particles whose IPADIC cost band is NOT the 50·len formula: しか must
@@ -106,6 +115,15 @@ _PARTICLES = [
 # (PARTICLE_SHI → PARTICLE) carries its +500 (ho_num s432/s454).
 _PARTICLES_COSTED = [
     ("しか", "助詞-副助詞", 400),
+    # Round-8 tranche-2 連語/接続助詞 rows (all genuine IPADIC rows the
+    # ho2_part register measured missing).  Each at its measured shadow
+    # minus 50 — as expensive as possible while still winning its own
+    # surface, so the theft radius into genuine compositional readings
+    # (手に+とっ+て, と+とも+に) is minimal:
+    ("にとって", "助詞-格助詞-連語", 1250),   # に+とっ(取る)+て = 1300
+    ("にあたって", "助詞-格助詞-連語", 1250),  # に+あたっ(当たる)+て = 1300
+    ("とともに", "助詞-格助詞-連語", 150),     # と+とも(副助詞)+に = 200
+    ("にもかかわらず", "助詞-接続助詞", 850),  # に+も+かかわら+ず = 900
 ]
 
 # --- auxiliary verbs (助動詞) --------------------------------------------

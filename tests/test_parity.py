@@ -80,12 +80,23 @@ class TestAllModesOverCorpus:
                 s = toks[i].surface
                 idx = text.find(s, cursor)
                 assert idx >= 0, (mode, sid, s)
-                # Synonym compound: the NEXT tokens re-cover this span.
-                if i + 1 < len(toks) and text.find(
-                    toks[i + 1].surface, idx
-                ) == idx and len(toks[i + 1].surface) < len(s):
-                    i += 1
-                    continue  # parts will advance the cursor
+                # Synonym compound: the NEXT tokens must TILE this exact
+                # span (NORMAL never emits synonyms, so no skip there).
+                # The old prefix-only check false-positived on たかっ+た
+                # (tranche-2 s551): た is a prefix of たかっ but not a
+                # decompounding of it.
+                if mode != "normal" and i + 1 < len(toks):
+                    span_end = idx + len(s)
+                    j, c2 = i + 1, idx
+                    while j < len(toks) and c2 < span_end:
+                        nidx = text.find(toks[j].surface, c2)
+                        if nidx != c2:
+                            break
+                        c2 = nidx + len(toks[j].surface)
+                        j += 1
+                    if c2 == span_end and j > i + 1:
+                        i += 1
+                        continue  # parts will advance the cursor
                 cursor = idx + len(s)
                 i += 1
             residue = text[cursor:]

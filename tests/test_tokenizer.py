@@ -797,7 +797,10 @@ class TestConnectionMatrix:
         assert C.entry_classes("動詞-自立", cform="基本形") == (C.VERB_BASE, C.VERB_BASE)
         assert C.entry_classes("形容詞-自立", cform="連用タ接続") == (C.ADJ_CONT, C.ADJ_CONT)
         assert C.entry_classes("助動詞") == (C.AUX, C.AUX)
-        assert C.entry_classes("助詞-格助詞-一般") == (C.PARTICLE, C.PARTICLE)
+        # 格助詞 rows canonicalize to their MECHANICAL tuple id on the
+        # right since the でも override named it (tranche 2) — the left
+        # side still collapses to the coarse group.
+        assert C.entry_classes("助詞-格助詞-一般") == (C.PARTICLE, C._KAKU)
         # Heuristic (no cform): conjugated iff base_form differs; unvoiced
         # 音便 (ends っ, or ends い with a く base) is VERB_ONBIN since
         # wave 350 (only た/て/たり attach — ×持ったい).
