@@ -229,6 +229,18 @@ AUX_DATT = 45  # ã ã£'s RIGHT class (ã 's é€£ç”¨ã‚¿æ¥ç¶š, IPADIC ç‰¹æ®Šãƒ»ãƒ
                  # é›¨ã ã£+ãŸã‚‰) â€” the generic AUX right class let
                  # ã ã£+ã¦ outbid ã +ã£ã¦ in ãªã‚‹ã‚“ã ã£ã¦ (round-8
                  # held-out tranche, ho_casual s509).
+PARTICLE_WA = 47  # çµ‚åŠ©è© ã‚ alone: it shared ãª's PARTICLE_NA class in
+                 # the first tranche-2 wave, but the soft-imperative
+                 # opening (é€£ç”¨å½¢+ãª, s514/s516) is ãª-specific â€” ã‚
+                 # after a é€£ç”¨å½¢ is ungrammatical, and the shared class
+                 # re-shred ã„ã‚ã— into ã„(ã„ã‚‹é€£ç”¨)+ã‚+ã— (round-8
+                 # self-coverage re-audit).  Same block profile as ãª
+                 # MINUS the é€£ç”¨å½¢ openings.
+AUX_DARI = 48  # ã ã‚Š's LEFT class: IPADIC ä¸¦ç«‹åŠ©è© ã ã‚Š attaches ONLY to
+                 # voiced éŸ³ä¾¿ stems (ã‚„ã‚“+ã ã‚Š, æ³³ã„+ã ã‚Š) â€” unlike ã 
+                 # (AUX_DA), which must stay open after particles/nouns
+                 # for the copula (ã®+ã ); sharing AUX_DA let ã­(çµ‚åŠ©è©)+
+                 # ã ã‚Š shred ã­ã ã‚Š (self-coverage re-audit).
 PARTICLE_DEMO = 46  # ã§ã‚‚ (å‰¯åŠ©è© â€” èª°ã«ã§ã‚‚, å­ä¾›ã§ã‚‚åˆ†ã‹ã‚‹): attaches
                  # to ä½“è¨€ and â€” via a TUPLE override, the first place
                  # the mechanical layer distinguishes contexts the
@@ -237,7 +249,7 @@ PARTICLE_DEMO = 46  # ã§ã‚‚ (å‰¯åŠ©è© â€” èª°ã«ã§ã‚‚, å­ä¾›ã§ã‚‚åˆ†ã‹ã‚‹)
                  # stems: a generic-particle ã§ã‚‚ would have merged
                  # every te-form é£²ã‚“+ã§+ã‚‚ into é£²ã‚“+ã§ã‚‚ (corpus 231
                  # pins ãªã/ã¦/ã‚‚).  Round-8 held-out tranche 2, s557.
-N_CLASSES = 47
+N_CLASSES = 49
 
 # Declared schema version of the CLASS-ASSIGNMENT mapping (entry_classes):
 # the marshal-precompiled dictionary snapshot bakes each row's (lc, rc)
@@ -262,7 +274,10 @@ N_CLASSES = 47
 # TUPLE_OVERRIDES edit re-canonicalizes baked ids â†’ bump this again.
 # v6: tranche-2 fixes â€” PARTICLE_DEMO (ã§ã‚‚), ã ã‚Š joins AUX_DA's left
 # class, new tuple overrides (æ ¼åŠ©è©â†’ã§ã‚‚ open, ä¿‚åŠ©è©â†’æ ¼åŠ©è© penalty).
-CLASS_SCHEMA_VERSION = 6
+# v7: self-coverage re-audit â€” ã‚ splits out of PARTICLE_NA
+# (PARTICLE_WA: no é€£ç”¨å½¢ opening), ã ã‚Š gets AUX_DARI (voiced-éŸ³ä¾¿-only
+# left, unlike the copula-open AUX_DA it briefly shared).
+CLASS_SCHEMA_VERSION = 7
 
 # é€£ç”¨ (continuative) forms â€” the state auxiliaries attach to (è´ã„+ãŸ,
 # ã§ã+ã¾ã™, é«˜ã‹ã£+ãŸ).  Deliberately NOT including æœªç„¶å½¢: rewarding
@@ -389,7 +404,11 @@ def entry_classes(
             return (PARTICLE_DE, PARTICLE)
         if surface in ("ã®ã«", "ã®ã§") and "æ¥ç¶šåŠ©è©" in pos:
             return (PARTICLE_CONJ_V, PARTICLE)
-        if surface in ("ãª", "ã‹ãª", "ã‚") and "çµ‚åŠ©è©" in pos:
+        if surface == "ã‚" and "çµ‚åŠ©è©" in pos:
+            # ã‚: ãª's terminal-only profile MINUS the soft-imperative
+            # é€£ç”¨å½¢ openings (see PARTICLE_WA).
+            return (PARTICLE_WA, PARTICLE_NA)
+        if surface in ("ãª", "ã‹ãª") and "çµ‚åŠ©è©" in pos:
             # ã‹ãª shares ãª's terminal-only attachment (ã„ã„+ã‹ãª) â€” as a
             # generic particle its 100-cost row stole ã‹ãªã—ã•'s first two
             # chars from the ã‚¬ãƒ« stem (round-7 ã• redesign probes).
@@ -413,7 +432,7 @@ def entry_classes(
         # é£Ÿã¹ãŸã‚Š), so it shares AUX_DA's left class; right side is an
         # ordinary particle (round-8 tranche 2, s565/s566).
         if surface == "ã ã‚Š":
-            return (AUX_DA, PARTICLE)
+            return (AUX_DARI, PARTICLE)
         if surface == "ã—" and "æ¥ç¶šåŠ©è©" in pos:
             return (PARTICLE, PARTICLE_SHI)
         c = PARTICLE
@@ -1054,6 +1073,21 @@ CONNECTION_COSTS[(VERB_CONT, VERB_BASE)] = 400
 # above particle+ä½“è¨€ anyway.  +100 reorders only near-ties: æ°—ã«å…¥ã‚‰ãª
 # ã„ keeps å…¥ã‚‰ (its only path), æœ¬ã‚’+èª­ã¾+ãªã„ unchanged (no competitor).
 CONNECTION_COSTS[(PARTICLE, VERB_CONJ)] = 100
+# ã‚ (PARTICLE_WA): ãª's block profile plus the é€£ç”¨å½¢ stems ãª opened,
+# plus every particle class (the PARTICLE_SHI mirror runs earlier and
+# cannot see this row â€” ã—+ã‚ was still shredding ã—ã‚ through it) â€”
+# çµ‚åŠ©è© ã‚ follows terminal forms/auxiliaries only (çŸ¥ã‚‰ã‚“+ã‚, è¡Œã+ã‚).
+for _left in (DEFAULT, BOS, NOUN, PARTICLE, PARTICLE_SHI, PARTICLE_CASE,
+              PARTICLE_TE, PARTICLE_DE, PARTICLE_NA, VERB_CONT,
+              VERB_CONT_REN, VERB_CONT_DA, VERB_ONBIN, ADJ_CONT,
+              VERB_CONJ_U, ADJ_CONJ, ADJ_CONJ_U):
+    CONNECTION_COSTS[(_left, PARTICLE_WA)] = BLOCK
+# ã ã‚Š (AUX_DARI): voiced éŸ³ä¾¿ stems ONLY, with ã 's past-tense reward
+# (ã‚„ã‚“+ã ã‚Š) â€” everything else blocked (ã­+ã ã‚Š must never shred ã­ã ã‚Š).
+for _left in range(N_CLASSES):
+    if _left != VERB_CONT_DA:
+        CONNECTION_COSTS[(_left, AUX_DARI)] = BLOCK
+CONNECTION_COSTS[(VERB_CONT_DA, AUX_DARI)] = -800
 # éŸ³ä¾¿ stem + ã‚«è¡Œã‚¤éŸ³ä¾¿ æœªç„¶å½¢: the ã¦ãŠã contraction family attaches
 # ã¨ã's æœªç„¶å½¢ directly to éŸ³ä¾¿ stems (ã‚„ã£+ã¨ã‹+ãªã„ â€” IPADIC carries
 # ã¨ã as an ordinary verb and its matrix rewards the bigram).  Without
