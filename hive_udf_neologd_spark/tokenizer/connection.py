@@ -277,7 +277,9 @@ N_CLASSES = 49
 # v7: self-coverage re-audit — わ splits out of PARTICLE_NA
 # (PARTICLE_WA: no 連用形 opening), だり gets AUX_DARI (voiced-音便-only
 # left, unlike the copula-open AUX_DA it briefly shared).
-CLASS_SCHEMA_VERSION = 7
+# v8: tranche-3 fix — new tuple override (godan 連用形 → か) penalizing
+# the なり+か+ね shred; か attaches to 終止/連体/体言, never a 連用形.
+CLASS_SCHEMA_VERSION = 8
 
 # 連用 (continuative) forms — the state auxiliaries attach to (聴い+た,
 # でき+ます, 高かっ+た).  Deliberately NOT including 未然形: rewarding
@@ -1162,6 +1164,16 @@ TUPLE_OVERRIDES: dict[tuple[int, int], int] = {
     # (s585).  +1200 penalty, not BLOCK: the emphatic 読みやしない
     # pattern survives when nothing competes.
     (VERB_CONT_REN, TUPLE_IDS[("助詞-並立助詞", "", "")]): 1200,
+    # godan 連用形 + か (the 副助詞/並立助詞/終助詞 row): か attaches to
+    # 終止形/連体形/体言 (行く+か, 雨+か), never to a bare 連用形 — the
+    # なり+か+ね(終助詞)+ない shred undercut なり+かね(る)+ない by 300
+    # once tranche 3 measured it (s645).  +800 penalty, not BLOCK, so a
+    # か with no competing path still parses.  Both 連用形 classes: なり
+    # carries a generic VERB_CONT row (hand lexicon) alongside the
+    # cform-aware VERB_CONT_REN one, and ichidan stems (見/食べ/かけ)
+    # are equally illegal before か.
+    (VERB_CONT_REN, TUPLE_IDS[("助詞-副助詞／並立助詞／終助詞", "", "")]): 800,
+    (VERB_CONT, TUPLE_IDS[("助詞-副助詞／並立助詞／終助詞", "", "")]): 800,
     # 連体詞 attach to 体言 — particles/auxiliaries after them are
     # ungrammatical (×この+が, ×その+だ).  +600 retires the wave-370
     # cost hack: こんなに/そんなに/あんなに/どんなに now live at the

@@ -124,6 +124,27 @@ _PARTICLES_COSTED = [
     ("にあたって", "助詞-格助詞-連語", 1250),  # に+あたっ(当たる)+て = 1300
     ("とともに", "助詞-格助詞-連語", 150),     # と+とも(副助詞)+に = 200
     ("にもかかわらず", "助詞-接続助詞", 850),  # に+も+かかわら+ず = 900
+    # Round-8 tranche-3 連語 rows (ho3_rengo measured the six missing
+    # members of the family whose siblings already ship above: により/
+    # によって/における had rows, による/において did not).  Same
+    # shadow−50 pricing: the compositional reading is に/を(50) + verb
+    # conjugate (1200) [+ て(50)], so each row sits just under its own
+    # shadow and steals nothing shorter.  にかけて deliberately absorbs
+    # 気にかけて-style idioms too — IPADIC's single row makes the same
+    # call; the corpus pins only the range sense (s637).
+    ("による", "助詞-格助詞-連語", 1200),     # に+よる(因る) = 1250
+    ("において", "助詞-格助詞-連語", 1250),   # に+おい(置く)+て = 1300
+    # The three whose compositional verb is ICHIDAN sit 300 lower: the
+    # 一段連用形+て path carries a −300 connection reward the 音便+て
+    # shadows of にとって/にわたって don't get, so shadow−50 measured IN
+    # CONTEXT (tools/explain_path.py) is 950, not 1250 (s620/s637).
+    ("を通じて", "助詞-格助詞-連語", 950),    # を+通じ(通じる)+て = 1000 eff
+    ("につれて", "助詞-格助詞-連語", 950),    # に+つれ(連れる)+て — つれ has
+                                              # no row today, but the 一段
+                                              # shadow applies the day one
+                                              # lands; priced with its family
+    ("にわたって", "助詞-格助詞-連語", 1250),  # に+わたっ(渡る 音便)+て = 1300
+    ("にかけて", "助詞-格助詞-連語", 950),    # に+かけ(掛ける)+て = 1000 eff
 ]
 
 # --- auxiliary verbs (助動詞) --------------------------------------------
@@ -217,6 +238,12 @@ _VERBS = [
     # サ変/カ変 未然ウ接続 rows (勉強しよ+う, 早く来よ+う) — IPADIC
     # lexicalizes the volitional site; classes via _IRREGULAR_MIZEN_U.
     ("しよ", "する"), ("来よ", "来る"),
+    # サ変 未然形 せ (IPADIC する paradigm): 失敗せ+ぬ, 勉強せ+ず —
+    # absent until the round-8 tranche 3 (s649 read 失敗+せぬよう as an
+    # unknown run).  _IRREGULAR_MIZEN (connection.py) already names the
+    # ("せ", "する") pair, so the row lands in the hard-constrained
+    # 未然形 class the causative-せ 助動詞 row cannot reach from nouns.
+    ("せ", "する"),
     ("いる", "いる"), ("い", "いる"),
     # Colloquial ている-contraction てる (IPADIC 動詞,非自立,一段):
     # 言ってる = 言っ+てる — the る otherwise strands as an unknown run
@@ -476,6 +503,11 @@ _SUFFIXES = [
     # unknowns MERGE — 6時半 read 6+時半 as one unk-kanji2 node because
     # 時(5200)+半(5200) > 時半(6900) (round-8 held-out tranche, s439).
     ("時", "名詞-接尾-助数詞"), ("半", "名詞-接尾-助数詞"),
+    # 円/台 (IPADIC 名詞,接尾,助数詞): the same merge mode as 時/半 —
+    # 3万円台 read 円+台 as one unk-kanji2 node because 円(5200)+台(5200)
+    # > 円台(6900) (round-8 tranche 3, s631).  Digit+円 contexts passed
+    # before only because the single-kanji unknown happened to align.
+    ("円", "名詞-接尾-助数詞"), ("台", "名詞-接尾-助数詞"),
 ]
 
 _ADVERBS = ["とても", "すごく", "もっと", "ちょっと", "よく", "まだ", "もう", "ずっと",
@@ -488,7 +520,9 @@ _ADNOMINAL = ["この", "その", "あの", "どの", "いろんな", "大きな
               # こんな/あんな/どんな matched; こういう-family, とんだ,
               # 単なる, 大した are IPADIC 連体詞 rows.
               "そんな", "こういう", "そういう", "ああいう", "どういう",
-              "とんだ", "単なる", "大した", "ほんの"]  # 連体詞
+              # おかしな (IPADIC 連体詞 — NOT おかしい's 連体形): absent
+              # until round-8 tranche 3 (s674 read おか+し+な).
+              "とんだ", "単なる", "大した", "ほんの", "おかしな"]  # 連体詞
 _INTERJECTIONS = ["はい", "いいえ", "ありがとう", "こんにちは", "おはよう",
                   "こんばんは", "すみません", "なるほど"]  # 感動詞
 
