@@ -692,6 +692,25 @@ class TestConnectionMatrix:
         assert rich.tokenize("間をおかずに") == ["間", "を", "おく", "ず", "に"]
         assert rich.tokenize("嘘をつくね") == ["嘘", "を", "つく", "ね"]
 
+    def test_wave393_tranche3_rows_in_context(self):
+        # Round-8 tranche-3 rows behave in running text (the isolation
+        # self-coverage audit flags させ/かね/において as bare-surface
+        # artifacts only — these pins are the in-context contract).
+        rich = JapaneseAnalyzer(stop_words=[], stop_tags=[])
+        # サ変未然 せ row: does NOT disturb the causative 助動詞 せ chain
+        # (identical spans, MeCab-true) and unlocks 失敗せ+ぬ (s649).
+        assert rich.tokenize("先生が解かせた") == ["先生", "が", "解く", "せ", "た"]
+        assert rich.tokenize("勉強せずに") == ["勉強", "する", "ず", "に"]
+        # 円/台 counter rows: compounds keep their own rows; digit runs
+        # split digit+counter exactly like 時/半.
+        assert rich.tokenize("千円札") == ["千", "円", "札"]
+        assert rich.tokenize("台風が来た") == ["台風", "が", "来る", "た"]
+        # かねる modal after 連用形 (the new 連用形→か tuple penalty).
+        assert rich.tokenize("なりかねない") == ["なる", "かねる", "ない"]
+        # 連語 rows win only their own surfaces: productive を+かけ+て
+        # stays compositional next to the にかけて row.
+        assert rich.tokenize("時間をかけて") == ["時間", "を", "かける", "て"]
+
     def test_godan_renyokei_split(self):
         # Round-6 連用形 split: godan 連用形 (焼き) takes ます/たい but NOT
         # た/ない/れる (those attach to 音便/未然形 — 焼きた is not
@@ -732,7 +751,10 @@ class TestConnectionMatrix:
         rich = JapaneseAnalyzer(stop_words=[], stop_tags=[])
         assert rich.tokenize("騒がずに待つ") == ["騒ぐ", "ず", "に", "待つ"]
         assert rich.tokenize("できずに終わった") == ["できる", "ず", "に", "終わる", "た"]
-        assert rich.tokenize("変化せず") == ["変化", "する"]
+        # Wave 393 retired the fused せず workaround row: with the サ変
+        # 未然形 せ in the hand lexicon, 変化+せ+ず is now MeCab's exact
+        # segmentation (せ folds to base する; ず its own token).
+        assert rich.tokenize("変化せず") == ["変化", "する", "ず"]
         assert rich.tokenize("知られずに") == ["知る", "れ", "ず", "に"]
         assert rich.tokenize("知られぬ存在") == ["知る", "れ", "ぬ", "存在"]
         assert rich.tokenize("褒められたい") == ["褒める", "られ", "たい"]
