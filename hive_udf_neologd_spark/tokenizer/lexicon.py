@@ -384,6 +384,39 @@ _NOUNS_GENERAL = [
     "最初", "最後", "途中", "順番", "番号", "数", "量", "形", "色",
     "音", "味", "匂い", "気持ち", "感じ", "経験", "知識", "能力",
 ]
+# --- single-kanji noun tier (round-8 audit 129) ---------------------------
+# The generator bans 1-char surfaces (its unknown-word rationale), so the
+# genuine IPADIC single-kanji noun rows live here.  A systematic presence
+# scan found 133/155 everyday single-kanji nouns missing: each bare 壁/窓/
+# 靴 in text paid the 5200 unk-kanji1 cost and risked 円台-style merges
+# with its neighbor.  At the 1500 noun tier these rows never outbid any
+# multi-char dictionary compound (1500+1500 > any one-row 1500), so dict
+# compounds are structurally safe; compounds that previously round-tripped
+# through ACCIDENTAL unknown fusion now split unless lexicalized — wave
+# 395 adds the IPADIC-genuine compound tier alongside (森林, 前後, 田畑…),
+# which is exactly MeCab's behavior (real IPADIC carries both layers).
+_NOUNS_SINGLE_KANJI_POSITIONAL = [
+    # IPADIC 名詞,非自立,副詞可能 (机の上, 駅の前 — not stop-dropped by
+    # the default stoptag set, which strips particles/aux only):
+    "上", "下", "中", "外", "内", "前", "後",
+]
+_NOUNS_SINGLE_KANJI = [
+    "横", "隣", "奥", "隅", "角", "縁", "壁", "床", "窓", "扉", "戸",
+    "柱", "棚", "机", "皿", "箸", "袋", "箱", "紙", "布", "糸", "針",
+    "釘", "鍵", "棒", "板", "石", "砂", "泥", "灰", "煙", "炎", "氷",
+    "星", "島", "湖", "池", "沼", "谷", "森", "林", "畑", "田", "庭",
+    "船", "馬", "牛", "豚", "鶏", "虫", "米", "麦", "豆", "芋", "肉",
+    "皮", "汗", "涙", "香", "恋", "愛", "首", "肩", "腕", "足", "腰",
+    "胸", "腹", "背", "口", "耳", "鼻", "歯", "舌", "唇", "爪", "髪",
+    "膝", "肘", "指", "咳", "熱", "汁", "粉", "塩", "酢", "油", "蜜",
+    "餅", "粥", "飯", "茶", "酒", "巣", "穴", "網", "罠", "籠", "綱",
+    "縄", "輪", "鈴", "笛", "鐘", "旗", "傘", "靴", "服", "帯", "袖",
+    "襟", "裾", "糊", "墨", "筆", "硯", "幕", "柵", "堀", "門", "塔",
+    "蔵", "倉", "塀", "麓", "岬", "蓋", "鍋", "峠", "裏",
+    # deliberately excluded: 匂 (only 匂い is a standalone word — its row
+    # ships as a deverbal noun), 庫 (suffix-only, never free-standing).
+]
+
 _NOUNS_SAHEN = [  # 名詞-サ変接続 (suru-verbs' noun stems)
     "放送", "勘違い", "指定", "引数", "解析", "処理", "検索", "出力", "入力",
     "登録", "利用", "使用", "実行", "確認", "説明", "テスト", "分析",
@@ -707,6 +740,10 @@ def _build() -> list[tuple]:
         entries.append((surface, "接続詞", 300, None, None))
     for surface in _NOUNS_GENERAL:
         entries.append((surface, "名詞-一般", 1500, None, None))
+    for surface in _NOUNS_SINGLE_KANJI:
+        entries.append((surface, "名詞-一般", 1500, None, None))
+    for surface in _NOUNS_SINGLE_KANJI_POSITIONAL:
+        entries.append((surface, "名詞-非自立-副詞可能", 1500, None, None))
     for surface in _NOUNS_SAHEN:
         entries.append((surface, "名詞-サ変接続", 1500, None, None))
     for surface in _NOUNS_ADVERBIAL:
