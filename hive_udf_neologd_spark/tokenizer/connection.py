@@ -279,7 +279,9 @@ N_CLASSES = 49
 # left, unlike the copula-open AUX_DA it briefly shared).
 # v8: tranche-3 fix — new tuple override (godan 連用形 → か) penalizing
 # the なり+か+ね shred; か attaches to 終止/連体/体言, never a 連用形.
-CLASS_SCHEMA_VERSION = 8
+# v9: tranche-4 fixes — あろ joins _IRREGULAR_MIZEN_U (であろ+う), べから
+# gets the (AUX, AUX_VSTEM) pair so ず attaches (恐れる+べから+ず).
+CLASS_SCHEMA_VERSION = 9
 
 # 連用 (continuative) forms — the state auxiliaries attach to (聴い+た,
 # でき+ます, 高かっ+た).  Deliberately NOT including 未然形: rewarding
@@ -302,7 +304,9 @@ _IRREGULAR_MIZEN = frozenset({("さ", "する"), ("せ", "する")})
 # (勉強しよ+う) and カ変 来よ/こよ — the volitional attachment sites IPADIC
 # lexicalizes as their own rows (round-7 AUX_YOU work).
 _IRREGULAR_MIZEN_U = frozenset({("しよ", "する"), ("来よ", "来る"),
-                                ("こよ", "くる")})
+                                ("こよ", "くる"),
+                                # ラ変 ある's あろ (であろ+う, tranche 4)
+                                ("あろ", "ある")})
 
 # Irregular 命令形 surfaces in the cform-less hand lexicon: カ変 来い
 # (round-8 held-out tranche).  Imperatives are non-連用 conjugated forms
@@ -513,6 +517,12 @@ def entry_classes(
             return (AUX_DA, AUX)
         if surface in ("です", "でし", "でしょ"):
             return (AUX_COP, AUX)
+        # べから (べし's 未然形: 恐れる+べから+ず — tranche 4): left side
+        # generic AUX (same sites as べき), right side AUX_VSTEM so the
+        # privative ず attaches (the 知られ+ず pattern); the AUX_VATT
+        # block keeps every other 未然形-seeking auxiliary off it.
+        if surface == "べから":
+            return (AUX, AUX_VSTEM)
         # だ's 体言接続 な (round 7, 雨なので): noun-only attachment via
         # its dedicated class (sharing です's AUX_COP left PARTICLE→な
         # open, which let に+な+って outbid に+なっ+て); its RIGHT side

@@ -179,6 +179,10 @@ _AUX = [
     "ã”ã–ã„",
     # ã¹ã—é€£ä½“å½¢ (ã™ã¹ã/è¨€ã†ã¹ã) â€” åŠ©å‹•è© in IPADIC, dropped.
     "ã¹ã", "ã¹ã—",
+    # ã¹ã—æœªç„¶å½¢ ã¹ã‹ã‚‰ (æã‚Œã‚‹+ã¹ã‹ã‚‰+ãš â€” tranche 4 s695): same left
+    # sites as ã¹ã, but its RIGHT side must accept ãš, so entry_classes
+    # gives it AUX_VSTEM (the çŸ¥ã‚‰ã‚Œ+ãš pattern).
+    "ã¹ã‹ã‚‰",
 ]
 
 # --- adjectives (å½¢å®¹è©-è‡ªç«‹): (surface, base) â€” inflections share base ---
@@ -270,6 +274,10 @@ _VERBS = [
     # take.
     ("ã¦", "ã¦ã‚‹"),
     ("ã‚ã‚‹", "ã‚ã‚‹"), ("ã‚ã£", "ã‚ã‚‹"), ("ã‚ã‚Š", "ã‚ã‚‹"), ("ã‚ã‚Œ", "ã‚ã‚‹"),
+    # ã‚ã‚‹'s æœªç„¶ã‚¦æ¥ç¶š ã‚ã‚ (ã§ã‚ã‚ã† â€” tranche 4 s694 measured
+    # ã§ã‚ã‚ã† fusing as an unknown run): classes via _IRREGULAR_MIZEN_U,
+    # same as è¡Œã“/ã—ã‚ˆ/æ¥ã‚ˆ.
+    ("ã‚ã‚", "ã‚ã‚‹"),
     ("ãªã‚‹", "ãªã‚‹"), ("ãªã£", "ãªã‚‹"), ("ãªã‚Š", "ãªã‚‹"), ("ãªã‚Œ", "ãªã‚‹"),
     ("ã„ã†", "ã„ã†"), ("ã„ã£", "ã„ã†"), ("ã„ã„", "ã„ã†"),
     ("ä½¿ã†", "ä½¿ã†"), ("ä½¿ã£", "ä½¿ã†"), ("ä½¿ã„", "ä½¿ã†"), ("ä½¿ãˆ", "ä½¿ã†"),
@@ -364,7 +372,11 @@ _CONJ = ["ãã—ã¦", "ã—ã‹ã—", "ã¾ãŸ", "ãªãŠ", "ãŠã‚ˆã³", "åŠã³", "ã
          # ã—ã‹ã‚‚ moved here from a generator cost override (wave-390
          # shadow re-audit): at the 300 æ¥ç¶šè© tier it clears ã—ã‹(400)+
          # ã‚‚, which the generator's 1000 tier would not.
-         "ã—ã‹ã‚‚"]
+         "ã—ã‹ã‚‚",
+         # Tranche-4 connectives (ho4_conj measured missing): at the 300
+         # tier ã—ã‹ã—ãªãŒã‚‰ clears ã—ã‹ã—(300)+ãªãŒã‚‰(50) by 50;
+         # ãã‚Œã‚†ãˆ/ãªã‚‰ã³ã« clear their unknown-run shadows outright.
+         "ã—ã‹ã—ãªãŒã‚‰", "ãã‚Œã‚†ãˆ", "ãªã‚‰ã³ã«"]
 
 # --- common nouns ---------------------------------------------------------
 _NOUNS_GENERAL = [
@@ -541,6 +553,10 @@ _SUFFIXES = [
     # > å††å°(6900) (round-8 tranche 3, s631).  Digit+å†† contexts passed
     # before only because the single-kanji unknown happened to align.
     ("å††", "åè©-æ¥å°¾-åŠ©æ•°è©"), ("å°", "åè©-æ¥å°¾-åŠ©æ•°è©"),
+    # å…¥ã‚Š (IPADIC åè©,æ¥å°¾,ä¸€èˆ¬ â€” å¯©è­°å…¥ã‚Š, 500ãƒŸãƒªãƒªãƒƒãƒˆãƒ«å…¥ã‚Š): the
+    # verb rows alone left ã€œå…¥ã‚Šã§ã™ unreachable for the AUX_COP ã§ã™
+    # (tranche 4 s755 read ã§+ã™ through the æ–‡èª ã™ row).
+    ("å…¥ã‚Š", "åè©-æ¥å°¾-ä¸€èˆ¬"),
 ]
 
 _ADVERBS = ["ã¨ã¦ã‚‚", "ã™ã”ã", "ã‚‚ã£ã¨", "ã¡ã‚‡ã£ã¨", "ã‚ˆã", "ã¾ã ", "ã‚‚ã†", "ãšã£ã¨",
