@@ -281,7 +281,10 @@ N_CLASSES = 49
 # the なり+か+ね shred; か attaches to 終止/連体/体言, never a 連用形.
 # v9: tranche-4 fixes — あろ joins _IRREGULAR_MIZEN_U (であろ+う), べから
 # gets the (AUX, AUX_VSTEM) pair so ず attaches (恐れる+べから+ず).
-CLASS_SCHEMA_VERSION = 9
+# v10: audit-135 counter tier — particle→助数詞 tuple penalties (+800,
+# six particle left classes) so the 40 new counter rows cannot tie real
+# compounds through free particle edges.
+CLASS_SCHEMA_VERSION = 10
 
 # 連用 (continuative) forms — the state auxiliaries attach to (聴い+た,
 # でき+ます, 高かっ+た).  Deliberately NOT including 未然形: rewarding
@@ -1184,6 +1187,18 @@ TUPLE_OVERRIDES: dict[tuple[int, int], int] = {
     # are equally illegal before か.
     (VERB_CONT_REN, TUPLE_IDS[("助詞-副助詞／並立助詞／終助詞", "", "")]): 800,
     (VERB_CONT, TUPLE_IDS[("助詞-副助詞／並立助詞／終助詞", "", "")]): 800,
+    # particle/BOS + 助数詞 (audit 135): counters attach to numbers/
+    # nouns, never directly to a particle or the start of text — at the
+    # 1500 noun tier the new counter rows still TIED real compounds
+    # through free particle/BOS edges (を+発+表し vs を+発表+し;
+    # BOS+発+表さ+れる tied 発表+さ+れる).  +800 penalty, not BLOCK:
+    # the no-competitor cases (雨の日 — 日 has only its 助数詞 row
+    # here) keep parsing, since the unknown alternative is ≥3700
+    # dearer; counters with genuine free-noun use (話/曲/席/種/票)
+    # carry 名詞-一般 twin rows that the penalty never touches.
+    **{(_pl, TUPLE_IDS[("名詞-接尾-助数詞", "", "")]): 800
+       for _pl in (BOS, PARTICLE, PARTICLE_CASE, PARTICLE_TE,
+                   PARTICLE_DE, _KAKU, _KEIJO)},
     # 連体詞 attach to 体言 — particles/auxiliaries after them are
     # ungrammatical (×この+が, ×その+だ).  +600 retires the wave-370
     # cost hack: こんなに/そんなに/あんなに/どんなに now live at the

@@ -425,6 +425,10 @@ _NOUNS_SINGLE_KANJI = [
     "縄", "輪", "鈴", "笛", "鐘", "旗", "傘", "靴", "服", "帯", "袖",
     "襟", "裾", "糊", "墨", "筆", "硯", "幕", "柵", "堀", "門", "塔",
     "蔵", "倉", "塀", "麓", "岬", "蓋", "鍋", "峠", "裏",
+    # Standalone-noun twins of audit-135's counter suffixes (話を聞く,
+    # 曲が流れる, 席を立つ…) — the 助数詞 rows alone would carry the
+    # wrong POS in free-noun contexts:
+    "話", "曲", "種", "席", "票",
     # deliberately excluded: 匂 (only 匂い is a standalone word — its row
     # ships as a deverbal noun), 庫 (suffix-only, never free-standing).
 ]
@@ -557,6 +561,38 @@ _SUFFIXES = [
     # verb rows alone left 〜入りです unreachable for the AUX_COP です
     # (tranche 4 s755 read で+す through the 文語 す row).
     ("入り", "名詞-接尾-一般"),
+    # The full IPADIC 助数詞 tier (round-8 audit 135): every one of
+    # these reproduced the 円台 merge bug in digit contexts — 犬を3匹
+    # 飼う read 3+匹飼+う, fusing the counter with the following verb's
+    # first kanji and stranding its tail.  NOT at the vetted 900 tier:
+    # these kanji open common compounds (発表, 話題, 品質…), and at 900
+    # the suffix undercut them (発+表し beat 発表 by 100 on the first
+    # corpus run) — digit contexts only compete with ≥6900 unknown
+    # merges, so the plain 1500 noun tier wins there just the same.
+]
+
+_SUFFIXES_COUNTER_1500 = [
+    ("匹", "名詞-接尾-助数詞"), ("頭", "名詞-接尾-助数詞"),
+    ("羽", "名詞-接尾-助数詞"), ("冊", "名詞-接尾-助数詞"),
+    ("軒", "名詞-接尾-助数詞"), ("枚", "名詞-接尾-助数詞"),
+    ("通", "名詞-接尾-助数詞"), ("件", "名詞-接尾-助数詞"),
+    ("名", "名詞-接尾-助数詞"), ("社", "名詞-接尾-助数詞"),
+    ("校", "名詞-接尾-助数詞"), ("歳", "名詞-接尾-助数詞"),
+    ("点", "名詞-接尾-助数詞"), ("杯", "名詞-接尾-助数詞"),
+    ("曲", "名詞-接尾-助数詞"), ("話", "名詞-接尾-助数詞"),
+    ("品", "名詞-接尾-助数詞"), ("種", "名詞-接尾-助数詞"),
+    ("部", "名詞-接尾-助数詞"), ("巻", "名詞-接尾-助数詞"),
+    ("章", "名詞-接尾-助数詞"), ("節", "名詞-接尾-助数詞"),
+    ("号", "名詞-接尾-助数詞"), ("階", "名詞-接尾-助数詞"),
+    ("課", "名詞-接尾-助数詞"), ("組", "名詞-接尾-助数詞"),
+    ("班", "名詞-接尾-助数詞"), ("期", "名詞-接尾-助数詞"),
+    ("泊", "名詞-接尾-助数詞"), ("勝", "名詞-接尾-助数詞"),
+    ("敗", "名詞-接尾-助数詞"), ("票", "名詞-接尾-助数詞"),
+    ("席", "名詞-接尾-助数詞"), ("室", "名詞-接尾-助数詞"),
+    ("棟", "名詞-接尾-助数詞"), ("基", "名詞-接尾-助数詞"),
+    ("発", "名詞-接尾-助数詞"), ("球", "名詞-接尾-助数詞"),
+    ("粒", "名詞-接尾-助数詞"), ("滴", "名詞-接尾-助数詞"),
+    ("束", "名詞-接尾-助数詞"),
 ]
 
 _ADVERBS = ["とても", "すごく", "もっと", "ちょっと", "よく", "まだ", "もう", "ずっと",
@@ -782,6 +818,8 @@ def _build() -> list[tuple]:
         entries.append((surface, pos, 800, None, None))
     for surface, pos in _SUFFIXES:
         entries.append((surface, pos, 900, None, None))
+    for surface, pos in _SUFFIXES_COUNTER_1500:
+        entries.append((surface, pos, 1500, None, None))
     for surface in _ADVERBS:
         entries.append((surface, "副詞-一般", 1000, None, None))
     for surface in _ADNOMINAL:
