@@ -429,6 +429,7 @@ _NOUNS_SINGLE_KANJI = [
     # 曲が流れる, 席を立つ…) — the 助数詞 rows alone would carry the
     # wrong POS in free-noun contexts:
     "話", "曲", "種", "席", "票",
+    "丘",  # audit-136 geography scan
     # deliberately excluded: 匂 (only 匂い is a standalone word — its row
     # ships as a deverbal noun), 庫 (suffix-only, never free-standing).
 ]
