@@ -284,7 +284,9 @@ N_CLASSES = 49
 # v10: audit-135 counter tier — particle→助数詞 tuple penalties (+800,
 # six particle left classes) so the 40 new counter rows cannot tie real
 # compounds through free particle edges.
-CLASS_SCHEMA_VERSION = 10
+# v11: tranche-5 fixes — the noun→PARTICLE_DEMO +100 penalty removed
+# (its premise was round-1's uncorrected s319 pin); でも repriced 95.
+CLASS_SCHEMA_VERSION = 11
 
 # 連用 (continuative) forms — the state auxiliaries attach to (聴い+た,
 # でき+ます, 高かっ+た).  Deliberately NOT including 未然形: rewarding
@@ -1069,13 +1071,14 @@ for _left in range(N_CLASSES):
     if _left not in (NOUN, NOUN_KD, NOUN_NOMI, VERB_BASE, ADJ_BASE,
                      AUX_TA_R):
         CONNECTION_COSTS[(_left, PARTICLE_DEMO)] = BLOCK
-# …and noun+でも at a small penalty, not open: 電話+で+も (instrumental
-# で + 係助詞 も, corpus s319) must keep beating the fused reading —
-# MeCab picks the split after nouns — while 格助詞+でも (誰に+でも) wins
-# through the tuple-opened row below (で+も is not even grammatical
-# there).
-for _left in (NOUN, NOUN_KD, NOUN_NOMI):
-    CONNECTION_COSTS[(_left, PARTICLE_DEMO)] = 100
+# noun+でも is OPEN (tranche 5 revision): the tranche-2 +100 penalty
+# here cited round-1's unannotated 電話+で+も pin (s319) as "MeCab
+# picks the split after nouns" — but that pin was itself the error
+# (IPADIC's 副助詞 でも row IS the "also by phone" reading; s319 was
+# corrected by documented argument alongside s839 誰でも).  The でも
+# row's 95 cost beats で(50)+も(50) by exactly 5 — as expensive as
+# possible while winning — and the te-form 飲ん+で+も stays safe via
+# the BLOCK profile above, not via pricing.
 # 連用形 + 終止形 verb: same ungrammatical chaining as 連用+連用 (出+
 # 発する outbid 出発+する in 出発するにあたって, s571) — compound verbs
 # are lexicalized rows; a genuine 連用中止 before a new clause crosses

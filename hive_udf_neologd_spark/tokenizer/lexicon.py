@@ -99,11 +99,10 @@ _PARTICLES = [
     # contexts and loses to them nowhere (ã ã£+ã¦ is closed by AUX_DATT).
     ("ã ã£ã¦", "åŠ©è©ž-å‰¯åŠ©è©ž"),
     # --- round-8 tranche 2 (ho2_* measured gaps) ---
-    # ã§ã‚‚ (IPADIC å‰¯åŠ©è©ž: èª°ã«+ã§ã‚‚ s557, å­ä¾›ã§ã‚‚) â€” PARTICLE_DEMO
-    # class: ä½“è¨€ + (tuple-opened) æ ¼åŠ©è©ž lefts only, so te-form
-    # é£²ã‚“+ã§+ã‚‚ can never merge.  The æŽ¥ç¶šè©ž ã§ã‚‚ row (sentence-initial)
-    # lives in _CONJ.
-    ("ã§ã‚‚", "åŠ©è©ž-å‰¯åŠ©è©ž"),
+    # ã§ã‚‚ (IPADIC å‰¯åŠ©è©ž: èª°ã«+ã§ã‚‚ s557, å­ä¾›ã§ã‚‚, PARTICLE_DEMO
+    # class) moved to _PARTICLES_COSTED in tranche 5 â€” the 50Â·len
+    # formula (100) exactly TIED ã§(50)+ã‚‚(50) after bare nouns and the
+    # tie-break shredded èª°ã§ã‚‚ (s839).
     # ã ã‚Š â€” ãŸã‚Š's voiced twin (IPADIC ä¸¦ç«‹åŠ©è©ž: ã‚„ã‚“+ã ã‚Š s565);
     # AUX_DA-left class via the entry_classes surface scope.
     ("ã ã‚Š", "åŠ©è©ž-ä¸¦ç«‹åŠ©è©ž"),
@@ -145,6 +144,16 @@ _PARTICLES_COSTED = [
                                               # lands; priced with its family
     ("ã«ã‚ãŸã£ã¦", "åŠ©è©ž-æ ¼åŠ©è©ž-é€£èªž", 1250),  # ã«+ã‚ãŸã£(æ¸¡ã‚‹ éŸ³ä¾¿)+ã¦ = 1300
     ("ã«ã‹ã‘ã¦", "åŠ©è©ž-æ ¼åŠ©è©ž-é€£èªž", 950),    # ã«+ã‹ã‘(æŽ›ã‘ã‚‹)+ã¦ = 1000 eff
+    # Tranche-5 sentence-final rows (ho5_tag measured missing):
+    ("ã‹ã—ã‚‰", "åŠ©è©ž-çµ‚åŠ©è©ž", 150),   # ã‹+ã—+ã‚‰ had no one-row rival
+    ("ã£ã¦ã°", "åŠ©è©ž-å‰¯åŠ©è©ž", 100),   # ã£ã¦(100)+ã° would tie at 150
+    # ã§ã‚‚ repriced 100 â†’ 95 (tranche 5, s839): after a bare noun the
+    # compositional ã§(50)+ã‚‚(50) TIED the row and won the tie â€”
+    # èª°ã§ã‚‚ read èª°+ã§+ã‚‚ while èª°ã«ã§ã‚‚ (s557) worked only because
+    # æ ¼åŠ©è©ž+ã§ is penalized.  95 = as expensive as possible while
+    # winning; the te-form é£²ã‚“+ã§+ã‚‚ stays safe structurally
+    # (PARTICLE_DEMO never attaches there).
+    ("ã§ã‚‚", "åŠ©è©ž-å‰¯åŠ©è©ž", 95),
 ]
 
 # --- auxiliary verbs (åŠ©å‹•è©ž) --------------------------------------------
@@ -376,7 +385,14 @@ _CONJ = ["ãã—ã¦", "ã—ã‹ã—", "ã¾ãŸ", "ãªãŠ", "ãŠã‚ˆã³", "åŠã³", "ã
          # Tranche-4 connectives (ho4_conj measured missing): at the 300
          # tier ã—ã‹ã—ãªãŒã‚‰ clears ã—ã‹ã—(300)+ãªãŒã‚‰(50) by 50;
          # ãã‚Œã‚†ãˆ/ãªã‚‰ã³ã« clear their unknown-run shadows outright.
-         "ã—ã‹ã—ãªãŒã‚‰", "ãã‚Œã‚†ãˆ", "ãªã‚‰ã³ã«"]
+         "ã—ã‹ã—ãªãŒã‚‰", "ãã‚Œã‚†ãˆ", "ãªã‚‰ã³ã«",
+         # Tranche-5 connectives (ho5_fill measured missing): ã•ã¦ read
+         # ã•(ã‚µå¤‰æœªç„¶)+ã¦, ã¨ã“ã‚ã§ read ã¨ã“ã‚(400)+ã§, ãã‚Œã§ read
+         # ãã‚Œ+ã§.  ãã‚Œã§/ã¨ã“ã‚ã§ deliberately absorb the genuine
+         # pronoun+ã§ / place-noun+ã§ readings too â€” IPADIC's single
+         # rows force the same call, and the corpus adjudicates the one
+         # ambiguous pinned case by rewording (s823 ã“ã‚Œã§).
+         "ã•ã¦", "ã¨ã“ã‚ã§", "ãã‚Œã§"]
 
 # --- common nouns ---------------------------------------------------------
 _NOUNS_GENERAL = [
@@ -595,6 +611,14 @@ _SUFFIXES_COUNTER_1500 = [
     ("ç²’", "åè©ž-æŽ¥å°¾-åŠ©æ•°è©ž"), ("æ»´", "åè©ž-æŽ¥å°¾-åŠ©æ•°è©ž"),
     ("æŸ", "åè©ž-æŽ¥å°¾-åŠ©æ•°è©ž"),
 ]
+
+# --- fillers (ãƒ•ã‚£ãƒ©ãƒ¼) â€” IPADIC's hesitation tier; the default stoptag
+# set drops them (Lucene stoptags.txt lists ãƒ•ã‚£ãƒ©ãƒ¼), so rows make the
+# default tokenize FAITHFULLY silent on ãˆãˆã¨/ã‚ã®ã† instead of
+# emitting them as unknown nouns (round-8 tranche 5: ã‚ã®ã† read
+# ã‚ã®(é€£ä½“è©ž)+ã† before the row existed).
+_FILLERS = ["ãˆãˆã¨", "ãˆãƒ¼ã¨", "ã‚ã®ã†", "ã‚ã®ãƒ¼", "ã†ãƒ¼ã‚“", "ã¾ã‚",
+            "ãˆãˆã£ã¨", "ã‚“ãƒ¼ã¨"]
 
 _ADVERBS = ["ã¨ã¦ã‚‚", "ã™ã”ã", "ã‚‚ã£ã¨", "ã¡ã‚‡ã£ã¨", "ã‚ˆã", "ã¾ã ", "ã‚‚ã†", "ãšã£ã¨",
             "ã‚‚ã¡ã‚ã‚“", "ãŸã¨ãˆã°", "ä¾‹ãˆã°", "å®Ÿéš›", "æœ¬å½“ã«", "ã‹ãªã‚Š",
@@ -827,6 +851,8 @@ def _build() -> list[tuple]:
         entries.append((surface, "é€£ä½“è©ž", 400, None, None))
     for surface in _INTERJECTIONS:
         entries.append((surface, "æ„Ÿå‹•è©ž", 1000, None, None))
+    for surface in _FILLERS:
+        entries.append((surface, "ãƒ•ã‚£ãƒ©ãƒ¼", 1000, None, None))
     # NEologd-style date entries (1æ—¥..31æ—¥, 1æœˆ..12æœˆ) â€” why README's golden
     # keeps 10æ—¥ as a single token (README.md:29).
     for d in range(1, 32):
