@@ -286,7 +286,9 @@ N_CLASSES = 49
 # compounds through free particle edges.
 # v11: tranche-5 fixes — the noun→PARTICLE_DEMO +100 penalty removed
 # (its premise was round-1's uncorrected s319 pin); でも repriced 95.
-CLASS_SCHEMA_VERSION = 11
+# v12: tranche-5 follow-up audit — particle→接続詞 tuple penalties
+# (+800) keep connectives clause-initial (の+ところで stays split).
+CLASS_SCHEMA_VERSION = 12
 
 # 連用 (continuative) forms — the state auxiliaries attach to (聴い+た,
 # でき+ます, 高かっ+た).  Deliberately NOT including 未然形: rewarding
@@ -1202,6 +1204,13 @@ TUPLE_OVERRIDES: dict[tuple[int, int], int] = {
     **{(_pl, TUPLE_IDS[("名詞-接尾-助数詞", "", "")]): 800
        for _pl in (BOS, PARTICLE, PARTICLE_CASE, PARTICLE_TE,
                    PARTICLE_DE, _KAKU, _KEIJO)},
+    # particle + 接続詞 (tranche-5 follow-up audit): connectives are
+    # clause-initial — after 、 (a symbol token) or BOS — never right
+    # after a particle, but the 300-cost tier made の+ところで read the
+    # fused 接続詞 (先生のところで勉強する).  +800 penalty, not BLOCK.
+    **{(_pl, TUPLE_IDS[("接続詞", "", "")]): 800
+       for _pl in (PARTICLE, PARTICLE_CASE, PARTICLE_TE, PARTICLE_DE,
+                   _KAKU, _KEIJO)},
     # 連体詞 attach to 体言 — particles/auxiliaries after them are
     # ungrammatical (×この+が, ×その+だ).  +600 retires the wave-370
     # cost hack: こんなに/そんなに/あんなに/どんなに now live at the
