@@ -392,7 +392,11 @@ _CONJ = ["ãã—ã¦", "ã—ã‹ã—", "ã¾ãŸ", "ãªãŠ", "ãŠã‚ˆã³", "åŠã³", "ã
          # pronoun+ã§ / place-noun+ã§ readings too â€” IPADIC's single
          # rows force the same call, and the corpus adjudicates the one
          # ambiguous pinned case by rewording (s823 ã“ã‚Œã§).
-         "ã•ã¦", "ã¨ã“ã‚ã§", "ãã‚Œã§"]
+         "ã•ã¦", "ã¨ã“ã‚ã§", "ãã‚Œã§",
+         # ãã‚Œã§ã¯/ãã‚Œã§ã‚‚ (IPADIC æ¥ç¶šè© rows): at 300 they clear
+         # ãã‚Œã§(300)+ã¯/ã‚‚(50) by 50 â€” the isolation audit surfaced
+         # the split the moment ãã‚Œã§ landed.
+         "ãã‚Œã§ã¯", "ãã‚Œã§ã‚‚"]
 
 # --- common nouns ---------------------------------------------------------
 _NOUNS_GENERAL = [
