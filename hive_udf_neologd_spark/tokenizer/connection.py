@@ -288,7 +288,10 @@ N_CLASSES = 49
 # (its premise was round-1's uncorrected s319 pin); でも repriced 95.
 # v12: tranche-5 follow-up audit — particle→接続詞 tuple penalties
 # (+800) keep connectives clause-initial (の+ところで stays split).
-CLASS_SCHEMA_VERSION = 12
+# v13: tranche-6 fixes — (AUX → 格助詞連語) +800 so として cannot steal
+# the volitional quotative; みたい joins PARTICLE_JA's left profile;
+# ものの joins のに/ので's PARTICLE_CONJ_V.
+CLASS_SCHEMA_VERSION = 13
 
 # 連用 (continuative) forms — the state auxiliaries attach to (聴い+た,
 # でき+ます, 高かっ+た).  Deliberately NOT including 未然形: rewarding
@@ -398,6 +401,13 @@ def entry_classes(
         # only, noun behavior on the right (round-8 held-out tranche).
         if surface == "ん" and "非自立" in pos:
             return (NOUN_NOMI, NOUN)
+        if surface == "みたい" and "形容動詞語幹" in pos:
+            # みたい (IPADIC 名詞,形容動詞語幹 — 子供みたい, 夢みたい):
+            # PARTICLE_JA's left profile is exactly its attachment set
+            # (体言/連体形/助動詞) and — critically — BLOCKs the 格助詞
+            # lefts, so を+みたい keeps reading 見る's 連用 み+たい
+            # (映画をみたい).  Right side NOUN_KD: みたい+な/に.
+            return (PARTICLE_JA, NOUN_KD)
         if "形容動詞語幹" in pos:
             return _tupleize(NOUN, NOUN_KD, pos, ctype, cform)
         c = NOUN
@@ -415,7 +425,11 @@ def entry_classes(
             return (PARTICLE_TE, PARTICLE)
         if surface == "で" and "接続助詞" in pos:
             return (PARTICLE_DE, PARTICLE)
-        if surface in ("のに", "ので") and "接続助詞" in pos:
+        if surface in ("のに", "ので", "ものの") and "接続助詞" in pos:
+            # ものの (tranche 6): the concessive attaches only to
+            # 用言/助動詞 (した+ものの) — the PARTICLE_CONJ_V discipline
+            # keeps the genitive もの+の (ものの値段) winning after
+            # BOS/nouns/particles, where the 接続助詞 is blocked.
             return (PARTICLE_CONJ_V, PARTICLE)
         if surface == "わ" and "終助詞" in pos:
             # わ: な's terminal-only profile MINUS the soft-imperative
@@ -1192,6 +1206,16 @@ TUPLE_OVERRIDES: dict[tuple[int, int], int] = {
     # are equally illegal before か.
     (VERB_CONT_REN, TUPLE_IDS[("助詞-副助詞／並立助詞／終助詞", "", "")]): 800,
     (VERB_CONT, TUPLE_IDS[("助詞-副助詞／並立助詞／終助詞", "", "")]): 800,
+    # AUX + 連語 (tranche 6): の格助詞連語 rows never attach to plain
+    # auxiliaries — う+として stole the volitional quotative う+と+し+て
+    # (s852/s856).  +800 penalty, not BLOCK, and the margins are
+    # deliberate: として(150)+800 loses to the 50-cost particle path
+    # と+し+て (identical spans to MeCab's と+し+て verb read), while
+    # という(150)+800 = 950 still BEATS its compositional と+いう(1250)
+    # — 行こうという話 keeps the fused row.  た (AUX_TA_R) and 準体 ん
+    # (NOUN_NOMI) carry their own right classes, so だった+として and
+    # ん+だって are untouched.
+    (AUX, TUPLE_IDS[("助詞-格助詞-連語", "", "")]): 800,
     # particle/BOS + 助数詞 (audit 135): counters attach to numbers/
     # nouns, never directly to a particle or the start of text — at the
     # 1500 noun tier the new counter rows still TIED real compounds

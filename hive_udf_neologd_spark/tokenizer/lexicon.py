@@ -147,6 +147,11 @@ _PARTICLES_COSTED = [
     # Tranche-5 sentence-final rows (ho5_tag measured missing):
     ("かしら", "助詞-終助詞", 150),   # か+し+ら had no one-row rival
     ("ってば", "助詞-副助詞", 100),   # って(100)+ば would tie at 150
+    # ものの (IPADIC 接続助詞, tranche 6): priced under its own
+    # もの(90)+の(50) shadow; the PARTICLE_CONJ_V left class (entry
+    # scope with のに/ので) keeps the genitive もの+の reading winning
+    # everywhere the 接続助詞 is illicit (ものの値段).
+    ("ものの", "助詞-接続助詞", 100),
     # でも repriced 100 → 95 (tranche 5, s839): after a bare noun the
     # compositional で(50)+も(50) TIED the row and won the tie —
     # 誰でも read 誰+で+も while 誰にでも (s557) worked only because
@@ -192,6 +197,10 @@ _AUX = [
     # sites as べき, but its RIGHT side must accept ず, so entry_classes
     # gives it AUX_VSTEM (the 知られ+ず pattern).
     "べから",
+    # らしい's 連用 inflections (tranche 6: いるらしく fused as an
+    # unknown run; プロらしかった read ら+しかっ): same generic 助動詞
+    # class as らしい itself.
+    "らしく", "らしかっ",
 ]
 
 # --- adjectives (形容詞-自立): (surface, base) — inflections share base ---
@@ -578,6 +587,9 @@ _SUFFIXES = [
     # > 円台(6900) (round-8 tranche 3, s631).  Digit+円 contexts passed
     # before only because the single-kanji unknown happened to align.
     ("円", "名詞-接尾-助数詞"), ("台", "名詞-接尾-助数詞"),
+    # ごろ (IPADIC 名詞,接尾,副詞可能 — 三時ごろ, 今ごろ's tail): the
+    # kana twin of 頃; tranche 6 measured its absence.
+    ("ごろ", "名詞-接尾-副詞可能"),
     # 入り (IPADIC 名詞,接尾,一般 — 審議入り, 500ミリリットル入り): the
     # verb rows alone left 〜入りです unreachable for the AUX_COP です
     # (tranche 4 s755 read で+す through the 文語 す row).
@@ -636,7 +648,8 @@ _ADNOMINAL = ["この", "その", "あの", "どの", "いろんな", "大きな
               "そんな", "こういう", "そういう", "ああいう", "どういう",
               # おかしな (IPADIC 連体詞 — NOT おかしい's 連体形): absent
               # until round-8 tranche 3 (s674 read おか+し+な).
-              "とんだ", "単なる", "大した", "ほんの", "おかしな"]  # 連体詞
+              "とんだ", "単なる", "大した", "ほんの", "おかしな",
+              "あんな"]  # 連体詞 (あんな: tranche 6 — あ+ん+な shred)
 _INTERJECTIONS = ["はい", "いいえ", "ありがとう", "こんにちは", "おはよう",
                   "こんばんは", "すみません", "なるほど"]  # 感動詞
 
