@@ -711,6 +711,30 @@ class TestConnectionMatrix:
         # stays compositional next to the にかけて row.
         assert rich.tokenize("時間をかけて") == ["時間", "を", "かける", "て"]
 
+    def test_tranche6_contrast_contracts(self):
+        # The tranche-6 machinery is all CONTRAST pairs — each row must
+        # win its own context and lose the twin (raw spans; the parity
+        # corpus pins one side, these pin both).
+        rich = JapaneseAnalyzer(stop_words=[], stop_tags=[])
+        # みたい (PARTICLE_JA left profile): simile after 体言 fuses,
+        # 格助詞 BLOCK keeps the 見る reading verbal.
+        assert rich.tokenize("子供みたいだ") == ["子供", "みたい", "だ"]
+        assert rich.tokenize("映画をみたい") == ["映画", "を", "みる", "たい"]
+        # ものの (PARTICLE_CONJ_V): concessive after 連体形 fuses,
+        # genitive もの+の after BOS stays split.
+        assert rich.tokenize("参加したものの帰った") == [
+            "参加", "する", "た", "ものの", "帰る", "た"]
+        assert rich.tokenize("ものの値段を調べた") == [
+            "もの", "の", "値段", "を", "調べる", "た"]
+        # (AUX→連語) +800: として loses the volitional quotative to the
+        # particle path, という keeps its fused row after the same う.
+        assert rich.tokenize("出ようとしている") == [
+            "出る", "う", "と", "し", "て", "いる"]
+        assert rich.tokenize("行こうという話になった") == [
+            "行く", "う", "という", "話", "に", "なる", "た"]
+        # た (AUX_TA_R) is untouched by the AUX penalty.
+        assert rich.tokenize("だったとしても") == ["だっ", "た", "として", "も"]
+
     def test_godan_renyokei_split(self):
         # Round-6 連用形 split: godan 連用形 (焼き) takes ます/たい but NOT
         # た/ない/れる (those attach to 音便/未然形 — 焼きた is not
