@@ -459,6 +459,10 @@ _NOUNS_SINGLE_KANJI = [
     # wrong POS in free-noun contexts:
     "話", "曲", "種", "席", "票",
     "丘",  # audit-136 geography scan
+    # audit-146 flora/metal singles (multi-kanji compounds like 松本/
+    # 佐藤 keep their own rows, which always outprice splits):
+    "桜", "梅", "松", "竹", "杉", "檜", "欅", "椿", "菊", "藤", "蘭",
+    "稲", "粟", "稗", "綿", "銅", "金", "銀", "鉛",
     # deliberately excluded: 匂 (only 匂い is a standalone word — its row
     # ships as a deverbal noun), 庫 (suffix-only, never free-standing).
 ]
