@@ -463,6 +463,12 @@ _NOUNS_SINGLE_KANJI = [
     # 佐藤 keep their own rows, which always outprice splits):
     "桜", "梅", "松", "竹", "杉", "檜", "欅", "椿", "菊", "藤", "蘭",
     "稲", "粟", "稗", "綿", "銅", "金", "銀", "鉛",
+    # audit-147 fauna/weather singles (37/40 fauna kanji were missing):
+    "鶴", "亀", "鷹", "鷲", "鳩", "雀", "燕", "烏", "鴨", "雉",
+    "鯉", "鮭", "鮪", "鯛", "鰯", "鯖", "鰻", "蟹", "蛸", "貝",
+    "蜂", "蟻", "蝶", "蛾", "蚊", "蝿", "蝉", "熊", "鹿", "猪",
+    "狐", "狸", "兎", "鼠", "蛇", "蛙", "虹", "雷", "霧", "霞",
+    "露",
     # deliberately excluded: 匂 (only 匂い is a standalone word — its row
     # ships as a deverbal noun), 庫 (suffix-only, never free-standing).
 ]
