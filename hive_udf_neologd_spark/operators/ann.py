@@ -955,8 +955,11 @@ _TRAIN_MOD = 4  # vec_id % 4 == 1 → Lloyd refinement sample (~25% of corpus)
 def a12_ivf_sampled_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """a08's trained IVF with SAMPLED Lloyd refinement — the training-cost
     fix SCALING.md prescribes for real scale (VERDICT r7 next-round #6):
-    centroid quality doesn't need every vector, assignment does.  Seeds are
-    a08's exact deterministic set (K unchanged), but each Lloyd iteration's
+    centroid quality doesn't need every vector, assignment does.  Seeds
+    match a08's exact deterministic set (a seed whose sampled cell comes up
+    empty is dropped by the refinement groupBy, so K can shrink on
+    pathological samples — the oracle mirrors the same drop, and on the
+    driver data every seed attracts sample vectors), but each iteration's
     broadcast-assignment pass runs over only ``vec_id % {mod} == 1`` (~25%)
     — at sf1 that is the dominant a08 cost (two full-corpus passes), so
     training drops ~4× while the index/probe/rescore tail is identical in

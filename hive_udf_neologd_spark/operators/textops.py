@@ -1495,8 +1495,11 @@ def sql03_sql_udf_throughput(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
     docs = ensure_parallelism(spark, docs)
     docs.createOrReplaceTempView("sql03_docs")
-    assert not any("'" in s for s in T18_POOL)
-    pool_rows = ",\n".join(f"  ({i}, '{s}')" for i, s in enumerate(T18_POOL))
+    # SQL-escape unconditionally (an assert would vanish under python -O):
+    # a future pool edit containing a quote must not break the query.
+    pool_rows = ",\n".join(
+        "  ({}, '{}')".format(i, s.replace("'", "''")) for i, s in enumerate(T18_POOL)
+    )
     return spark.sql(f"""
 WITH pool(pid, line) AS (VALUES
 {pool_rows}

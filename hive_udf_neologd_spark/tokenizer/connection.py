@@ -269,7 +269,7 @@ N_CLASSES = 49
 # PARTICLE_NA branch; なきゃ joins the ない family; だって/しか/なあ are
 # new generic-particle surfaces (no class change but new rows).
 # v5: mechanical tuple classes (VERDICT r7 #3) — (pos, ctype, cform)
-# tuples get ids above the 46 behavior classes; overridden tuples
+# tuples get ids above the N_CLASSES behavior classes; overridden
 # (連体詞, カ行イ音便未然形) now bake their own canonical ids.  Any
 # TUPLE_OVERRIDES edit re-canonicalizes baked ids → bump this again.
 # v6: tranche-2 fixes — PARTICLE_DEMO (でも), だり joins AUX_DA's left
@@ -291,7 +291,12 @@ N_CLASSES = 49
 # v13: tranche-6 fixes — (AUX → 格助詞連語) +800 so として cannot steal
 # the volitional quotative; みたい joins PARTICLE_JA's left profile;
 # ものの joins のに/ので's PARTICLE_CONJ_V.
-CLASS_SCHEMA_VERSION = 13
+# v14: ADVICE-r8 scoping — the カ行イ音便 未然形 tuple id is now carried
+# ONLY by the とく family (base_form とく); every other ka-gyo 未然形 row
+# (書か, 聞か, 置か...) canonicalizes to its coarse group so the
+# (VERB_ONBIN → 未然形) ておく-contraction reward cannot leak onto
+# generally ungrammatical bigrams.
+CLASS_SCHEMA_VERSION = 14
 
 # 連用 (continuative) forms — the state auxiliaries attach to (聴い+た,
 # でき+ます, 高かっ+た).  Deliberately NOT including 未然形: rewarding
@@ -340,8 +345,8 @@ _OTHER_CONJ_FORMS = frozenset({
 # matrix.def keys costs on context ids derived from the full feature
 # tuple; the engine's analog: every (pos, conj_type, conj_form) tuple
 # realized in the snapshot + hand lexicon (tokenizer/conn_tuples.py,
-# GENERATED by tools/gen_conn_classes.py) gets an id above the 46
-# authored behavior classes.  Each tuple id carries the coarse behavior
+# GENERATED by tools/gen_conn_classes.py) gets an id above the
+# N_CLASSES authored behavior classes.  Each tuple id carries the coarse behavior
 # GROUP the classification below always produced (computed by running
 # entry_classes itself on the bare tuple, so the mapping can never drift
 # from the logic), and TUPLE_OVERRIDES prices individual tuple pairs the
@@ -670,6 +675,18 @@ def entry_classes(
         # Hand-lexicon conjugated rows: the class came from surface/base
         # INFERENCE, so the (pos, ctype, cform) tuple alone does not
         # determine it — these keep their coarse behavior class.
+        return (c, c)
+    if ctype == "五段・カ行イ音便" and cform == "未然形" and base_form != "とく":
+        # The (VERB_ONBIN → カ行イ音便 未然形) -1000 tuple reward exists
+        # solely for the ておく contraction's 未然形 (やっ+とか+ない,
+        # s511) — an ordinary ka-gyo verb's 未然形 after an unvoiced 音便
+        # stem (やっ+書か, 買っ+聞か) is ungrammatical and must never
+        # collect it (ADVICE r8: a -1000 reward on a generally
+        # ungrammatical bigram can flip near-ties toward wrong merges).
+        # Every row but とく's keeps the coarse group id here, which is
+        # how matrix.def would price it: the contraction is a lexicalized
+        # row with its own context id, not a property of the conjugation
+        # class.
         return (c, c)
     return _tupleize(c, c, pos, ctype, cform)
 
@@ -1247,7 +1264,10 @@ TUPLE_OVERRIDES: dict[tuple[int, int], int] = {
                    AUX, AUX_DA, AUX_COP)},
     # 音便 stem + とく-family 未然形 (やっ+とか+ない) — see the authored-
     # matrix comment where the coarse (VERB_ONBIN, VERB_CONJ) version of
-    # this rule was retired.
+    # this rule was retired.  Since schema v14, entry_classes hands the
+    # _KAGYO_MIZEN id ONLY to base_form とく rows — 書か/聞か/置か stay on
+    # their coarse group, so this reward is surface-scoped to the
+    # contraction it targets (ADVICE r8).
     (VERB_ONBIN, _KAGYO_MIZEN): -1000,
 }
 EOS_OVERRIDES: dict[int, int] = {}

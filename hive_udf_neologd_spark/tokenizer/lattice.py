@@ -70,8 +70,8 @@ _DEF = connection.DEFAULT
 
 # Dense form for the Viterbi hot loop: _CONN2D[prev_rc][next_lc] → cost
 # (0 for unlisted pairs).  Tuples of ints — one index op per candidate.
-# Built by connection.dense_matrix(): N_TOTAL×N_TOTAL covering the 46
-# authored behavior classes PLUS the mechanical tuple classes (round 8 —
+# Built by connection.dense_matrix(): N_TOTAL×N_TOTAL covering the
+# N_CLASSES authored behavior classes PLUS the mechanical tuple classes (round 8 —
 # unoverridden tuples canonicalize to their group before reaching any
 # DictEntry, so the extra rows are exact group copies and the live-state
 # count per position is unchanged).
