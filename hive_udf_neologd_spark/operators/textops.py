@@ -1469,6 +1469,83 @@ GROUP BY p.pid ORDER BY p.pid
 T24_SQL = _t24_sql()
 
 
+def t25_mode_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXTERNAL mode-parity metric (VERDICT r8 next-round #1): the held-out
+    SEARCH/EXTENDED corpus (tokenizer/mode_parity.py — 108 sentences, 17
+    registers, expected emissions hand-derived from the documented mode
+    semantics and committed before measurement) scored as per-sentence
+    EXACT token-sequence match — stricter than t22's span F1, because
+    SEARCH's compound-as-synonym emission is an ORDER contract (Lucene
+    5.5.5 Mode.SEARCH javadoc; reference KuromojiNEologdUDF.java:171-192
+    pins the mode surface, 306-316 drains every emitted term).
+
+    Shape: a constant 108-row frame through one narrow iterator-form
+    pandas UDF, per-register aggregate — constant at any cluster scale
+    (t22's 100 TB argument: broadcast corpus vs sampled engine output,
+    same plan).  Oracle replays the recorded aggregates (T25_EXPECTED,
+    recapture protocol) as a VALUES table with the same IEEE acc
+    expression — full hash check."""
+    prepare(spark)
+    from pyspark.sql.functions import pandas_udf
+
+    from hive_udf_neologd_spark.tokenizer.mode_parity import MODE_PARITY_CORPUS
+
+    rows = [
+        (sid, register, mode, text, list(surfaces))
+        for sid, register, mode, text, surfaces in MODE_PARITY_CORPUS
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "sid long, register string, mode string, text string, exp array<string>",
+    )
+
+    @pandas_udf("matched boolean, n_pred long")
+    def _score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from hive_udf_neologd_spark.tokenizer.mode_parity import predicted_surfaces
+
+        for frame in batches:
+            preds = [
+                predicted_surfaces(t, m)
+                for t, m in zip(frame["text"], frame["mode"])
+            ]
+            yield pd.DataFrame(
+                {
+                    "matched": [
+                        p == list(e) for p, e in zip(preds, frame["exp"])
+                    ],
+                    "n_pred": [len(p) for p in preds],
+                }
+            )
+
+    per = df.select(
+        "register",
+        F.size("exp").alias("n_exp_row"),
+        _score(F.struct("text", "mode", "exp")).alias("s"),
+    )
+    aggs = [
+        F.count(F.lit(1)).alias("n_sent"),
+        F.sum(F.col("s.matched").cast("long")).alias("n_match"),
+        F.sum("n_exp_row").alias("n_tok_exp"),
+        F.sum("s.n_pred").alias("n_tok_pred"),
+    ]
+    by_reg = per.groupBy("register").agg(*aggs)
+    total = per.groupBy(F.lit("__total__").alias("register")).agg(*aggs)
+    return (
+        by_reg.unionByName(total)
+        .withColumn("acc", F.col("n_match").cast("double") / F.col("n_sent"))
+        .orderBy("register")
+    )
+
+
+def _t25_sql() -> str:
+    from hive_udf_neologd_spark.tokenizer.mode_parity import t25_values_sql
+
+    return t25_values_sql()
+
+
+T25_SQL = _t25_sql()
+
+
 # --- sql03: SQL-registered tokenizer throughput ----------------------------
 def sql03_sql_udf_throughput(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Throughput gate for the SQL-surface tokenizer (VERDICT r7 next-round
@@ -1549,6 +1626,7 @@ TEXT_QUERIES = {
     "t23_ja_search_throughput": t23_ja_search_throughput,
     "t24_ja_extended_throughput": t24_ja_extended_throughput,
     "sql03_sql_udf_throughput": sql03_sql_udf_throughput,
+    "t25_mode_parity": t25_mode_parity,
 }
 
 # t08's oracle is a constant-literal VALUES table (see T08_SQL): DuckDB
@@ -1583,4 +1661,5 @@ TEXT_ORACLES = {
     "t23_ja_search_throughput": T23_SQL,
     "t24_ja_extended_throughput": T24_SQL,
     "sql03_sql_udf_throughput": SQL03_SQL,
+    "t25_mode_parity": T25_SQL,
 }

@@ -466,6 +466,61 @@ def mismatches() -> list[tuple[int, str, str, str, tuple[str, ...], list[str]]]:
     return out
 
 
+# CI floor (tests/test_parity.py): exact-match accuracy over the held-out
+# mode corpus.  Saturated at 1.0 after the wave-419 adjudication; a
+# dictionary/matrix/lattice change that regresses ANY sentence fails the
+# floor until adjudicated (engine fix or documented expectation
+# correction appended to BASELINE.md).
+T25_ACC_FLOOR = 1.0
+
+# RECORDED aggregates — the t25 oracle constants, same recapture protocol
+# as T22_EXPECTED (parity.py): regenerate with
+# ``python -m hive_udf_neologd_spark.tokenizer.mode_parity`` after any
+# dictionary/matrix/lattice change and paste here; tests/test_parity.py's
+# mode-parity gate asserts compute_expected() == T25_EXPECTED so a
+# re-segmentation can never silently desynchronize the oracle.  Recorded
+# round 9 at 108 sentences / 17 registers after the wave-419 adjudication
+# (honest pre-fix exact-match accuracy 0.990741, 1 mismatch — the 音声
+# dictionary gap, BASELINE.md).
+T25_EXPECTED: dict[str, tuple[int, int, int, int]] = {
+    "__total__": (108, 108, 581, 581),
+    "me_compound": (5, 5, 25, 25),
+    "me_digits": (3, 3, 19, 19),
+    "me_known_whole": (5, 5, 17, 17),
+    "me_sentence": (5, 5, 48, 48),
+    "me_unigram_hira": (3, 3, 21, 21),
+    "me_unigram_kanji": (5, 5, 22, 22),
+    "me_unigram_kata": (6, 6, 44, 44),
+    "ms_2kanji_control": (4, 4, 13, 13),
+    "ms_kanji4_split": (18, 18, 101, 101),
+    "ms_kanji6_split": (8, 8, 51, 51),
+    "ms_kanji_fused": (12, 12, 45, 45),
+    "ms_kata_fused": (9, 9, 33, 33),
+    "ms_kata_split": (12, 12, 62, 62),
+    "ms_mixed_nopenalty": (3, 3, 11, 11),
+    "ms_nested": (2, 2, 17, 17),
+    "ms_sentence": (6, 6, 40, 40),
+    "ms_suffix_split": (2, 2, 12, 12),
+}
+
+
+def t25_values_sql() -> str:
+    rows = []
+    for register, (n_sent, n_match, n_tok_exp, n_tok_pred) in sorted(
+        T25_EXPECTED.items()
+    ):
+        rows.append(f"('{register}', {n_sent}, {n_match}, {n_tok_exp}, {n_tok_pred})")
+    values = ",\n  ".join(rows)
+    return f"""
+SELECT register, n_sent, n_match, n_tok_exp, n_tok_pred,
+       CAST(n_match AS DOUBLE) / n_sent AS acc
+FROM (VALUES
+  {values}
+) AS v(register, n_sent, n_match, n_tok_exp, n_tok_pred)
+ORDER BY register
+"""
+
+
 if __name__ == "__main__":
     exp = compute_expected()
     for reg, (n, m, te, tp) in exp.items():

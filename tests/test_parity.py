@@ -149,3 +149,116 @@ class TestT22Catalog:
                 r["n_sent"], r["tp"], r["n_pred"], r["n_exp"],
             )
             assert r["f1"] == pytest.approx(2 * tp / (n_pred + n_exp))
+
+
+# --- held-out SEARCH/EXTENDED mode-parity corpus (VERDICT r8 #1) -----------
+
+
+class TestModeCorpusIntegrity:
+    def test_shape(self):
+        from hive_udf_neologd_spark.tokenizer.mode_parity import (
+            MODE_PARITY_CORPUS,
+        )
+
+        sids = [sid for sid, *_ in MODE_PARITY_CORPUS]
+        assert len(sids) == len(set(sids))
+        assert len(sids) >= 100
+        modes = {m for _s, _r, m, _t, _e in MODE_PARITY_CORPUS}
+        assert modes == {"search", "extended"}
+        registers = {r for _s, r, _m, _t, _e in MODE_PARITY_CORPUS}
+        assert len(registers) >= 15
+
+    def test_expectations_are_well_formed_emissions(self):
+        """Every expected sequence admits a span assignment where maximal
+        spans tile the non-punct text and nested groups (compound →
+        parts) exactly tile their container — a typo fails HERE, loudly,
+        not silently in the accuracy."""
+        from hive_udf_neologd_spark.tokenizer.mode_parity import (
+            MODE_PARITY_CORPUS,
+            validate_emission,
+        )
+
+        for sid, _reg, _mode, text, surfaces in MODE_PARITY_CORPUS:
+            validate_emission(text, surfaces)  # raises on malformation
+
+    def test_no_dictionary_straddlers(self):
+        """No committed dictionary entry (>=2 chars) crosses an expected
+        maximal-token boundary — the authoring audit, kept as a gate so a
+        future dictionary wave that introduces a crossing entry resurfaces
+        the affected sentence for re-derivation instead of silently
+        flipping its path."""
+        from hive_udf_neologd_spark.tokenizer.dictionary import (
+            builtin_dictionary,
+        )
+        from hive_udf_neologd_spark.tokenizer.mode_parity import (
+            MODE_PARITY_CORPUS,
+            validate_emission,
+        )
+
+        by = builtin_dictionary()._by_surface
+        for sid, _reg, _mode, text, surfaces in MODE_PARITY_CORPUS:
+            spans = validate_emission(text, surfaces)
+            maximal = [
+                s for s in spans
+                if not any(o != s and o[0] <= s[0] and s[1] <= o[1] for o in spans)
+            ]
+            bounds = sorted({b for _a, b in maximal})
+            for i in range(len(text)):
+                for j in range(i + 2, len(text) + 1):
+                    if text[i:j] in by:
+                        assert not any(i < b < j for b in bounds), (
+                            f"#{sid}: dict entry {text[i:j]!r} straddles an "
+                            f"expected boundary in {text!r}"
+                        )
+
+
+class TestModeRecordedAggregates:
+    def test_recorded_matches_live_engine(self):
+        """Recapture guard — identical contract to T22_EXPECTED."""
+        from hive_udf_neologd_spark.tokenizer.mode_parity import (
+            T25_EXPECTED,
+            compute_expected,
+        )
+
+        assert compute_expected() == T25_EXPECTED
+
+    def test_accuracy_floor(self):
+        from hive_udf_neologd_spark.tokenizer.mode_parity import (
+            T25_ACC_FLOOR,
+            T25_EXPECTED,
+            accuracy,
+        )
+
+        acc = accuracy(T25_EXPECTED)
+        assert acc >= T25_ACC_FLOOR, (
+            f"held-out mode parity regressed: accuracy {acc:.6f} "
+            f"< floor {T25_ACC_FLOOR}"
+        )
+
+    def test_total_row_is_register_sum(self):
+        from hive_udf_neologd_spark.tokenizer.mode_parity import T25_EXPECTED
+
+        sums = [0, 0, 0, 0]
+        for reg, row in T25_EXPECTED.items():
+            if reg == "__total__":
+                continue
+            for i in range(4):
+                sums[i] += row[i]
+        assert tuple(sums) == T25_EXPECTED["__total__"]
+
+
+class TestT25Catalog:
+    def test_t25_matches_oracle_values(self, spark):
+        from hive_udf_neologd_spark.operators.textops import t25_mode_parity
+        from hive_udf_neologd_spark.tokenizer.mode_parity import T25_EXPECTED
+
+        rows = t25_mode_parity(spark, "/root/testdata/sf0.001").collect()
+        got = {
+            r["register"]: (
+                r["n_sent"], r["n_match"], r["n_tok_exp"], r["n_tok_pred"],
+            )
+            for r in rows
+        }
+        assert got == T25_EXPECTED
+        for r in rows:
+            assert r["acc"] == pytest.approx(r["n_match"] / r["n_sent"])
