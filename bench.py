@@ -86,6 +86,9 @@ HEADLINE = [
     # next-round #6) — gated from birth so the sampled Lloyd path can't
     # silently regress vs a08's full-corpus training.
     "a12_ivf_sampled_train",
+    # Round-9: held-out SEARCH/EXTENDED mode-parity (constant 108-row
+    # frame through the mode-specific lattices) — gated from birth.
+    "t25_mode_parity",
 ]
 
 

@@ -132,6 +132,9 @@ _PARTICLES_COSTED = [
     # 気にかけて-style idioms too — IPADIC's single row makes the same
     # call; the corpus pins only the range sense (s637).
     ("による", "助詞-格助詞-連語", 1200),     # に+よる(因る) = 1250
+    # Round-9 tranche-8 連語 row (ho8_leg s1010): をもって is in
+    # IPADIC's 連語 set with the family above; same shadow−50 pricing.
+    ("をもって", "助詞-格助詞-連語", 1250),   # を+もっ(持つ)+て = 1300
     ("において", "助詞-格助詞-連語", 1250),   # に+おい(置く)+て = 1300
     # The three whose compositional verb is ICHIDAN sit 300 lower: the
     # 一段連用形+て path carries a −300 connection reward the 音便+て
