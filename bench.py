@@ -104,7 +104,13 @@ def main() -> None:
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
-    for name in HEADLINE:
+    # Optional subset (comma-separated names): lets long scale runs (sf1)
+    # be split into several shorter sessions and merged — the per-query
+    # protocol (warmup + best-of-2) is unchanged, so chunked numbers are
+    # directly comparable to one-session numbers.
+    only = os.environ.get("SPARK_GRAFT_ONLY")
+    selected = HEADLINE if not only else [n for n in HEADLINE if n in set(only.split(","))]
+    for name in selected:
         builder = QUERIES[name]
         # One failing query must not zero out the whole bench — record the
         # error and keep timing the rest.
