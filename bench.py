@@ -89,6 +89,9 @@ HEADLINE = [
     # Round-9: held-out SEARCH/EXTENDED mode-parity (constant 108-row
     # frame through the mode-specific lattices) — gated from birth.
     "t25_mode_parity",
+    # Round-9: rich-path throughput (per-token structs + JVM-side HOF
+    # reduction) — the struct-marshalling cost t18 cannot see.
+    "t26_ja_rich_throughput",
 ]
 
 

@@ -1546,6 +1546,80 @@ def _t25_sql() -> str:
 T25_SQL = _t25_sql()
 
 
+def t26_ja_rich_throughput(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rich-analysis throughput gate (round 9): t18's twin through
+    ``tokenize_ja_rich`` — the per-token struct path (term/surface/POS/
+    base_form/reading) was golden-gated on 3 sentences (t17) but never
+    throughput-gated at corpus scale, though it is the path a training
+    pipeline uses for POS filtering and lemma statistics.  Struct
+    construction + Arrow struct marshalling is the cost t18 cannot see.
+
+    Shape: one narrow ArrowEvalPython projection producing
+    array<struct>, then JVM-side higher-order functions (size/filter —
+    whole-stage codegen, no second Python hop) reduce each array to
+    counts, and an 8-group map-side aggregate mirrors t18.  Oracle: the
+    pinned per-pid stats (goldens.T26_STATS, recapture protocol) joined
+    with DuckDB-computed corpus counts — the t23/t24 pattern."""
+    prepare(spark)
+    from hive_udf_neologd_spark.functions.tokenize import tokenize_ja_rich
+    from hive_udf_neologd_spark.tokenizer.goldens import T18_POOL
+
+    docs = read_table(spark, sf_dir, "documents")
+    docs = ensure_parallelism(spark, docs)
+    rich = tokenize_ja_rich()
+    pool = F.array(*[F.lit(s) for s in T18_POOL])
+    # toks stays a raw column through to the aggregate (t18's shape): the
+    # HOF reductions live INSIDE the agg expressions, keeping the plan a
+    # single ArrowEvalPython below the partial aggregate
+    # (plan-asserted: Scan → repartition → ArrowEvalPython → Project →
+    # partial/final HashAggregate → Sort, identical to t18).
+    toks = docs.select(
+        (F.col("doc_id") % len(T18_POOL)).alias("pid"),
+        rich(
+            F.element_at(pool, (F.col("doc_id") % len(T18_POOL)).cast("int") + 1)
+        ).alias("toks"),
+    )
+    n_nouns = F.size(F.expr("filter(toks, t -> startswith(t.pos, '名詞'))"))
+    n_base = F.size(F.expr("filter(toks, t -> t.base_form IS NOT NULL)"))
+    n_reading = F.size(F.expr("filter(toks, t -> t.reading IS NOT NULL)"))
+    return (
+        toks.groupBy("pid")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.first(F.size("toks")).alias("n_tokens_per_doc"),
+            F.first(n_nouns).alias("n_nouns_per_doc"),
+            F.first(n_base).alias("n_base_per_doc"),
+            F.first(n_reading).alias("n_reading_per_doc"),
+            F.sum(F.size("toks")).alias("total_tokens"),
+            F.sum(n_nouns).alias("total_nouns"),
+        )
+        .orderBy("pid")
+    )
+
+
+def _t26_sql() -> str:
+    from hive_udf_neologd_spark.tokenizer.goldens import T18_POOL, t26_values_rows
+
+    return f"""
+WITH pool(pid, n_tokens_per_doc, n_nouns_per_doc, n_base_per_doc, n_reading_per_doc) AS (VALUES
+{t26_values_rows()}
+),
+d AS (SELECT doc_id % {len(T18_POOL)} AS pid FROM documents)
+SELECT p.pid, COUNT(*) AS n_docs,
+       ANY_VALUE(p.n_tokens_per_doc) AS n_tokens_per_doc,
+       ANY_VALUE(p.n_nouns_per_doc) AS n_nouns_per_doc,
+       ANY_VALUE(p.n_base_per_doc) AS n_base_per_doc,
+       ANY_VALUE(p.n_reading_per_doc) AS n_reading_per_doc,
+       CAST(COUNT(*) * ANY_VALUE(p.n_tokens_per_doc) AS BIGINT) AS total_tokens,
+       CAST(COUNT(*) * ANY_VALUE(p.n_nouns_per_doc) AS BIGINT) AS total_nouns
+FROM d JOIN pool p USING (pid)
+GROUP BY p.pid ORDER BY p.pid
+"""
+
+
+T26_SQL = _t26_sql()
+
+
 # --- sql03: SQL-registered tokenizer throughput ----------------------------
 def sql03_sql_udf_throughput(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Throughput gate for the SQL-surface tokenizer (VERDICT r7 next-round
@@ -1627,6 +1701,7 @@ TEXT_QUERIES = {
     "t24_ja_extended_throughput": t24_ja_extended_throughput,
     "sql03_sql_udf_throughput": sql03_sql_udf_throughput,
     "t25_mode_parity": t25_mode_parity,
+    "t26_ja_rich_throughput": t26_ja_rich_throughput,
 }
 
 # t08's oracle is a constant-literal VALUES table (see T08_SQL): DuckDB
@@ -1662,4 +1737,5 @@ TEXT_ORACLES = {
     "t24_ja_extended_throughput": T24_SQL,
     "sql03_sql_udf_throughput": SQL03_SQL,
     "t25_mode_parity": T25_SQL,
+    "t26_ja_rich_throughput": T26_SQL,
 }

@@ -272,3 +272,33 @@ def t21_values_sql() -> str:
         + "\n) AS t(sentence_id, tokens_str, n_tokens)\n"
         "ORDER BY sentence_id\n"
     )
+
+
+# pid → (n_tokens, n_nouns, n_base, n_reading) over the FULL analyzer
+# chain's rich output for T18_POOL[pid] (t26, round 9): n_nouns counts
+# pos startswith 名詞, n_base counts non-null base_form (tokens the
+# BaseFormFilter re-lemmatized), n_reading counts non-null katakana
+# readings (kana surfaces only — kanji stay NULL by design, the t17
+# partial-readings contract).  Recapture protocol as for T18.
+T26_STATS: dict[int, tuple[int, int, int, int]] = {
+    0: (16, 12, 4, 0),
+    1: (16, 14, 2, 0),
+    2: (14, 12, 2, 0),
+    3: (15, 13, 1, 0),
+    4: (14, 9, 5, 0),
+    5: (16, 15, 1, 0),
+    6: (13, 9, 4, 0),
+    7: (14, 11, 2, 1),
+}
+
+
+def t26_values_rows() -> str:
+    rows = []
+    for pid in range(len(T18_POOL)):
+        n, nn, nb, nr = T26_STATS[pid]
+        rows.append(
+            f"  (CAST({pid} AS BIGINT), CAST({n} AS INTEGER), "
+            f"CAST({nn} AS INTEGER), CAST({nb} AS INTEGER), "
+            f"CAST({nr} AS INTEGER))"
+        )
+    return ",\n".join(rows)

@@ -1056,3 +1056,21 @@ class TestMechanicalTupleClasses:
         toks = [t.surface for t in _raw_lattice().segment(
             "明日までにやっとかないと間に合わないよ。")]
         assert toks[3:6] == ["やっ", "とか", "ない"]
+
+
+def test_t26_pool_matches_rich_stats():
+    # T26_STATS is the single source for t26's VALUES oracle — the full
+    # analyzer chain's rich output must reproduce the pinned per-pid
+    # counts (recapture protocol as for T18).
+    from hive_udf_neologd_spark.tokenizer.goldens import T18_POOL, T26_STATS
+
+    analyzer = JapaneseAnalyzer()
+    for pid, text in enumerate(T18_POOL):
+        toks = analyzer.analyze_rich(text)
+        got = (
+            len(toks),
+            sum(1 for t in toks if t["pos"].startswith("名詞")),
+            sum(1 for t in toks if t["base_form"] is not None),
+            sum(1 for t in toks if t["reading"] is not None),
+        )
+        assert got == T26_STATS[pid], pid
