@@ -1074,3 +1074,17 @@ def test_t26_pool_matches_rich_stats():
             sum(1 for t in toks if t["reading"] is not None),
         )
         assert got == T26_STATS[pid], pid
+
+
+def test_user_dict_compound_excluded_from_search_synonym_emission():
+    # lattice.py segment(): "User-dictionary compounds are excluded:
+    # Lucene always applies the user segmentation without a synonym
+    # compound."  Pinned across ALL modes — previously only the NORMAL
+    # config (t08 normal+userdict) exercised user dicts, leaving the
+    # SEARCH/EXTENDED exclusion untested (round 9).
+    ud = ["日本経済新聞,日本 経済 新聞,ニホン ケイザイ シンブン,カスタム名詞"]
+    for mode in ("normal", "search", "extended"):
+        a = JapaneseAnalyzer(mode=mode, user_dict_rows=ud)
+        assert a.tokenize("日本経済新聞を読む。") == [
+            "日本", "経済", "新聞", "読む",
+        ], mode
