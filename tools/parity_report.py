@@ -44,6 +44,21 @@ def main() -> int:
     for reg, (ns, t, p, e) in agg.items():
         if reg != "__total__":
             print(f"  {reg:8s} n={ns:3d} f1={2*t/(p+e):.4f}")
+    # Mode-parity corpus (round 9, tokenizer/mode_parity.py) — the
+    # SEARCH/EXTENDED axis in the same report.
+    from hive_udf_neologd_spark.tokenizer.mode_parity import (  # noqa: E402
+        accuracy,
+        compute_expected as mode_expected,
+        mismatches,
+    )
+
+    for sid, reg, mode, text, want, got in mismatches():
+        print(f"--- mode #{sid} [{reg}/{mode}] {text}")
+        print(f"  exp : {'|'.join(want)}")
+        print(f"  pred: {'|'.join(got)}")
+    magg = mode_expected()
+    mn, mm, _, _ = magg["__total__"]
+    print(f"mode-parity: sentences={mn} matched={mm} accuracy={accuracy(magg):.6f}")
     return 0
 
 
