@@ -341,6 +341,100 @@ MODE_PARITY_CORPUS: tuple[tuple[int, str, str, str, tuple[str, ...]], ...] = (
      ("友達", "と", "ゾ", "グ", "マ", "ヌ", "ケ", "を", "見", "た")),
     (108, "me_sentence", "extended", "クヌギダケをレストランで食べる。",
      ("ク", "ヌ", "ギ", "ダ", "ケ", "を", "レストラン", "で", "食べる")),
+    # ------------------------------------------------------------------
+    # Round-9 second mode tranche (sids 109-135, *2 registers) — the
+    # phenomena the first 108 did not reach, derived from the same
+    # documented arithmetic BEFORE measurement (BASELINE.md):
+    # * ms2_k23_adjacent — a 5-kanji OOV span parsed 2+3 where the
+    #   3-kanji dictionary word is penalized (+3100) but KEPT because no
+    #   split beats it (世界+選手権: 選手+権 needs an unknown 1-char at
+    #   5200); no synonym emits because no penalized entry covers the
+    #   whole span.
+    # * ms2_kanji5_nested — 電気自動車: the cheapest SEARCH path is the
+    #   FULL split 電気|自動|車 (4500, since 車 is a dictionary 1-char
+    #   at 1500, beating 電気+自動車's 1500+4600), and the per-position
+    #   synonym scan then emits BOTH covering compounds: 電気自動車 at
+    #   電気 and 自動車 at 自動 — the deepest nesting in the corpus.
+    # * ms2_kanji_fused2 — more fused 3/4-kanji: missing 1-char tails
+    #   (員/会/署/館/者/料 absent → unknown 5200) or missing heads
+    #   (高等/軽 absent → unknown-2 6900 / unknown-1 5200).
+    # * ms2_kata_fused2 — long katakana whose ONLY split partner is
+    #   absent from the dictionary (インターナショナル, コンピューティング,
+    #   ニューラル, タピオカ/ミルクティー, アセット) → unknown-run split
+    #   costs 7500+, fused 3200 wins.
+    # * ms2_double — two decompounding compounds in one sentence; each
+    #   emits its own synonym independently.
+    # * me2_ocr_unigram — OCR corruption × EXTENDED: the unknown
+    #   fragments UNIGRAM (力|メ|ラ), unlike NORMAL/SEARCH's grouped
+    #   runs (ho8_ocr pins 力|メラ) — the one place the two corpora
+    #   deliberately pin DIFFERENT spans for the same text.
+    # * me2_ascii_mix — ASCII letter runs unigram in EXTENDED while the
+    #   adjacent katakana dictionary word stays whole.
+    # --- ms2_k23_adjacent ---------------------------------------------
+    (109, "ms2_k23_adjacent", "search", "世界選手権で優勝した。",
+     ("世界", "選手権", "で", "優勝", "し", "た")),
+    (110, "ms2_k23_adjacent", "search", "選手権大会の話をする。",
+     ("選手権", "大会", "の", "話", "を", "する")),
+    # --- ms2_kanji5_nested --------------------------------------------
+    (111, "ms2_kanji5_nested", "search", "電気自動車を買う。",
+     ("電気自動車", "電気", "自動車", "自動", "車", "を", "買う")),
+    # --- ms2_kanji_fused2 ---------------------------------------------
+    (112, "ms2_kanji_fused2", "search", "会社員と話をする。",
+     ("会社員", "と", "話", "を", "する")),
+    (113, "ms2_kanji_fused2", "search", "研究所で働く。",
+     ("研究所", "で", "働く")),
+    (114, "ms2_kanji_fused2", "search", "委員会の話をする。",
+     ("委員会", "の", "話", "を", "する")),
+    (115, "ms2_kanji_fused2", "search", "数学者と話をする。",
+     ("数学者", "と", "話", "を", "する")),
+    (116, "ms2_kanji_fused2", "search", "消防署へ行く。",
+     ("消防署", "へ", "行く")),
+    (117, "ms2_kanji_fused2", "search", "体育館で練習をする。",
+     ("体育館", "で", "練習", "を", "する")),
+    (118, "ms2_kanji_fused2", "search", "保険料を支払う。",
+     ("保険料", "を", "支払う")),
+    (119, "ms2_kanji_fused2", "search", "高等学校で学ぶ。",
+     ("高等学校", "で", "学ぶ")),
+    (120, "ms2_kanji_fused2", "search", "軽自動車に乗る。",
+     ("軽自動車", "に", "乗る")),
+    # --- ms2_kata_fused2 ----------------------------------------------
+    (121, "ms2_kata_fused2", "search", "インターナショナルスクールへ行く。",
+     ("インターナショナルスクール", "へ", "行く")),
+    (122, "ms2_kata_fused2", "search", "クラウドコンピューティングを学ぶ。",
+     ("クラウドコンピューティング", "を", "学ぶ")),
+    (123, "ms2_kata_fused2", "search", "ニューラルネットワークを使う。",
+     ("ニューラルネットワーク", "を", "使う")),
+    (124, "ms2_kata_fused2", "search", "タピオカミルクティーを飲む。",
+     ("タピオカミルクティー", "を", "飲む")),
+    (125, "ms2_kata_fused2", "search", "アセットアロケーションの話をする。",
+     ("アセットアロケーション", "の", "話", "を", "する")),
+    # --- ms2_double ----------------------------------------------------
+    (126, "ms2_double", "search", "機械学習と強化学習を学ぶ。",
+     ("機械学習", "機械", "学習", "と", "強化学習", "強化", "学習", "を",
+      "学ぶ")),
+    (127, "ms2_double", "search", "東京大学と京都府立大学で学ぶ。",
+     ("東京大学", "東京", "大学", "と", "京都府立大学", "京都", "府立",
+      "大学", "で", "学ぶ")),
+    (128, "ms2_double", "search", "天気予報と世論調査を見る。",
+     ("天気予報", "天気", "予報", "と", "世論調査", "世論", "調査", "を",
+      "見る")),
+    # --- me2_ocr_unigram ----------------------------------------------
+    (129, "me2_ocr_unigram", "extended", "力メラを買った。",
+     ("力", "メ", "ラ", "を", "買っ", "た")),
+    (130, "me2_ocr_unigram", "extended", "スマ一トフォンを使う。",
+     ("ス", "マ", "一", "ト", "フ", "ォ", "ン", "を", "使う")),
+    (131, "me2_ocr_unigram", "extended", "二ユースを見る。",
+     ("二", "ユ", "ー", "ス", "を", "見る")),
+    # --- me2_ascii_mix ------------------------------------------------
+    (132, "me2_ascii_mix", "extended", "ABCゼミナールへ行く。",
+     ("A", "B", "C", "ゼミナール", "へ", "行く")),
+    (133, "me2_ascii_mix", "extended", "XYZミルクを飲む。",
+     ("X", "Y", "Z", "ミルク", "を", "飲む")),
+    (134, "me2_ascii_mix", "extended", "AIゼミの話をする。",
+     ("A", "I", "ゼミ", "の", "話", "を", "する")),
+    # --- me2_nested: the 5-kanji nesting holds in EXTENDED too --------
+    (135, "me2_nested", "extended", "電気自動車を買う。",
+     ("電気自動車", "電気", "自動車", "自動", "車", "を", "買う")),
 )
 
 
