@@ -42,7 +42,9 @@ ORDER contract (compound before parts), not just a span set.  Punctuation
 is discarded by the lattice (discardPunctuation=true), so expectations
 exclude 。.
 
-Registers (17) and their derivation arguments:
+Registers (25 after the second tranche, sids 109-135 — see the
+in-corpus comment at sid 109) and the first tranche's derivation
+arguments:
 
 * ms_kanji4_split — 4-kanji compounds whose 2+2 parts are dictionary
   entries; split path ~3000 (or 2700 with a proper-noun part) vs fused
@@ -573,11 +575,16 @@ T25_ACC_FLOOR = 1.0
 # dictionary/matrix/lattice change and paste here; tests/test_parity.py's
 # mode-parity gate asserts compute_expected() == T25_EXPECTED so a
 # re-segmentation can never silently desynchronize the oracle.  Recorded
-# round 9 at 108 sentences / 17 registers after the wave-419 adjudication
-# (honest pre-fix exact-match accuracy 0.990741, 1 mismatch — the 音声
-# dictionary gap, BASELINE.md).
+# round 9 at 135 sentences / 25 registers: the second mode tranche
+# (sids 109-135) measured ZERO pre-fix mismatches — 27/27 first-try,
+# the mode axis's saturation signal; the first 108 scored pre-fix
+# 0.990741 (1 mismatch, the 音声 dictionary gap, wave 419 —
+# BASELINE.md).
 T25_EXPECTED: dict[str, tuple[int, int, int, int]] = {
-    "__total__": (108, 108, 581, 581),
+    "__total__": (135, 135, 727, 727),
+    "me2_ascii_mix": (3, 3, 19, 19),
+    "me2_nested": (1, 1, 7, 7),
+    "me2_ocr_unigram": (3, 3, 21, 21),
     "me_compound": (5, 5, 25, 25),
     "me_digits": (3, 3, 19, 19),
     "me_known_whole": (5, 5, 17, 17),
@@ -585,6 +592,11 @@ T25_EXPECTED: dict[str, tuple[int, int, int, int]] = {
     "me_unigram_hira": (3, 3, 21, 21),
     "me_unigram_kanji": (5, 5, 22, 22),
     "me_unigram_kata": (6, 6, 44, 44),
+    "ms2_double": (3, 3, 28, 28),
+    "ms2_k23_adjacent": (2, 2, 12, 12),
+    "ms2_kanji5_nested": (1, 1, 7, 7),
+    "ms2_kanji_fused2": (9, 9, 35, 35),
+    "ms2_kata_fused2": (5, 5, 17, 17),
     "ms_2kanji_control": (4, 4, 13, 13),
     "ms_kanji4_split": (18, 18, 101, 101),
     "ms_kanji6_split": (8, 8, 51, 51),
