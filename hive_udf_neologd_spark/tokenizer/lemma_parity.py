@@ -1,0 +1,180 @@
+"""Held-out LEMMA-parity corpus (round 9 — the third external axis).
+
+The NORMAL corpus (parity.py) scores segmentation SPANS; the mode corpus
+(mode_parity.py) scores raw emission SEQUENCES.  Neither sees the
+analyzer chain's OUTPUT TERMS — base-form lemmatization, POS stop-tag
+filtering, width folding, lemma-level stopword removal, katakana
+stemming, lowercasing.  The audit-148 retirement sweep documented the
+blindness concretely: a same-surface noun/verb tie (推し/通り/おれ)
+re-lemmatizes nominal contexts without moving a single span.  This
+corpus is the de-saturation axis for the LEMMA dimension: full default
+analyzer chain, exact output-term-sequence match per sentence.
+
+Derivation sources (and nothing else — the engine was NOT run on these
+sentences before the expectations were committed):
+
+* The documented chain order (SURVEY.md §2.2; analyzer.py): BaseFormFilter
+  replaces the term with base_form when present; PartOfSpeechStopFilter
+  drops exact matches of the vendored 27-tag set (all 助詞 variants,
+  助動詞, 接続詞, 記号, フィラー...); CJKWidthFilter folds full-width
+  ASCII / half-width kana; StopFilter drops the vendored 109-word
+  Lucene-ja set — matched AGAINST THE LEMMA (し→する→dropped,
+  なかっ→ない→dropped); KatakanaStemFilter strips a trailing ー from
+  all-katakana terms of length >= 4; LowerCaseFilter.
+* The committed dictionary rows: which conjugated surfaces carry which
+  base forms, and — the tie class — which deverbal surfaces have a noun
+  twin (考え/願い/教え/流れ/決まり/働き/祈り do; at equal cost the
+  connection discipline decides: を/が/の contexts pay the +200
+  連用形→格助詞 penalty, so the noun row wins exactly there) and which
+  do NOT (答え/始め/助け/戦い/支払い — verb row only, so nominal
+  contexts MUST mis-lemmatize pre-fix; IPADIC carries noun rows for all
+  five, so the expectations pin the IPADIC lemma and the mismatches are
+  the corpus's planned finds).
+
+Registers:
+
+* ll_onbin / ll_ichidan / ll_suru / ll_adj — plain conjugation
+  lemmatization (音便 stems, ichidan stems, サ変 (し→する dropped as a
+  stopword-by-lemma), adjective 連用/タ接続 forms).
+* ll_tie_noun — surface ties WITH a noun twin: nominal contexts must
+  emit the noun (no base form), not the verb lemma.
+* ll_tie_missing — surface ties WITHOUT a noun twin (the planned
+  finds; see above).
+* ll_keigo — honorific verbs keep their dictionary lemma (いたす,
+  申し上げる, いただく); ございます disappears entirely (ござい is the
+  助動詞 row, dropped by tag).
+* ll_stem — katakana stemming incl. the length-4 boundary (タクシー →
+  タクシ; Lucene stems at >= 4).
+* ll_width_lower — full-width ASCII folds then lowercases (ＡＩ → ai);
+  half-width katakana folds (ｶﾒﾗ → カメラ); raw ASCII lowercases
+  (Python → python, including OOV surfaces).
+* ll_mixed — tie-class surfaces in VERBAL contexts (the contrast:
+  考え+て lemmatizes to 考える exactly where ll_tie_noun's 考え+を must
+  not).
+
+(sid, register, text, expected_terms) — expected_terms is the full
+default-chain ``JapaneseAnalyzer().tokenize(text)`` output in order.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+LEMMA_PARITY_CORPUS: tuple[tuple[int, str, str, tuple[str, ...]], ...] = (
+    # --- ll_onbin ------------------------------------------------------
+    (1, "ll_onbin", "昨日手紙を書いた。", ("昨日", "手紙", "書く")),
+    (2, "ll_onbin", "雑誌を読んだ。", ("雑誌", "読む")),
+    (3, "ll_onbin", "新しい本を買った。", ("新しい", "本", "買う")),
+    (4, "ll_onbin", "薬を飲んだ。", ("薬", "飲む")),
+    (5, "ll_onbin", "駅で友達を待った。", ("駅", "友達", "待つ")),
+    # --- ll_ichidan ----------------------------------------------------
+    (6, "ll_ichidan", "映画を見た。", ("映画", "見る")),
+    (7, "ll_ichidan", "夕食を食べた。", ("夕食", "食べる")),
+    (8, "ll_ichidan", "今朝六時に起きた。", ("今朝", "六", "時", "起きる")),
+    (9, "ll_ichidan", "言葉の意味を調べた。", ("言葉", "意味", "調べる")),
+    # --- ll_suru: し lemmatizes to する, which the stopword set drops --
+    (10, "ll_suru", "毎日日本語を勉強した。", ("毎日", "日本語", "勉強")),
+    (11, "ll_suru", "ピアノを練習した。", ("ピアノ", "練習")),
+    (12, "ll_suru", "先生が理由を説明した。", ("先生", "理由", "説明")),
+    # --- ll_adj --------------------------------------------------------
+    (13, "ll_adj", "今日は寒かった。", ("今日", "寒い")),
+    # なかっ→ない is then dropped BY LEMMA (ない is a stopword).
+    (14, "ll_adj", "値段が高くて買わなかった。", ("値段", "高い", "買う")),
+    (15, "ll_adj", "新しくパンを買った。", ("新しい", "パン", "買う")),
+    (16, "ll_adj", "料理がおいしかった。", ("料理", "おいしい")),
+    # --- ll_tie_noun: noun twin exists — nominal context picks it -----
+    (17, "ll_tie_noun", "先生の考えを聞いた。", ("先生", "考え", "聞く")),
+    (18, "ll_tie_noun", "水の流れを見た。", ("水", "流れ", "見る")),
+    (19, "ll_tie_noun", "彼の願いがかなった。", ("彼", "願い", "かなう")),
+    (20, "ll_tie_noun", "家族の教えを守る。", ("家族", "教え", "守る")),
+    (21, "ll_tie_noun", "体の働きを調べる。", ("体", "働き", "調べる")),
+    # --- ll_tie_missing: no noun twin — the planned finds -------------
+    (22, "ll_tie_missing", "質問の答えを書いた。", ("質問", "答え", "書く")),
+    (23, "ll_tie_missing", "会議の始めに挨拶をした。",
+     ("会議", "始め", "挨拶")),
+    (24, "ll_tie_missing", "家賃の支払いを済ませた。",
+     ("家賃", "支払い", "済ませる")),
+    (25, "ll_tie_missing", "友達の助けが必要だ。", ("友達", "助け", "必要")),
+    (26, "ll_tie_missing", "長い戦いが終わった。", ("長い", "戦い", "終わる")),
+    # --- ll_keigo ------------------------------------------------------
+    (27, "ll_keigo", "心より感謝いたします。", ("心", "感謝", "いたす")),
+    (28, "ll_keigo", "お礼を申し上げます。", ("お礼", "申し上げる")),
+    (29, "ll_keigo", "資料をいただいた。", ("資料", "いただく")),
+    # ござい is the 助動詞 row (cost 100 beats the 動詞 1200) → dropped
+    # by tag; ます dropped; only the pronoun survives.
+    (30, "ll_keigo", "こちらにございます。", ("こちら",)),
+    # --- ll_stem -------------------------------------------------------
+    (31, "ll_stem", "コンピューターを使う。", ("コンピュータ", "使う")),
+    (32, "ll_stem", "駅前のセンターへ行く。", ("駅前", "センタ", "行く")),
+    # Length-4 boundary: Lucene stems at >= 4, so タクシー → タクシ.
+    (33, "ll_stem", "タクシーに乗る。", ("タクシ", "乗る")),
+    (34, "ll_stem", "エレベーターに乗った。", ("エレベータ", "乗る")),
+    # --- ll_width_lower ------------------------------------------------
+    (35, "ll_width_lower", "ＡＩを使う。", ("ai", "使う")),
+    (36, "ll_width_lower", "Pythonを学ぶ。", ("python", "学ぶ")),
+    (37, "ll_width_lower", "ＴＶを見た。", ("tv", "見る")),
+    (38, "ll_width_lower", "ｶﾒﾗを買った。", ("カメラ", "買う")),
+    # --- ll_neologd ----------------------------------------------------
+    (39, "ll_neologd", "スマートウォッチを買った。",
+     ("スマートウォッチ", "買う")),
+    # GO folds/lowers inside the NEologd surface: ポケモンGO → ポケモンgo.
+    (40, "ll_neologd", "ポケモンGOで遊んだ。", ("ポケモンgo", "遊ぶ")),
+    # --- ll_mixed: tie surfaces in VERBAL contexts --------------------
+    (41, "ll_mixed", "よく考えてから答える。", ("よく", "考える", "答える")),
+    (42, "ll_mixed", "料金を支払って帰った。", ("料金", "支払う", "帰る")),
+)
+
+
+@lru_cache(maxsize=1)
+def _analyzer():
+    from hive_udf_neologd_spark.tokenizer.analyzer import JapaneseAnalyzer
+
+    return JapaneseAnalyzer()
+
+
+def predicted_terms(text: str) -> list[str]:
+    return _analyzer().tokenize(text)
+
+
+def compute_expected() -> dict[str, tuple[int, int, int, int]]:
+    """Per-register (n_sent, n_match, n_tok_exp, n_tok_pred) — recapture
+    source for ``T27_EXPECTED``; same contract as T22/T25."""
+    agg: dict[str, list[int]] = {}
+    for _sid, register, text, terms in LEMMA_PARITY_CORPUS:
+        pred = predicted_terms(text)
+        row = agg.setdefault(register, [0, 0, 0, 0])
+        row[0] += 1
+        row[1] += 1 if list(terms) == pred else 0
+        row[2] += len(terms)
+        row[3] += len(pred)
+    total = [0, 0, 0, 0]
+    for row in agg.values():
+        for i in range(4):
+            total[i] += row[i]
+    agg["__total__"] = total
+    return {k: tuple(v) for k, v in sorted(agg.items())}
+
+
+def accuracy(expected: dict[str, tuple[int, int, int, int]] | None = None) -> float:
+    exp = expected if expected is not None else compute_expected()
+    n, match, _, _ = exp["__total__"]
+    return match / n if n else 1.0
+
+
+def mismatches() -> list[tuple[int, str, str, tuple[str, ...], list[str]]]:
+    out = []
+    for sid, register, text, terms in LEMMA_PARITY_CORPUS:
+        pred = predicted_terms(text)
+        if list(terms) != pred:
+            out.append((sid, register, text, terms, pred))
+    return out
+
+
+if __name__ == "__main__":
+    exp = compute_expected()
+    for reg, (n, m, te, tp) in exp.items():
+        flag = "" if m == n else "  <-- MISMATCH"
+        print(f"{reg:16s} n={n:3d} match={m:3d} tok_exp={te:4d} tok_pred={tp:4d}{flag}")
+    print(f"exact-match accuracy: {accuracy(exp):.6f}")
+    for sid, reg, text, want, got in mismatches():
+        print(f"\n#{sid} [{reg}] {text}\n  want: {'|'.join(want)}\n  got:  {'|'.join(got)}")
