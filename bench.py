@@ -92,6 +92,8 @@ HEADLINE = [
     # Round-9: rich-path throughput (per-token structs + JVM-side HOF
     # reduction) — the struct-marshalling cost t18 cannot see.
     "t26_ja_rich_throughput",
+    # Round-9: held-out lemma parity (constant 42-row frame).
+    "t27_lemma_parity",
 ]
 
 

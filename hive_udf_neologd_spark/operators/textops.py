@@ -1620,6 +1620,78 @@ GROUP BY p.pid ORDER BY p.pid
 T26_SQL = _t26_sql()
 
 
+def t27_lemma_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXTERNAL lemma-parity metric (round 9, third axis): the held-out
+    lemma corpus (tokenizer/lemma_parity.py — 42 sentences / 11
+    registers, expected OUTPUT TERMS of the full default analyzer chain,
+    hand-derived and committed before measurement) scored by exact
+    term-sequence match.  Covers what t22's spans and t25's raw
+    emissions cannot see: base-form lemmatization (incl. the
+    same-surface noun/verb tie class audit 148 documented as
+    gate-blind), lemma-level stopword removal, width folding, katakana
+    stemming, lowercasing.  Same constant-frame shape and VALUES-oracle
+    pattern as t22/t25."""
+    prepare(spark)
+    from pyspark.sql.functions import pandas_udf
+
+    from hive_udf_neologd_spark.tokenizer.lemma_parity import (
+        LEMMA_PARITY_CORPUS,
+    )
+
+    rows = [
+        (sid, register, text, list(terms))
+        for sid, register, text, terms in LEMMA_PARITY_CORPUS
+    ]
+    df = spark.createDataFrame(
+        rows, "sid long, register string, text string, exp array<string>"
+    )
+
+    @pandas_udf("matched boolean, n_pred long")
+    def _score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from hive_udf_neologd_spark.tokenizer.lemma_parity import (
+            predicted_terms,
+        )
+
+        for frame in batches:
+            preds = [predicted_terms(t) for t in frame["text"]]
+            yield pd.DataFrame(
+                {
+                    "matched": [
+                        p == list(e) for p, e in zip(preds, frame["exp"])
+                    ],
+                    "n_pred": [len(p) for p in preds],
+                }
+            )
+
+    per = df.select(
+        "register",
+        F.size("exp").alias("n_exp_row"),
+        _score(F.struct("text", "exp")).alias("s"),
+    )
+    aggs = [
+        F.count(F.lit(1)).alias("n_sent"),
+        F.sum(F.col("s.matched").cast("long")).alias("n_match"),
+        F.sum("n_exp_row").alias("n_tok_exp"),
+        F.sum("s.n_pred").alias("n_tok_pred"),
+    ]
+    by_reg = per.groupBy("register").agg(*aggs)
+    total = per.groupBy(F.lit("__total__").alias("register")).agg(*aggs)
+    return (
+        by_reg.unionByName(total)
+        .withColumn("acc", F.col("n_match").cast("double") / F.col("n_sent"))
+        .orderBy("register")
+    )
+
+
+def _t27_sql() -> str:
+    from hive_udf_neologd_spark.tokenizer.lemma_parity import t27_values_sql
+
+    return t27_values_sql()
+
+
+T27_SQL = _t27_sql()
+
+
 # --- sql03: SQL-registered tokenizer throughput ----------------------------
 def sql03_sql_udf_throughput(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Throughput gate for the SQL-surface tokenizer (VERDICT r7 next-round
@@ -1702,6 +1774,7 @@ TEXT_QUERIES = {
     "sql03_sql_udf_throughput": sql03_sql_udf_throughput,
     "t25_mode_parity": t25_mode_parity,
     "t26_ja_rich_throughput": t26_ja_rich_throughput,
+    "t27_lemma_parity": t27_lemma_parity,
 }
 
 # t08's oracle is a constant-literal VALUES table (see T08_SQL): DuckDB
@@ -1738,4 +1811,5 @@ TEXT_ORACLES = {
     "sql03_sql_udf_throughput": SQL03_SQL,
     "t25_mode_parity": T25_SQL,
     "t26_ja_rich_throughput": T26_SQL,
+    "t27_lemma_parity": T27_SQL,
 }

@@ -262,3 +262,73 @@ class TestT25Catalog:
         assert got == T25_EXPECTED
         for r in rows:
             assert r["acc"] == pytest.approx(r["n_match"] / r["n_sent"])
+
+
+# --- held-out LEMMA-parity corpus (round 9, third axis) --------------------
+
+
+class TestLemmaRecordedAggregates:
+    def test_recorded_matches_live_engine(self):
+        from hive_udf_neologd_spark.tokenizer.lemma_parity import (
+            T27_EXPECTED,
+            compute_expected,
+        )
+
+        assert compute_expected() == T27_EXPECTED
+
+    def test_accuracy_floor(self):
+        from hive_udf_neologd_spark.tokenizer.lemma_parity import (
+            T27_ACC_FLOOR,
+            T27_EXPECTED,
+            accuracy,
+        )
+
+        acc = accuracy(T27_EXPECTED)
+        assert acc >= T27_ACC_FLOOR, (
+            f"held-out lemma parity regressed: accuracy {acc:.6f} "
+            f"< floor {T27_ACC_FLOOR}"
+        )
+
+    def test_shape_and_hygiene(self):
+        from hive_udf_neologd_spark.tokenizer.lemma_parity import (
+            LEMMA_PARITY_CORPUS,
+        )
+
+        sids = [sid for sid, *_ in LEMMA_PARITY_CORPUS]
+        assert len(sids) == len(set(sids))
+        assert len(sids) >= 40
+        # Terms are post-chain (lemmatized/folded/stemmed/lowered), so a
+        # substring check would be wrong; the hygiene gate here is
+        # non-emptiness and no stray whitespace.
+        for _sid, _reg, text, terms in LEMMA_PARITY_CORPUS:
+            assert text and terms
+            for t in terms:
+                assert t == t.strip() and t
+
+    def test_total_row_is_register_sum(self):
+        from hive_udf_neologd_spark.tokenizer.lemma_parity import T27_EXPECTED
+
+        sums = [0, 0, 0, 0]
+        for reg, row in T27_EXPECTED.items():
+            if reg == "__total__":
+                continue
+            for i in range(4):
+                sums[i] += row[i]
+        assert tuple(sums) == T27_EXPECTED["__total__"]
+
+
+class TestT27Catalog:
+    def test_t27_matches_oracle_values(self, spark):
+        from hive_udf_neologd_spark.operators.textops import t27_lemma_parity
+        from hive_udf_neologd_spark.tokenizer.lemma_parity import T27_EXPECTED
+
+        rows = t27_lemma_parity(spark, "/root/testdata/sf0.001").collect()
+        got = {
+            r["register"]: (
+                r["n_sent"], r["n_match"], r["n_tok_exp"], r["n_tok_pred"],
+            )
+            for r in rows
+        }
+        assert got == T27_EXPECTED
+        for r in rows:
+            assert r["acc"] == pytest.approx(r["n_match"] / r["n_sent"])
