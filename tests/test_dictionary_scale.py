@@ -190,7 +190,12 @@ class TestRealisticMillionEntry:
         t0 = time.perf_counter()
         d = Dictionary(realistic_entries)
         build_s = time.perf_counter() - t0
-        assert build_s < 10.0, f"1M realistic build took {build_s:.2f}s"
+        # Nominal ~2 s quiet (round 8).  Gate at 20 s: the 10 s gate
+        # flaked at 11 s under full-suite load on a contended host
+        # (round 9) — the gate exists to catch a complexity regression
+        # (would be minutes at 1M if the build went quadratic), not to
+        # measure the host.
+        assert build_s < 20.0, f"1M realistic build took {build_s:.2f}s"
         # Compounds share surfaces only coincidentally — the surface map
         # must hold ~1M distinct keys.
         assert len(d._by_surface) > 900_000
