@@ -129,6 +129,56 @@ LEMMA_PARITY_CORPUS: tuple[tuple[int, str, str, tuple[str, ...]], ...] = (
     # --- ll_mixed: tie surfaces in VERBAL contexts --------------------
     (41, "ll_mixed", "よく考えてから答える。", ("よく", "考える", "答える")),
     (42, "ll_mixed", "料金を支払って帰った。", ("料金", "支払う", "帰る")),
+    # ------------------------------------------------------------------
+    # Round-9 lemma tranche 2 (sids 43-65, ll2_* registers) — voice and
+    # aspect morphology the first 42 did not reach, derived the same
+    # way BEFORE measurement: passive られ/れ and causative せ/させ are
+    # 助動詞 rows dropped by tag (the content verb's lemma must survive
+    # them); desiderative たい/たく/たかっ likewise; 〜そう keeps its
+    # 名詞-接尾-助動詞語幹 row (named in neither stop set) while the
+    # adjective STEM row before it lemmatizes (おいし → おいしい);
+    # 〜み nominals are plain noun rows (深み/重み); compound verbs are
+    # single lexical rows (降り出す/走り出す/読み始める), NOT V+V
+    # splits; する/来る irregulars; and more noun-twin ties (眠り/踊り/
+    # 祈り).  降りそう was deliberately NOT used: 降り carries BOTH
+    # 降りる and 降る rows at equal cost, so the lemma is a
+    # registration-order tie the coarse matrix cannot derive — the
+    # documented underivable class (壊れそう is unambiguous).
+    # --- ll2_passive ---------------------------------------------------
+    (43, "ll2_passive", "先生に褒められた。", ("先生", "褒める")),
+    (44, "ll2_passive", "名前を呼ばれた。", ("名前", "呼ぶ")),
+    (45, "ll2_passive", "先生に叱られた。", ("先生", "叱る")),
+    # Passive + katakana stem in one: パーティー → パーティ.
+    (46, "ll2_passive", "パーティーに呼ばれた。", ("パーティ", "呼ぶ")),
+    # --- ll2_causative -------------------------------------------------
+    (47, "ll2_causative", "子供に薬を飲ませた。", ("子供", "薬", "飲む")),
+    (48, "ll2_causative", "学生を待たせた。", ("学生", "待つ")),
+    (49, "ll2_causative", "先生が子供に野菜を食べさせた。",
+     ("先生", "子供", "野菜", "食べる")),
+    # --- ll2_desiderative ----------------------------------------------
+    (50, "ll2_desiderative", "冷たい水を飲みたい。", ("冷たい", "水", "飲む")),
+    (51, "ll2_desiderative", "映画を見たくない。", ("映画", "見る")),
+    (52, "ll2_desiderative", "早く家に帰りたかった。", ("早い", "家", "帰る")),
+    # --- ll2_nominal_mi ------------------------------------------------
+    (53, "ll2_nominal_mi", "深みのある味だ。", ("深み", "味")),
+    (54, "ll2_nominal_mi", "言葉に重みがある。", ("言葉", "重み")),
+    # --- ll2_compound_verb ---------------------------------------------
+    (55, "ll2_compound_verb", "外で雨が降り出した。", ("外", "雨", "降り出す")),
+    (56, "ll2_compound_verb", "子供が走り出した。", ("子供", "走り出す")),
+    (57, "ll2_compound_verb", "彼は本を読み始めた。",
+     ("彼", "本", "読み始める")),
+    # --- ll2_sou -------------------------------------------------------
+    (58, "ll2_sou", "時計が壊れそうだ。", ("時計", "壊れる", "そう")),
+    (59, "ll2_sou", "このケーキはおいしそうだ。",
+     ("ケーキ", "おいしい", "そう")),
+    # --- ll2_irregular -------------------------------------------------
+    (60, "ll2_irregular", "友達が日本に来た。", ("友達", "日本", "来る")),
+    (61, "ll2_irregular", "宿題をした。", ("宿題",)),
+    (62, "ll2_irregular", "買い物をして帰った。", ("買い物", "帰る")),
+    # --- ll2_tie_more --------------------------------------------------
+    (63, "ll2_tie_more", "深い眠りについた。", ("深い", "眠り", "つく")),
+    (64, "ll2_tie_more", "踊りを習った。", ("踊り", "習う")),
+    (65, "ll2_tie_more", "祈りをささげた。", ("祈り", "ささげる")),
 )
 
 
