@@ -244,8 +244,11 @@ T27_ACC_FLOOR = 1.0
 # RECORDED aggregates — the t27 oracle constants; recapture with
 # ``python -m hive_udf_neologd_spark.tokenizer.lemma_parity`` after any
 # dictionary/matrix/filter change (tests/test_parity.py guards the
-# constants against the live engine).  Recorded round 9 at 42 sentences /
-# 11 registers after the wave-423 adjudication: honest pre-fix accuracy
+# constants against the live engine).  Recorded round 9 at 65 sentences /
+# 19 registers — tranche 2 (voice/aspect morphology, 23 sentences)
+# measured pre-fix 0.984615 with ONE miss, the 待たせる potential-
+# homograph find (wave 424, BASELINE.md).  The first 42 recorded after
+# the wave-423 adjudication: honest pre-fix accuracy
 # 0.880952 with ALL five misses in ll_tie_missing — the register built
 # to expose the missing IPADIC deverbal-noun twins — and 37/37 clean
 # everywhere else; one in-wave correction (the five rows shadow-priced
@@ -253,7 +256,15 @@ T27_ACC_FLOOR = 1.0
 # 1200) and one sentence reworded out of the purposive-に discipline
 # (BASELINE.md).
 T27_EXPECTED: dict[str, tuple[int, int, int, int]] = {
-    "__total__": (42, 42, 107, 107),
+    "__total__": (65, 65, 163, 163),
+    "ll2_causative": (3, 3, 9, 9),
+    "ll2_compound_verb": (3, 3, 8, 8),
+    "ll2_desiderative": (3, 3, 8, 8),
+    "ll2_irregular": (3, 3, 6, 6),
+    "ll2_nominal_mi": (2, 2, 4, 4),
+    "ll2_passive": (4, 4, 8, 8),
+    "ll2_sou": (2, 2, 6, 6),
+    "ll2_tie_more": (3, 3, 7, 7),
     "ll_adj": (4, 4, 10, 10),
     "ll_ichidan": (4, 4, 11, 11),
     "ll_keigo": (4, 4, 8, 8),
