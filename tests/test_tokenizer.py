@@ -1088,3 +1088,49 @@ def test_user_dict_compound_excluded_from_search_synonym_emission():
         assert a.tokenize("日本経済新聞を読む。") == [
             "日本", "経済", "新聞", "読む",
         ], mode
+
+
+class TestModeEmissionFuzz:
+    """Structural fuzz for the SEARCH/EXTENDED emission contract (round
+    9): for arbitrary text, the raw emission must be a WELL-FORMED
+    compound-nesting emission — maximal spans tile the non-punct input
+    in order, and every synonym compound's span is exactly tiled by the
+    parts that follow it.  mode_parity.validate_emission is the
+    backtracking checker the held-out corpus uses; here it runs over
+    fuzzed inputs, so a regression in the synonym scan (overlapping
+    emission, compound without parts, out-of-order parts) fails even on
+    sentences no corpus pins."""
+
+    @pytest.mark.parametrize("mode", ["search", "extended"])
+    def test_emission_is_well_formed(self, mode):
+        from hypothesis import given, settings
+        from hypothesis import strategies as st
+
+        from hive_udf_neologd_spark.tokenizer.dictionary import (
+            builtin_dictionary,
+        )
+        from hive_udf_neologd_spark.tokenizer.lattice import Lattice
+        from hive_udf_neologd_spark.tokenizer.mode_parity import (
+            validate_emission,
+        )
+
+        lat = Lattice(builtin_dictionary(), None, mode)
+        # Alphabet: decomposable compounds + their fragments, kana,
+        # unknown-run material, digits/ASCII, and ONLY the punctuation
+        # the validator's gap set knows (the lattice discards more, but
+        # the invariant check needs gap agreement).
+        alphabet = st.sampled_from(
+            "関西国際空港東京大学機械学習ガソリンスタンド電気自動車"
+            "内閣総理大臣天気予報へをのにでとがは。、　 "
+            "た行っ学ぶ使うきゃりーぱみゅぱみゅゾグマヌケ123abc"
+        )
+
+        @settings(max_examples=250, deadline=None)
+        @given(st.text(alphabet=alphabet, max_size=24))
+        def check(line):
+            surfaces = [t.surface for t in lat.segment(line)]
+            if not surfaces:
+                return
+            validate_emission(line, tuple(surfaces))  # raises if malformed
+
+        check()
