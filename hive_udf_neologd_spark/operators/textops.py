@@ -1340,20 +1340,20 @@ def t22_segmentation_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.array_intersect("pred_spans", "exp_spans")).alias("tp_row"),
         F.size("pred_spans").alias("n_pred_row"),
     )
-    by_reg = per.groupBy("register").agg(
-        F.count(F.lit(1)).alias("n_sent"),
-        F.sum("tp_row").alias("tp"),
-        F.sum("n_pred_row").alias("n_pred"),
-        F.sum("n_exp_row").alias("n_exp"),
-    )
-    total = per.groupBy(F.lit("__total__").alias("register")).agg(
-        F.count(F.lit(1)).alias("n_sent"),
-        F.sum("tp_row").alias("tp"),
-        F.sum("n_pred_row").alias("n_pred"),
-        F.sum("n_exp_row").alias("n_exp"),
-    )
+    # rollup: per-register rows AND the grand total from ONE aggregation
+    # over ONE ArrowEvalPython pass (plan-audited round 9: the previous
+    # by_reg/total unionByName embedded the scoring subtree twice, so
+    # the union's second branch re-tokenized the corpus; NULL register =
+    # the rollup grand total = __total__).
     return (
-        by_reg.unionByName(total)
+        per.rollup("register")
+        .agg(
+            F.count(F.lit(1)).alias("n_sent"),
+            F.sum("tp_row").alias("tp"),
+            F.sum("n_pred_row").alias("n_pred"),
+            F.sum("n_exp_row").alias("n_exp"),
+        )
+        .withColumn("register", F.coalesce("register", F.lit("__total__")))
         .withColumn(
             "f1",
             (F.col("tp") * 2).cast("double") / (F.col("n_pred") + F.col("n_exp")),
@@ -1528,10 +1528,12 @@ def t25_mode_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_exp_row").alias("n_tok_exp"),
         F.sum("s.n_pred").alias("n_tok_pred"),
     ]
-    by_reg = per.groupBy("register").agg(*aggs)
-    total = per.groupBy(F.lit("__total__").alias("register")).agg(*aggs)
+    # rollup grand total = __total__ (one ArrowEvalPython pass — see
+    # t22's plan-audit note).
     return (
-        by_reg.unionByName(total)
+        per.rollup("register")
+        .agg(*aggs)
+        .withColumn("register", F.coalesce("register", F.lit("__total__")))
         .withColumn("acc", F.col("n_match").cast("double") / F.col("n_sent"))
         .orderBy("register")
     )
@@ -1674,10 +1676,12 @@ def t27_lemma_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_exp_row").alias("n_tok_exp"),
         F.sum("s.n_pred").alias("n_tok_pred"),
     ]
-    by_reg = per.groupBy("register").agg(*aggs)
-    total = per.groupBy(F.lit("__total__").alias("register")).agg(*aggs)
+    # rollup grand total = __total__ (one ArrowEvalPython pass — see
+    # t22's plan-audit note).
     return (
-        by_reg.unionByName(total)
+        per.rollup("register")
+        .agg(*aggs)
+        .withColumn("register", F.coalesce("register", F.lit("__total__")))
         .withColumn("acc", F.col("n_match").cast("double") / F.col("n_sent"))
         .orderBy("register")
     )
