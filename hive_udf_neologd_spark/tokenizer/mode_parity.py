@@ -437,6 +437,31 @@ MODE_PARITY_CORPUS: tuple[tuple[int, str, str, str, tuple[str, ...]], ...] = (
     # --- me2_nested: the 5-kanji nesting holds in EXTENDED too --------
     (135, "me2_nested", "extended", "電気自動車を買う。",
      ("電気自動車", "電気", "自動車", "自動", "車", "を", "買う")),
+    # ------------------------------------------------------------------
+    # Round-9 third mode tranche (sids 136-143) — cross-axis coupling:
+    # the rows THIS round's waves added or removed, pinned at the mode
+    # level.  2-kanji rows (前記/部材/液晶) are never penalized; the
+    # をもって 連語 row is a particle (4 chars, no length penalty) so it
+    # behaves identically across modes; dialect dictionary words stay
+    # whole in EXTENDED; 音声認識 decompounds identically in EXTENDED
+    # (wave 419's parts are all dictionary rows); and 待たせた must
+    # emit 待た|せ|た — wave 424 removed the potential-homograph row,
+    # and this pin keeps it out at the raw-lattice level in every mode.
+    (136, "ms3_new_rows", "search", "前記装置を使う。",
+     ("前記", "装置", "を", "使う")),
+    (137, "ms3_new_rows", "search", "部材を使う。",
+     ("部材", "を", "使う")),
+    (138, "ms3_new_rows", "search", "液晶を使う。",
+     ("液晶", "を", "使う")),
+    (139, "ms3_new_rows", "search", "署名をもって通知する。",
+     ("署名", "をもって", "通知", "する")),
+    (140, "ms3_new_rows", "search", "内閣総理大臣を待たせた。",
+     ("内閣総理大臣", "内閣", "総理大臣", "総理", "大臣", "を", "待た",
+      "せ", "た")),
+    (141, "me3_new_rows", "extended", "音声認識を使う。",
+     ("音声認識", "音声", "認識", "を", "使う")),
+    (142, "me3_new_rows", "extended", "あかんで。", ("あかん", "で")),
+    (143, "me3_new_rows", "extended", "おおきに。", ("おおきに",)),
 )
 
 
