@@ -600,16 +600,18 @@ T25_ACC_FLOOR = 1.0
 # dictionary/matrix/lattice change and paste here; tests/test_parity.py's
 # mode-parity gate asserts compute_expected() == T25_EXPECTED so a
 # re-segmentation can never silently desynchronize the oracle.  Recorded
-# round 9 at 135 sentences / 25 registers: the second mode tranche
+# round 9 at 143 sentences / 27 registers (third tranche — the round's
+# new/removed rows pinned across modes — measured 8/8 clean pre-fix): the second mode tranche
 # (sids 109-135) measured ZERO pre-fix mismatches — 27/27 first-try,
 # the mode axis's saturation signal; the first 108 scored pre-fix
 # 0.990741 (1 mismatch, the 音声 dictionary gap, wave 419 —
 # BASELINE.md).
 T25_EXPECTED: dict[str, tuple[int, int, int, int]] = {
-    "__total__": (135, 135, 727, 727),
+    "__total__": (143, 143, 758, 758),
     "me2_ascii_mix": (3, 3, 19, 19),
     "me2_nested": (1, 1, 7, 7),
     "me2_ocr_unigram": (3, 3, 21, 21),
+    "me3_new_rows": (3, 3, 8, 8),
     "me_compound": (5, 5, 25, 25),
     "me_digits": (3, 3, 19, 19),
     "me_known_whole": (5, 5, 17, 17),
@@ -622,6 +624,7 @@ T25_EXPECTED: dict[str, tuple[int, int, int, int]] = {
     "ms2_kanji5_nested": (1, 1, 7, 7),
     "ms2_kanji_fused2": (9, 9, 35, 35),
     "ms2_kata_fused2": (5, 5, 17, 17),
+    "ms3_new_rows": (5, 5, 23, 23),
     "ms_2kanji_control": (4, 4, 13, 13),
     "ms_kanji4_split": (18, 18, 101, 101),
     "ms_kanji6_split": (8, 8, 51, 51),
