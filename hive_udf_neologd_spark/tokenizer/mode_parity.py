@@ -42,9 +42,9 @@ ORDER contract (compound before parts), not just a span set.  Punctuation
 is discarded by the lattice (discardPunctuation=true), so expectations
 exclude 。.
 
-Registers (25 after the second tranche, sids 109-135 — see the
-in-corpus comment at sid 109) and the first tranche's derivation
-arguments:
+Registers (27 after the second and third tranches, sids 109-143 —
+see the in-corpus comments at sids 109 and 136) and the first
+tranche's derivation arguments:
 
 * ms_kanji4_split — 4-kanji compounds whose 2+2 parts are dictionary
   entries; split path ~3000 (or 2700 with a proper-noun part) vs fused
