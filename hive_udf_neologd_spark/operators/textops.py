@@ -1471,15 +1471,16 @@ T24_SQL = _t24_sql()
 
 def t25_mode_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXTERNAL mode-parity metric (VERDICT r8 next-round #1): the held-out
-    SEARCH/EXTENDED corpus (tokenizer/mode_parity.py — 108 sentences, 17
-    registers, expected emissions hand-derived from the documented mode
-    semantics and committed before measurement) scored as per-sentence
+    SEARCH/EXTENDED corpus (tokenizer/mode_parity.py — see that module
+    for the current sentence/register counts; expected emissions
+    hand-derived from the documented mode semantics and committed before
+    measurement) scored as per-sentence
     EXACT token-sequence match — stricter than t22's span F1, because
     SEARCH's compound-as-synonym emission is an ORDER contract (Lucene
     5.5.5 Mode.SEARCH javadoc; reference KuromojiNEologdUDF.java:171-192
     pins the mode surface, 306-316 drains every emitted term).
 
-    Shape: a constant 108-row frame through one narrow iterator-form
+    Shape: a constant-size frame through one narrow iterator-form
     pandas UDF, per-register aggregate — constant at any cluster scale
     (t22's 100 TB argument: broadcast corpus vs sampled engine output,
     same plan).  Oracle replays the recorded aggregates (T25_EXPECTED,
@@ -1624,9 +1625,10 @@ T26_SQL = _t26_sql()
 
 def t27_lemma_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXTERNAL lemma-parity metric (round 9, third axis): the held-out
-    lemma corpus (tokenizer/lemma_parity.py — 42 sentences / 11
-    registers, expected OUTPUT TERMS of the full default analyzer chain,
-    hand-derived and committed before measurement) scored by exact
+    lemma corpus (tokenizer/lemma_parity.py — see that module for the
+    current sentence/register counts; expected OUTPUT TERMS of the full
+    default analyzer chain, hand-derived and committed before
+    measurement) scored by exact
     term-sequence match.  Covers what t22's spans and t25's raw
     emissions cannot see: base-form lemmatization (incl. the
     same-surface noun/verb tie class audit 148 documented as
