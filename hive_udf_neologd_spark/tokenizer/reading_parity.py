@@ -1,0 +1,207 @@
+"""Held-out READING-parity corpus (round 10 — the fourth external axis).
+
+The three existing axes score segmentation spans (parity.py), mode
+emission sequences (mode_parity.py), and chain output terms
+(lemma_parity.py).  None scores the READING column — the last analyzer
+output with no external gate (VERDICT r9 next-round #4).  t17 pins
+readings only through in-repo goldens: exact for kana surfaces (the
+mechanical hiragana→katakana fold), NULL for kanji surfaces — partial
+by design, never fabricated (SURVEY.md §2).  IPADIC CSV column 11,
+however, carries a reading for EVERY row (reference build.sh:104-159
+compiles those columns into the Kuromoji ReadingAttribute), and the
+round-9 full-CSV round-trip proved the ingestion path — so the residual
+is authored DATA, which this corpus gates externally.
+
+Derivation sources (and nothing else — the engine was NOT run on these
+sentences before the expectations were committed):
+
+* The committed dictionary rows: which surfaces are SNAPSHOT rows
+  (tools/gen_mecab_dict.py — the tier the round-10 authored readings
+  cover) vs BUILT-IN lexicon rows (lexicon.py — 5-tuples with no
+  reading field; their kanji surfaces stay NULL, the documented tier
+  boundary) vs OOV (unknown tokens carry reading None,
+  lattice.py:383).  Membership checked against
+  data/mecab_core_snapshot.csv, never against engine output.
+* Public IPADIC reading facts: column 11 is the katakana reading OF
+  THAT ROW'S SURFACE FORM — conjugated rows carry conjugated readings
+  (行っ → イッ under lemma 行く → イク), rendaku compounds carry the
+  voiced reading (花火 → ハナビ, 手紙 → テガミ, 売上高 → ウリアゲダカ).
+* The documented kana fold (chardef.kana_reading): kana-only surfaces
+  already carry exact readings (control registers), and readings are
+  NOT stemmed/lowercased — the filter chain transforms the TERM only,
+  so タクシー keeps reading タクシー while its term stems to タクシ.
+
+Registers:
+
+* rr_on — on'yomi Sino-Japanese snapshot nouns (the bulk tier).
+* rr_kun_rendaku — kun'yomi and rendaku compounds, where the reading
+  is lexical, not per-character-derivable.
+* rr_conj — conjugated verb surfaces carry conjugated readings.
+* rr_adj — adjective conjugation (寒かっ → サムカッ).
+* rr_potential — derived potential lemmas (書ける → カケル): the
+  reading must be derived WITH the paradigm, not looked up.
+* rr_suru — サ変 noun + した: the noun keeps its reading, し is
+  dropped by the lemma-level stopword (する).
+* rr_kana_control — kana/katakana surfaces whose readings the engine
+  already derives mechanically (pre-fix green; calibrates the corpus).
+* rr_tier_null — BUILT-IN kanji surfaces: reading stays None on both
+  sides of the fix (the documented tier boundary; fabrication ban).
+* rr_unknown_null — OOV surfaces: unknown tokens never carry readings.
+* rr_compound — lexical compound verbs (降り始め → フリハジメ).
+* rr_tie — deverbal noun/verb surface ties: the noun row's authored
+  reading and the verb row's derived reading coincide (マツリ either
+  way), so the reading axis is robust under the tie class.
+
+(sid, register, text, expected_pairs) — expected_pairs is the ordered
+(surface, reading) sequence of the default-chain ``analyze_rich``
+output (the t17 surface), reading None where the engine must stay
+silent rather than fabricate.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+READING_PARITY_CORPUS: tuple[
+    tuple[int, str, str, tuple[tuple[str, str | None], ...]], ...
+] = (
+    # --- rr_on ---------------------------------------------------------
+    (1, "rr_on", "美術館で絵画を眺めた。",
+     (("美術館", "ビジュツカン"), ("絵画", "カイガ"), ("眺め", "ナガメ"))),
+    (2, "rr_on", "先生が計画を説明した。",
+     (("先生", "センセイ"), ("計画", "ケイカク"), ("説明", "セツメイ"))),
+    (3, "rr_on", "企業は投資の戦略を決定した。",
+     (("企業", "キギョウ"), ("投資", "トウシ"), ("戦略", "センリャク"),
+      ("決定", "ケッテイ"))),
+    (4, "rr_on", "研究者は仮説を検証した。",
+     (("研究者", "ケンキュウシャ"), ("仮説", "カセツ"), ("検証", "ケンショウ"))),
+    (5, "rr_on", "装置の精度を測定した。",
+     (("装置", "ソウチ"), ("精度", "セイド"), ("測定", "ソクテイ"))),
+    # --- rr_kun_rendaku ------------------------------------------------
+    (6, "rr_kun_rendaku", "祭りの花火を見た。",
+     (("祭り", "マツリ"), ("花火", "ハナビ"), ("見", None))),
+    (7, "rr_kun_rendaku", "手紙を書いた。",
+     (("手紙", "テガミ"), ("書い", "カイ"))),
+    (8, "rr_kun_rendaku", "土産物と特産品を買った。",
+     (("土産物", "ミヤゲモノ"), ("特産品", "トクサンヒン"), ("買っ", "カッ"))),
+    (9, "rr_kun_rendaku", "売上高が増加した。",
+     (("売上高", "ウリアゲダカ"), ("増加", "ゾウカ"))),
+    # --- rr_conj -------------------------------------------------------
+    (10, "rr_conj", "雑誌を読んだ。", (("雑誌", "ザッシ"), ("読ん", "ヨン"))),
+    (11, "rr_conj", "夕食を食べた。", (("夕食", "ユウショク"), ("食べ", "タベ"))),
+    (12, "rr_conj", "日本語を学んだ。",
+     (("日本語", "ニホンゴ"), ("学ん", "マナン"))),
+    (13, "rr_conj", "東京駅で待った。",
+     (("東京駅", "トウキョウエキ"), ("待っ", "マッ"))),
+    (14, "rr_conj", "タクシーに乗った。",
+     (("タクシー", "タクシー"), ("乗っ", "ノッ"))),
+    # --- rr_adj --------------------------------------------------------
+    (15, "rr_adj", "新しい時計を買った。",
+     (("新しい", "アタラシイ"), ("時計", "トケイ"), ("買っ", "カッ"))),
+    (16, "rr_adj", "今朝は寒かった。", (("今朝", "ケサ"), ("寒かっ", "サムカッ"))),
+    (17, "rr_adj", "深い眠りについた。",
+     (("深い", "フカイ"), ("眠り", "ネムリ"), ("つい", "ツイ"))),
+    (18, "rr_adj", "冷たい夕食を食べた。",
+     (("冷たい", "ツメタイ"), ("夕食", "ユウショク"), ("食べ", "タベ"))),
+    # --- rr_potential --------------------------------------------------
+    (19, "rr_potential", "手紙が書ける。",
+     (("手紙", "テガミ"), ("書ける", "カケル"))),
+    (20, "rr_potential", "雑誌が読めた。",
+     (("雑誌", "ザッシ"), ("読め", "ヨメ"))),
+    (21, "rr_potential", "日本語が話せる。",
+     (("日本語", "ニホンゴ"), ("話せる", "ハナセル"))),
+    # --- rr_suru -------------------------------------------------------
+    (22, "rr_suru", "毎日散歩した。", (("毎日", "マイニチ"), ("散歩", "サンポ"))),
+    (23, "rr_suru", "日本語を勉強した。",
+     (("日本語", "ニホンゴ"), ("勉強", "ベンキョウ"))),
+    (24, "rr_suru", "ピアノを練習した。",
+     (("ピアノ", "ピアノ"), ("練習", "レンシュウ"))),
+    # --- rr_kana_control (pre-fix green by design) ---------------------
+    (25, "rr_kana_control", "きゃりーぱみゅぱみゅがうたう。",
+     (("きゃりーぱみゅぱみゅ", "キャリーパミュパミュ"), ("うたう", "ウタウ"))),
+    # Reading is NOT stemmed: term コンピュータ, reading コンピューター.
+    (26, "rr_kana_control", "コンピューターを使った。",
+     (("コンピューター", "コンピューター"), ("使っ", "ツカッ"))),
+    # --- rr_tier_null (built-in lexicon kanji stays None) --------------
+    (27, "rr_tier_null", "昨日映画を見た。",
+     (("昨日", None), ("映画", None), ("見", None))),
+    (28, "rr_tier_null", "会議で資料を使った。",
+     (("会議", None), ("資料", None), ("使っ", "ツカッ"))),
+    (29, "rr_tier_null", "言葉の意味を調べた。",
+     (("言葉", None), ("意味", None), ("調べ", "シラベ"))),
+    # --- rr_unknown_null (OOV never carries a reading) -----------------
+    (30, "rr_unknown_null", "ゾンビが美術館へ行った。",
+     (("ゾンビ", None), ("美術館", "ビジュツカン"), ("行っ", "イッ"))),
+    (31, "rr_unknown_null", "ゾンビをテレビで見た。",
+     (("ゾンビ", None), ("テレビ", "テレビ"), ("見", None))),
+    # --- rr_compound ---------------------------------------------------
+    (32, "rr_compound", "雨が降り始めた。",
+     (("雨", None), ("降り始め", "フリハジメ"))),
+    (33, "rr_compound", "彼は本を読み始めた。",
+     (("彼", None), ("本", None), ("読み始め", "ヨミハジメ"))),
+    # --- rr_tie --------------------------------------------------------
+    (34, "rr_tie", "家賃の支払いを済ませた。",
+     (("家賃", "ヤチン"), ("支払い", "シハライ"), ("済ませ", "スマセ"))),
+    (35, "rr_tie", "質問の答えを書いた。",
+     (("質問", "シツモン"), ("答え", "コタエ"), ("書い", "カイ"))),
+)
+
+
+@lru_cache(maxsize=1)
+def _analyzer():
+    from hive_udf_neologd_spark.tokenizer.analyzer import JapaneseAnalyzer
+
+    return JapaneseAnalyzer()
+
+
+def predicted_pairs(text: str) -> list[tuple[str, str | None]]:
+    return [
+        (tok["surface"], tok["reading"])
+        for tok in _analyzer().analyze_rich(text)
+    ]
+
+
+def compute_expected() -> dict[str, tuple[int, int, int, int]]:
+    """Per-register (n_sent, n_match, n_tok_exp, n_tok_pred) — recapture
+    source for ``T28_EXPECTED``; same contract as T22/T25/T27."""
+    agg: dict[str, list[int]] = {}
+    for _sid, register, text, pairs in READING_PARITY_CORPUS:
+        pred = predicted_pairs(text)
+        row = agg.setdefault(register, [0, 0, 0, 0])
+        row[0] += 1
+        row[1] += 1 if list(pairs) == pred else 0
+        row[2] += len(pairs)
+        row[3] += len(pred)
+    total = [0, 0, 0, 0]
+    for row in agg.values():
+        for i in range(4):
+            total[i] += row[i]
+    agg["__total__"] = total
+    return {k: tuple(v) for k, v in sorted(agg.items())}
+
+
+def accuracy(expected: dict[str, tuple[int, int, int, int]] | None = None) -> float:
+    exp = expected if expected is not None else compute_expected()
+    n, match, _, _ = exp["__total__"]
+    return match / n if n else 1.0
+
+
+def mismatches() -> list[tuple]:
+    out = []
+    for sid, register, text, pairs in READING_PARITY_CORPUS:
+        pred = predicted_pairs(text)
+        if list(pairs) != pred:
+            out.append((sid, register, text, pairs, pred))
+    return out
+
+
+if __name__ == "__main__":
+    exp = compute_expected()
+    for reg, (n, m, te, tp) in exp.items():
+        flag = "" if m == n else "  <-- MISMATCH"
+        print(f"{reg:18s} n={n:3d} match={m:3d} tok_exp={te:4d} tok_pred={tp:4d}{flag}")
+    print(f"exact-match accuracy: {accuracy(exp):.6f}")
+    for sid, reg, text, want, got in mismatches():
+        w = "|".join(f"{s}:{r}" for s, r in want)
+        g = "|".join(f"{s}:{r}" for s, r in got)
+        print(f"\n#{sid} [{reg}] {text}\n  want: {w}\n  got:  {g}")
