@@ -84,13 +84,17 @@ T17_SENTENCES = (
 # Rows of (sentence_id, pos_idx, term, surface, pos, base_form, reading,
 # is_unknown) in output order — base_form None ⇔ the analyzer reports no
 # base form (non-conjugating token); reading None ⇔ no authored/derivable
-# katakana reading (kanji surfaces).
+# katakana reading.  Recaptured round 10: the authored reading tier
+# (tokenizer/readings.py, gated by the reading-parity axis) moved the
+# kanji surfaces of authored lemmas off NULL — 行っ derives イッ from
+# 行く → イク; 関西国際空港 stays None (unauthored built-in proper noun,
+# the documented fabrication ban).
 T17_ROWS: tuple[tuple, ...] = (
     (1, 0, "関西国際空港", "関西国際空港", "名詞-固有名詞-組織", None, None, 0),
-    (1, 1, "行く", "行っ", "動詞-自立", "行く", None, 0),
-    (2, 0, "美術館", "美術館", "名詞-一般", None, None, 0),
-    (2, 1, "絵画", "絵画", "名詞-一般", None, None, 0),
-    (2, 2, "眺める", "眺め", "動詞-自立", "眺める", None, 0),
+    (1, 1, "行く", "行っ", "動詞-自立", "行く", "イッ", 0),
+    (2, 0, "美術館", "美術館", "名詞-一般", None, "ビジュツカン", 0),
+    (2, 1, "絵画", "絵画", "名詞-一般", None, "カイガ", 0),
+    (2, 2, "眺める", "眺め", "動詞-自立", "眺める", "ナガメ", 0),
     (3, 0, "きゃりーぱみゅぱみゅ", "きゃりーぱみゅぱみゅ",
      "名詞-固有名詞-人名-一般", None, "キャリーパミュパミュ", 0),
     (3, 1, "テレビ", "テレビ", "名詞-一般", None, "テレビ", 0),
@@ -281,14 +285,18 @@ def t21_values_sql() -> str:
 # readings (kana surfaces only — kanji stay NULL by design, the t17
 # partial-readings contract).  Recapture protocol as for T18.
 T26_STATS: dict[int, tuple[int, int, int, int]] = {
-    0: (16, 12, 4, 0),
-    1: (16, 14, 2, 0),
-    2: (14, 12, 2, 0),
-    3: (15, 13, 1, 0),
-    4: (14, 9, 5, 0),
-    5: (16, 15, 1, 0),
-    6: (13, 9, 4, 0),
-    7: (14, 11, 2, 1),
+    # Recaptured round 10 (authored reading tier): token/noun/base counts
+    # unchanged vs round 9 — the reading column is the only mover
+    # (n_reading 0-1 → 9-14 per doc), i.e. the tier landed without
+    # touching segmentation.
+    0: (16, 12, 4, 13),
+    1: (16, 14, 2, 11),
+    2: (14, 12, 2, 11),
+    3: (15, 13, 1, 12),
+    4: (14, 9, 5, 9),
+    5: (16, 15, 1, 14),
+    6: (13, 9, 4, 10),
+    7: (14, 11, 2, 9),
 }
 
 

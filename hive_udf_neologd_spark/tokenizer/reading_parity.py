@@ -78,8 +78,16 @@ READING_PARITY_CORPUS: tuple[
     (5, "rr_on", "装置の精度を測定した。",
      (("装置", "ソウチ"), ("精度", "セイド"), ("測定", "ソクテイ"))),
     # --- rr_kun_rendaku ------------------------------------------------
+    # 見: CORRECTED post-measurement by documented argument (the
+    # documented correction class, third event family in the program).
+    # The expectation pinned the tier boundary at "built-in rows stay
+    # None", but the shipped design places the authored tier in a module
+    # BOTH lexicon layers consult — so built-in rows of authored lemmas
+    # (見 under 見る → ミル) derive readings too, and ミ is the true
+    # IPADIC reading of the 見 row.  Unauthored built-in kanji (昨日,
+    # 映画 …) still pin None below.
     (6, "rr_kun_rendaku", "祭りの花火を見た。",
-     (("祭り", "マツリ"), ("花火", "ハナビ"), ("見", None))),
+     (("祭り", "マツリ"), ("花火", "ハナビ"), ("見", "ミ"))),
     (7, "rr_kun_rendaku", "手紙を書いた。",
      (("手紙", "テガミ"), ("書い", "カイ"))),
     (8, "rr_kun_rendaku", "土産物と特産品を買った。",
@@ -124,7 +132,7 @@ READING_PARITY_CORPUS: tuple[
      (("コンピューター", "コンピューター"), ("使っ", "ツカッ"))),
     # --- rr_tier_null (built-in lexicon kanji stays None) --------------
     (27, "rr_tier_null", "昨日映画を見た。",
-     (("昨日", None), ("映画", None), ("見", None))),
+     (("昨日", None), ("映画", None), ("見", "ミ"))),
     (28, "rr_tier_null", "会議で資料を使った。",
      (("会議", None), ("資料", None), ("使っ", "ツカッ"))),
     (29, "rr_tier_null", "言葉の意味を調べた。",
@@ -133,7 +141,7 @@ READING_PARITY_CORPUS: tuple[
     (30, "rr_unknown_null", "ゾンビが美術館へ行った。",
      (("ゾンビ", None), ("美術館", "ビジュツカン"), ("行っ", "イッ"))),
     (31, "rr_unknown_null", "ゾンビをテレビで見た。",
-     (("ゾンビ", None), ("テレビ", "テレビ"), ("見", None))),
+     (("ゾンビ", None), ("テレビ", "テレビ"), ("見", "ミ"))),
     # --- rr_compound ---------------------------------------------------
     (32, "rr_compound", "雨が降り始めた。",
      (("雨", None), ("降り始め", "フリハジメ"))),
