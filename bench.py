@@ -95,6 +95,9 @@ HEADLINE = [
     # Round-9: held-out lemma parity (constant-size frame — see
     # tokenizer/lemma_parity.py for the current corpus counts).
     "t27_lemma_parity",
+    # Round-10: held-out reading parity (fourth external axis, constant-
+    # size frame — see tokenizer/reading_parity.py for corpus counts).
+    "t28_reading_parity",
 ]
 
 

@@ -1698,6 +1698,89 @@ def _t27_sql() -> str:
 T27_SQL = _t27_sql()
 
 
+def t28_reading_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXTERNAL reading-parity metric (round 10, fourth axis — VERDICT r9
+    next-round #4): the held-out reading corpus
+    (tokenizer/reading_parity.py — see that module for the current
+    sentence/register counts; expected (surface, reading) pairs of the
+    default-chain rich output, derived from public IPADIC reading facts
+    + committed row provenance and committed before measurement) scored
+    by exact pair-sequence match.  Covers the one analyzer output the
+    other three axes cannot see: IPADIC column-11 readings — authored
+    lemma tier, per-row conjugated derivation (行っ → イッ), rendaku
+    compounds, and the None discipline for unauthored/OOV surfaces
+    (never fabricate).  Same constant-frame shape and VALUES-oracle
+    pattern as t22/t25/t27.
+
+    Scale: constant-size in-memory frame through one iterator-form
+    pandas UDF + rollup aggregate — sf-invariant, one ArrowEvalPython
+    pass (the t27 plan shape)."""
+    prepare(spark)
+    from pyspark.sql.functions import pandas_udf
+
+    from hive_udf_neologd_spark.tokenizer.reading_parity import (
+        READING_PARITY_CORPUS,
+        encode_pair,
+    )
+
+    rows = [
+        (sid, register, text, [encode_pair(s, r) for s, r in pairs])
+        for sid, register, text, pairs in READING_PARITY_CORPUS
+    ]
+    df = spark.createDataFrame(
+        rows, "sid long, register string, text string, exp array<string>"
+    )
+
+    @pandas_udf("matched boolean, n_pred long")
+    def _score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from hive_udf_neologd_spark.tokenizer.reading_parity import (
+            encode_pair,
+            predicted_pairs,
+        )
+
+        for frame in batches:
+            preds = [
+                [encode_pair(s, r) for s, r in predicted_pairs(t)]
+                for t in frame["text"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "matched": [
+                        p == list(e) for p, e in zip(preds, frame["exp"])
+                    ],
+                    "n_pred": [len(p) for p in preds],
+                }
+            )
+
+    per = df.select(
+        "register",
+        F.size("exp").alias("n_exp_row"),
+        _score(F.struct("text", "exp")).alias("s"),
+    )
+    aggs = [
+        F.count(F.lit(1)).alias("n_sent"),
+        F.sum(F.col("s.matched").cast("long")).alias("n_match"),
+        F.sum("n_exp_row").alias("n_tok_exp"),
+        F.sum("s.n_pred").alias("n_tok_pred"),
+    ]
+    return (
+        per.rollup("register")
+        .agg(*aggs)
+        .withColumn("register", F.coalesce("register", F.lit("__total__")))
+        .withColumn("acc", F.col("n_match").cast("double") / F.col("n_sent"))
+        .orderBy("register")
+    )
+
+
+def _t28_sql() -> str:
+    from hive_udf_neologd_spark.tokenizer.reading_parity import t28_values_sql
+
+    return t28_values_sql()
+
+
+T28_SQL = _t28_sql()
+
+
 # --- sql03: SQL-registered tokenizer throughput ----------------------------
 def sql03_sql_udf_throughput(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Throughput gate for the SQL-surface tokenizer (VERDICT r7 next-round
@@ -1781,6 +1864,7 @@ TEXT_QUERIES = {
     "t25_mode_parity": t25_mode_parity,
     "t26_ja_rich_throughput": t26_ja_rich_throughput,
     "t27_lemma_parity": t27_lemma_parity,
+    "t28_reading_parity": t28_reading_parity,
 }
 
 # t08's oracle is a constant-literal VALUES table (see T08_SQL): DuckDB
@@ -1818,4 +1902,5 @@ TEXT_ORACLES = {
     "t25_mode_parity": T25_SQL,
     "t26_ja_rich_throughput": T26_SQL,
     "t27_lemma_parity": T27_SQL,
+    "t28_reading_parity": T28_SQL,
 }

@@ -213,3 +213,57 @@ if __name__ == "__main__":
         w = "|".join(f"{s}:{r}" for s, r in want)
         g = "|".join(f"{s}:{r}" for s, r in got)
         print(f"\n#{sid} [{reg}] {text}\n  want: {w}\n  got:  {g}")
+
+
+# CI floor (tests/test_parity.py): exact-match accuracy over the held-out
+# reading corpus — same contract as T22/T25/T27 floors.
+T28_ACC_FLOOR = 1.0
+
+# RECORDED aggregates — the t28 oracle constants; recapture with
+# ``python -m hive_udf_neologd_spark.tokenizer.reading_parity`` after any
+# dictionary/reading-tier change (tests/test_parity.py guards the
+# constants against the live engine).  Recorded round 10 at 35 sentences /
+# 11 registers.  Honest pre-fix accuracy 0.085714 (3/35) with every
+# mismatch the planned unauthored-reading gap and token counts matching
+# on all 35 sentences; the authored tier (tokenizer/readings.py) closed
+# it to 1.0 with three expectations corrected by documented argument
+# (見 → ミ: the shared-tier design reaches built-in rows of authored
+# lemmas, see the corpus comment at sid 6; BASELINE.md round-10 notes).
+T28_EXPECTED: dict[str, tuple[int, int, int, int]] = {
+    "__total__": (35, 35, 89, 89),
+    "rr_adj": (4, 4, 11, 11),
+    "rr_compound": (2, 2, 5, 5),
+    "rr_conj": (5, 5, 10, 10),
+    "rr_kana_control": (2, 2, 4, 4),
+    "rr_kun_rendaku": (4, 4, 10, 10),
+    "rr_on": (5, 5, 16, 16),
+    "rr_potential": (3, 3, 6, 6),
+    "rr_suru": (3, 3, 6, 6),
+    "rr_tie": (2, 2, 6, 6),
+    "rr_tier_null": (3, 3, 9, 9),
+    "rr_unknown_null": (2, 2, 6, 6),
+}
+
+
+def t28_values_sql() -> str:
+    rows = []
+    for register, (n_sent, n_match, n_tok_exp, n_tok_pred) in sorted(
+        T28_EXPECTED.items()
+    ):
+        rows.append(f"('{register}', {n_sent}, {n_match}, {n_tok_exp}, {n_tok_pred})")
+    values = ",\n  ".join(rows)
+    return f"""
+SELECT register, n_sent, n_match, n_tok_exp, n_tok_pred,
+       CAST(n_match AS DOUBLE) / n_sent AS acc
+FROM (VALUES
+  {values}
+) AS v(register, n_sent, n_match, n_tok_exp, n_tok_pred)
+ORDER BY register
+"""
+
+
+def encode_pair(surface: str, reading: str | None) -> str:
+    """Stable string encoding of one (surface, reading) pair for the t28
+    Spark scorer (array<string> travels Arrow cheaply; None reading →
+    empty field; \\x1f never appears in corpus text)."""
+    return f"{surface}\x1f{reading if reading is not None else ''}"

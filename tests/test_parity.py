@@ -332,3 +332,83 @@ class TestT27Catalog:
         assert got == T27_EXPECTED
         for r in rows:
             assert r["acc"] == pytest.approx(r["n_match"] / r["n_sent"])
+
+
+# --- held-out READING-parity corpus (round 10, fourth axis) ----------------
+
+
+class TestReadingRecordedAggregates:
+    def test_recorded_matches_live_engine(self):
+        from hive_udf_neologd_spark.tokenizer.reading_parity import (
+            T28_EXPECTED,
+            compute_expected,
+        )
+
+        assert compute_expected() == T28_EXPECTED
+
+    def test_accuracy_floor(self):
+        from hive_udf_neologd_spark.tokenizer.reading_parity import (
+            T28_ACC_FLOOR,
+            T28_EXPECTED,
+            accuracy,
+        )
+
+        acc = accuracy(T28_EXPECTED)
+        assert acc >= T28_ACC_FLOOR, (
+            f"held-out reading parity regressed: accuracy {acc:.6f} "
+            f"< floor {T28_ACC_FLOOR}"
+        )
+
+    def test_shape_and_hygiene(self):
+        from hive_udf_neologd_spark.tokenizer.reading_parity import (
+            READING_PARITY_CORPUS,
+        )
+
+        sids = [sid for sid, *_ in READING_PARITY_CORPUS]
+        assert len(sids) == len(set(sids))
+        assert len(sids) >= 35
+        for _sid, _reg, text, pairs in READING_PARITY_CORPUS:
+            assert text and pairs
+            for surface, reading in pairs:
+                assert surface == surface.strip() and surface
+                if reading is not None:
+                    # Readings are katakana (+ー) only — the same check
+                    # the generator enforces on the authored tier.
+                    assert reading and all(
+                        0x30A1 <= ord(c) <= 0x30FA or c == "ー"
+                        for c in reading
+                    ), (surface, reading)
+
+    def test_total_row_is_register_sum(self):
+        from hive_udf_neologd_spark.tokenizer.reading_parity import (
+            T28_EXPECTED,
+        )
+
+        sums = [0, 0, 0, 0]
+        for reg, row in T28_EXPECTED.items():
+            if reg == "__total__":
+                continue
+            for i in range(4):
+                sums[i] += row[i]
+        assert tuple(sums) == T28_EXPECTED["__total__"]
+
+
+class TestT28Catalog:
+    def test_t28_matches_oracle_values(self, spark):
+        from hive_udf_neologd_spark.operators.textops import (
+            t28_reading_parity,
+        )
+        from hive_udf_neologd_spark.tokenizer.reading_parity import (
+            T28_EXPECTED,
+        )
+
+        rows = t28_reading_parity(spark, "/root/testdata/sf0.001").collect()
+        got = {
+            r["register"]: (
+                r["n_sent"], r["n_match"], r["n_tok_exp"], r["n_tok_pred"],
+            )
+            for r in rows
+        }
+        assert got == T28_EXPECTED
+        for r in rows:
+            assert r["acc"] == pytest.approx(r["n_match"] / r["n_sent"])
