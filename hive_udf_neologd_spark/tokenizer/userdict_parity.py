@@ -1,0 +1,266 @@
+"""Held-out USER-DICTIONARY parity corpus (round 10 — the fifth axis).
+
+User-dict override semantics were pinned only by in-repo goldens (the
+t08 userdict config + tests/test_tokenizer.py pins) — the co-adaptation
+shape t25 retired for modes (VERDICT r9 next-round #5).  This corpus is
+the de-saturation axis: NEW sentences with inline user dictionaries,
+expectations hand-derived from the DOCUMENTED override semantics and
+committed before measurement.
+
+Derivation sources (and nothing else — the engine was NOT run on these
+sentences before the expectations were committed):
+
+* The documented user-dict contract (reference
+  KuromojiNEologdUDFTest.java:261-302, 342-381; SURVEY.md §2.1 O6):
+  rows are ``surface,seg tokens,readings,POS``; a matched user entry
+  ALWAYS wins the lattice (WORD_COST −10000, dictionary.py), emits its
+  segments as separate tokens in order, every segment carries the
+  row's POS and its positional reading (or None when the readings
+  field is empty), base_form None.
+* The documented mode exclusion (lattice.py; pinned in-repo round 9):
+  user segmentation applies verbatim in ALL modes — never a synonym
+  compound, never decompounded in SEARCH/EXTENDED.
+* The documented filter chain (analyzer.py): user tokens pass through
+  the SAME chain — the row POS is matched against the stop-tag set
+  (a user row tagged 助詞-格助詞-一般 or 記号-一般 is dropped), the
+  term (== segment surface, base None) against the stop-word set
+  (これ is dropped), width-fold/stem/lowercase apply to the TERM while
+  the scored SURFACE and READING stay raw.
+* Committed goldens for surrounding context: EXTENDED unknowns emit
+  unigrams (ゾンビ → ゾ|ン|ビ, reading None); particles/auxiliaries
+  drop by tag; し lemmatizes to する and drops by stop word.
+* The authored reading tier (tokenizer/readings.py) for context-verb
+  expectations (読ん → ヨン, 行っ → イッ …) — gated by t28.
+
+Registers:
+
+* ud_split — user entry splits a compound the dictionary keeps whole
+  (the reference's 日本経済新聞 → 日本|経済|新聞 golden shape, on new
+  sentences/compounds).
+* ud_whole — user entry keeps a span whole that the engine would
+  otherwise split or unigram.
+* ud_reading_none — empty readings field → every segment reading None.
+* ud_reading_override — a user row's reading beats the dictionary row's
+  authored reading for the same surface.
+* ud_stoptag — user POS matching a default stop tag → tokens dropped.
+* ud_stopword_term — a user segment whose term is a default stop word
+  is dropped by the stop-word filter.
+* ud_chain — width-fold/stem/lowercase hit the TERM of user tokens
+  while surface+reading stay raw (scored here: surfaces stay raw).
+* ud_mode_search / ud_mode_extended — the mode exclusion, externally:
+  user spans stay exactly as segmented in SEARCH/EXTENDED while
+  non-user context keeps its mode behavior (EXTENDED OOV unigrams).
+* ud_longest — two user rows, the longer span wins Viterbi (−10000 ×
+  one node beats −10000 + any positive-cost remainder).
+* ud_oov — user entries covering OOV spans (the primary use case).
+* ud_neologd_override — a user row re-segments a NEologd-style
+  built-in entry (きゃりーぱみゅぱみゅ), the reference test's shape.
+* ud_control — the same sentences WITHOUT a user dict keep dictionary
+  behavior (the contrast rows).
+
+(sid, register, mode, user_dict_rows, text, expected_pairs) —
+expected_pairs is the ordered (surface, reading) sequence of the
+default-chain ``analyze_rich`` output under that config.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+UD_PARITY_CORPUS: tuple[
+    tuple[int, str, str, tuple[str, ...], str,
+          tuple[tuple[str, str | None], ...]], ...
+] = (
+    # --- ud_split ------------------------------------------------------
+    (1, "ud_split", "normal",
+     ("日本経済新聞,日本 経済 新聞,ニホン ケイザイ シンブン,カスタム名詞",),
+     "日本経済新聞を読んだ。",
+     (("日本", "ニホン"), ("経済", "ケイザイ"), ("新聞", "シンブン"),
+      ("読ん", "ヨン"))),
+    (2, "ud_split", "normal",
+     ("関西国際空港,関西 国際 空港,カンサイ コクサイ クウコウ,カスタム名詞",),
+     "関西国際空港へ行った。",
+     (("関西", "カンサイ"), ("国際", "コクサイ"), ("空港", "クウコウ"),
+      ("行っ", "イッ"))),
+    (3, "ud_split", "normal",
+     ("東京スカイツリー,東京 スカイツリー,トウキョウ スカイツリー,カスタム名詞",),
+     "東京スカイツリーを見た。",
+     (("東京", "トウキョウ"), ("スカイツリー", "スカイツリー"), ("見", "ミ"))),
+    # --- ud_whole ------------------------------------------------------
+    (4, "ud_whole", "normal",
+     ("朝の散歩,朝の散歩,アサノサンポ,カスタム名詞",),
+     "朝の散歩をした。",
+     (("朝の散歩", "アサノサンポ"),)),
+    (5, "ud_whole", "normal",
+     ("ゾンビ映画,ゾンビ映画,ゾンビエイガ,カスタム名詞",),
+     "ゾンビ映画を見た。",
+     (("ゾンビ映画", "ゾンビエイガ"), ("見", "ミ"))),
+    # --- ud_reading_none -----------------------------------------------
+    (6, "ud_reading_none", "normal",
+     ("日本経済新聞,日本 経済 新聞,,カスタム名詞",),
+     "日本経済新聞を読んだ。",
+     (("日本", None), ("経済", None), ("新聞", None), ("読ん", "ヨン"))),
+    (7, "ud_reading_none", "normal",
+     ("ゾンビ映画,ゾンビ映画,,カスタム名詞",),
+     "ゾンビ映画を見た。",
+     (("ゾンビ映画", None), ("見", "ミ"))),
+    # --- ud_reading_override -------------------------------------------
+    (8, "ud_reading_override", "normal",
+     ("東京駅,東京駅,トーキョーエキ,カスタム名詞",),
+     "東京駅で待った。",
+     (("東京駅", "トーキョーエキ"), ("待っ", "マッ"))),
+    # --- ud_stoptag ----------------------------------------------------
+    (9, "ud_stoptag", "normal",
+     ("フガフガ,フガフガ,フガフガ,助詞-格助詞-一般",),
+     "フガフガを食べた。",
+     (("食べ", "タベ"),)),
+    (10, "ud_stoptag", "normal",
+     ("ホゲホゲ,ホゲ ホゲ,ホゲ ホゲ,記号-一般",),
+     "ホゲホゲを書いた。",
+     (("書い", "カイ"),)),
+    # --- ud_stopword_term ----------------------------------------------
+    (11, "ud_stopword_term", "normal",
+     ("これこれ,これ これ,コレ コレ,カスタム名詞",),
+     "これこれを見た。",
+     (("見", "ミ"),)),
+    # --- ud_chain ------------------------------------------------------
+    (12, "ud_chain", "normal",
+     ("ＡＩスピーカー,ＡＩ スピーカー,エーアイ スピーカー,カスタム名詞",),
+     "ＡＩスピーカーを買った。",
+     (("ＡＩ", "エーアイ"), ("スピーカー", "スピーカー"), ("買っ", "カッ"))),
+    (13, "ud_chain", "normal",
+     ("スーパーコンピューター,スーパー コンピューター,スーパー コンピューター,カスタム名詞",),
+     "スーパーコンピューターを使った。",
+     (("スーパー", "スーパー"), ("コンピューター", "コンピューター"),
+      ("使っ", "ツカッ"))),
+    # --- ud_mode_search ------------------------------------------------
+    (14, "ud_mode_search", "search",
+     ("関西国際空港,関西国際空港,カンサイコクサイクウコウ,カスタム名詞",),
+     "関西国際空港へ行った。",
+     (("関西国際空港", "カンサイコクサイクウコウ"), ("行っ", "イッ"))),
+    (15, "ud_mode_search", "search",
+     ("日本経済新聞,日本 経済 新聞,ニホン ケイザイ シンブン,カスタム名詞",),
+     "日本経済新聞を読んだ。",
+     (("日本", "ニホン"), ("経済", "ケイザイ"), ("新聞", "シンブン"),
+      ("読ん", "ヨン"))),
+    (16, "ud_mode_search", "search",
+     ("スマートスピーカー,スマート スピーカー,スマート スピーカー,カスタム名詞",),
+     "スマートスピーカーで聴いた。",
+     (("スマート", "スマート"), ("スピーカー", "スピーカー"),
+      ("聴い", "キイ"))),
+    # --- ud_mode_extended ----------------------------------------------
+    (17, "ud_mode_extended", "extended",
+     ("関西国際空港,関西国際空港,カンサイコクサイクウコウ,カスタム名詞",),
+     "関西国際空港でゾンビを見た。",
+     (("関西国際空港", "カンサイコクサイクウコウ"), ("ゾ", None),
+      ("ン", None), ("ビ", None), ("見", "ミ"))),
+    # --- ud_longest ----------------------------------------------------
+    # Both rows carry −10000; Viterbi takes the single 6-char node: one
+    # −10000 beats −10000 plus any positive-cost path for 日本.
+    (18, "ud_longest", "normal",
+     ("日本経済新聞,日本 経済 新聞,ニホン ケイザイ シンブン,カスタム名詞",
+      "経済新聞,経済新聞,ケイザイシンブン,カスタム名詞"),
+     "日本経済新聞を読んだ。",
+     (("日本", "ニホン"), ("経済", "ケイザイ"), ("新聞", "シンブン"),
+      ("読ん", "ヨン"))),
+    # --- ud_oov --------------------------------------------------------
+    (19, "ud_oov", "normal",
+     ("ペガサス幻獣,ペガサス 幻獣,ペガサス ゲンジュウ,カスタム名詞",),
+     "ペガサス幻獣が現れた。",
+     (("ペガサス", "ペガサス"), ("幻獣", "ゲンジュウ"),
+      ("現れ", "アラワレ"))),
+    (20, "ud_oov", "normal",
+     ("ドラゴン炎獣,ドラゴン 炎獣,ドラゴン エンジュウ,カスタム名詞",),
+     "ドラゴン炎獣と戦った。",
+     (("ドラゴン", "ドラゴン"), ("炎獣", "エンジュウ"),
+      ("戦っ", "タタカッ"))),
+    (21, "ud_oov", "normal",
+     ("ブログ記事,ブログ 記事,ブログ キジ,カスタム名詞",),
+     "ブログ記事を書いた。",
+     (("ブログ", "ブログ"), ("記事", "キジ"), ("書い", "カイ"))),
+    # --- ud_neologd_override -------------------------------------------
+    (22, "ud_neologd_override", "normal",
+     ("きゃりーぱみゅぱみゅ,きゃりー ぱみゅ ぱみゅ,キャリー パミュ パミュ,カスタム名詞",),
+     "きゃりーぱみゅぱみゅがうたう。",
+     (("きゃりー", "キャリー"), ("ぱみゅ", "パミュ"), ("ぱみゅ", "パミュ"),
+      ("うたう", "ウタウ"))),
+    # --- ud_rendaku_seg ------------------------------------------------
+    (23, "ud_rendaku_seg", "normal",
+     ("手紙屋,手紙 屋,テガミ ヤ,カスタム名詞",),
+     "手紙屋へ行った。",
+     (("手紙", "テガミ"), ("屋", "ヤ"), ("行っ", "イッ"))),
+    # --- ud_control (no user dict — dictionary behavior holds) ---------
+    (24, "ud_control", "normal", (),
+     "日本経済新聞を読んだ。",
+     (("日本経済新聞", None), ("読ん", "ヨン"))),
+    (25, "ud_control", "normal", (),
+     "関西国際空港へ行った。",
+     (("関西国際空港", None), ("行っ", "イッ"))),
+    (26, "ud_control", "normal", (),
+     "東京駅で待った。",
+     (("東京駅", "トウキョウエキ"), ("待っ", "マッ"))),
+)
+
+
+@lru_cache(maxsize=16)
+def _analyzer(mode: str, ud_rows: tuple[str, ...]):
+    from hive_udf_neologd_spark.tokenizer.analyzer import JapaneseAnalyzer
+
+    return JapaneseAnalyzer(
+        mode=mode, user_dict_rows=list(ud_rows) if ud_rows else None
+    )
+
+
+def predicted_pairs(
+    mode: str, ud_rows: tuple[str, ...], text: str
+) -> list[tuple[str, str | None]]:
+    return [
+        (tok["surface"], tok["reading"])
+        for tok in _analyzer(mode, ud_rows).analyze_rich(text)
+    ]
+
+
+def compute_expected() -> dict[str, tuple[int, int, int, int]]:
+    """Per-register (n_sent, n_match, n_tok_exp, n_tok_pred) — recapture
+    source for ``T29_EXPECTED``; same contract as T22/T25/T27/T28."""
+    agg: dict[str, list[int]] = {}
+    for _sid, register, mode, ud_rows, text, pairs in UD_PARITY_CORPUS:
+        pred = predicted_pairs(mode, ud_rows, text)
+        row = agg.setdefault(register, [0, 0, 0, 0])
+        row[0] += 1
+        row[1] += 1 if list(pairs) == pred else 0
+        row[2] += len(pairs)
+        row[3] += len(pred)
+    total = [0, 0, 0, 0]
+    for row in agg.values():
+        for i in range(4):
+            total[i] += row[i]
+    agg["__total__"] = total
+    return {k: tuple(v) for k, v in sorted(agg.items())}
+
+
+def accuracy(expected: dict[str, tuple[int, int, int, int]] | None = None) -> float:
+    exp = expected if expected is not None else compute_expected()
+    n, match, _, _ = exp["__total__"]
+    return match / n if n else 1.0
+
+
+def mismatches() -> list[tuple]:
+    out = []
+    for sid, register, mode, ud_rows, text, pairs in UD_PARITY_CORPUS:
+        pred = predicted_pairs(mode, ud_rows, text)
+        if list(pairs) != pred:
+            out.append((sid, register, text, pairs, pred))
+    return out
+
+
+if __name__ == "__main__":
+    exp = compute_expected()
+    for reg, (n, m, te, tp) in exp.items():
+        flag = "" if m == n else "  <-- MISMATCH"
+        print(f"{reg:20s} n={n:3d} match={m:3d} tok_exp={te:4d} tok_pred={tp:4d}{flag}")
+    print(f"exact-match accuracy: {accuracy(exp):.6f}")
+    for sid, reg, text, want, got in mismatches():
+        w = "|".join(f"{s}:{r}" for s, r in want)
+        g = "|".join(f"{s}:{r}" for s, r in got)
+        print(f"\n#{sid} [{reg}] {text}\n  want: {w}\n  got:  {g}")
