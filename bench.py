@@ -98,6 +98,9 @@ HEADLINE = [
     # Round-10: held-out reading parity (fourth external axis, constant-
     # size frame — see tokenizer/reading_parity.py for corpus counts).
     "t28_reading_parity",
+    # Round-10: held-out user-dict parity (fifth external axis — per-
+    # sentence inline user dictionaries across all modes).
+    "t29_userdict_parity",
 ]
 
 

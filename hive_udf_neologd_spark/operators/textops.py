@@ -1781,6 +1781,98 @@ def _t28_sql() -> str:
 T28_SQL = _t28_sql()
 
 
+def t29_userdict_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXTERNAL user-dictionary parity metric (round 10, fifth axis —
+    VERDICT r9 next-round #5): the held-out user-dict corpus
+    (tokenizer/userdict_parity.py — see that module for the current
+    sentence/register counts; per-sentence inline user dictionaries +
+    modes, expected (surface, reading) pairs derived from the DOCUMENTED
+    override semantics — KuromojiNEologdUDFTest.java:261-302,342-381 —
+    and committed before measurement) scored by exact pair-sequence
+    match.  Pins segmentation override, reading pass-through (incl.
+    empty-readings → None and user-reading-beats-dictionary), stop-tag /
+    stop-word interaction on user tokens, and the ALL-modes
+    no-decompound exclusion, externally.
+
+    Scale: constant-size in-memory frame through one iterator-form
+    pandas UDF + rollup aggregate — sf-invariant (the t27/t28 plan
+    shape; per-config analyzers are lru-cached per worker)."""
+    prepare(spark)
+    from pyspark.sql.functions import pandas_udf
+
+    from hive_udf_neologd_spark.tokenizer.userdict_parity import (
+        UD_PARITY_CORPUS,
+        encode_pair,
+    )
+
+    rows = [
+        (sid, register, mode, list(ud_rows),
+         [encode_pair(s, r) for s, r in pairs], text)
+        for sid, register, mode, ud_rows, text, pairs in UD_PARITY_CORPUS
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "sid long, register string, mode string, ud array<string>, "
+        "exp array<string>, text string",
+    )
+
+    @pandas_udf("matched boolean, n_pred long")
+    def _score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from hive_udf_neologd_spark.tokenizer.userdict_parity import (
+            encode_pair,
+            predicted_pairs,
+        )
+
+        for frame in batches:
+            preds = [
+                [
+                    encode_pair(s, r)
+                    for s, r in predicted_pairs(mode, tuple(ud), text)
+                ]
+                for mode, ud, text in zip(
+                    frame["mode"], frame["ud"], frame["text"]
+                )
+            ]
+            yield pd.DataFrame(
+                {
+                    "matched": [
+                        p == list(e) for p, e in zip(preds, frame["exp"])
+                    ],
+                    "n_pred": [len(p) for p in preds],
+                }
+            )
+
+    per = df.select(
+        "register",
+        F.size("exp").alias("n_exp_row"),
+        _score(F.struct("mode", "ud", "text", "exp")).alias("s"),
+    )
+    aggs = [
+        F.count(F.lit(1)).alias("n_sent"),
+        F.sum(F.col("s.matched").cast("long")).alias("n_match"),
+        F.sum("n_exp_row").alias("n_tok_exp"),
+        F.sum("s.n_pred").alias("n_tok_pred"),
+    ]
+    return (
+        per.rollup("register")
+        .agg(*aggs)
+        .withColumn("register", F.coalesce("register", F.lit("__total__")))
+        .withColumn("acc", F.col("n_match").cast("double") / F.col("n_sent"))
+        .orderBy("register")
+    )
+
+
+def _t29_sql() -> str:
+    from hive_udf_neologd_spark.tokenizer.userdict_parity import (
+        t29_values_sql,
+    )
+
+    return t29_values_sql()
+
+
+T29_SQL = _t29_sql()
+
+
 # --- sql03: SQL-registered tokenizer throughput ----------------------------
 def sql03_sql_udf_throughput(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Throughput gate for the SQL-surface tokenizer (VERDICT r7 next-round
@@ -1865,6 +1957,7 @@ TEXT_QUERIES = {
     "t26_ja_rich_throughput": t26_ja_rich_throughput,
     "t27_lemma_parity": t27_lemma_parity,
     "t28_reading_parity": t28_reading_parity,
+    "t29_userdict_parity": t29_userdict_parity,
 }
 
 # t08's oracle is a constant-literal VALUES table (see T08_SQL): DuckDB
@@ -1903,4 +1996,5 @@ TEXT_ORACLES = {
     "t26_ja_rich_throughput": T26_SQL,
     "t27_lemma_parity": T27_SQL,
     "t28_reading_parity": T28_SQL,
+    "t29_userdict_parity": T29_SQL,
 }

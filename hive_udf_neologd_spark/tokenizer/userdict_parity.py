@@ -264,3 +264,57 @@ if __name__ == "__main__":
         w = "|".join(f"{s}:{r}" for s, r in want)
         g = "|".join(f"{s}:{r}" for s, r in got)
         print(f"\n#{sid} [{reg}] {text}\n  want: {w}\n  got:  {g}")
+
+
+# CI floor (tests/test_parity.py): exact-match accuracy over the held-out
+# user-dict corpus — same contract as the T22/T25/T27/T28 floors.
+T29_ACC_FLOOR = 1.0
+
+# RECORDED aggregates — the t29 oracle constants; recapture with
+# ``python -m hive_udf_neologd_spark.tokenizer.userdict_parity`` after
+# any dictionary/user-dict/filter change (tests/test_parity.py guards
+# the constants against the live engine).  Recorded round 10 at 26
+# sentences / 14 registers.  Honest pre-fix measurement: **26/26 clean
+# (1.000000) on the first run** — the saturation signal (the documented
+# override semantics the in-repo goldens pinned were already exactly
+# faithful; the same shape as mode tranche 2's 27/27-clean extension).
+T29_EXPECTED: dict[str, tuple[int, int, int, int]] = {
+    "__total__": (26, 26, 71, 71),
+    "ud_chain": (2, 2, 6, 6),
+    "ud_control": (3, 3, 6, 6),
+    "ud_longest": (1, 1, 4, 4),
+    "ud_mode_extended": (1, 1, 5, 5),
+    "ud_mode_search": (3, 3, 9, 9),
+    "ud_neologd_override": (1, 1, 4, 4),
+    "ud_oov": (3, 3, 9, 9),
+    "ud_reading_none": (2, 2, 6, 6),
+    "ud_reading_override": (1, 1, 2, 2),
+    "ud_rendaku_seg": (1, 1, 3, 3),
+    "ud_split": (3, 3, 11, 11),
+    "ud_stoptag": (2, 2, 2, 2),
+    "ud_stopword_term": (1, 1, 1, 1),
+    "ud_whole": (2, 2, 3, 3),
+}
+
+
+def t29_values_sql() -> str:
+    rows = []
+    for register, (n_sent, n_match, n_tok_exp, n_tok_pred) in sorted(
+        T29_EXPECTED.items()
+    ):
+        rows.append(f"('{register}', {n_sent}, {n_match}, {n_tok_exp}, {n_tok_pred})")
+    values = ",\n  ".join(rows)
+    return f"""
+SELECT register, n_sent, n_match, n_tok_exp, n_tok_pred,
+       CAST(n_match AS DOUBLE) / n_sent AS acc
+FROM (VALUES
+  {values}
+) AS v(register, n_sent, n_match, n_tok_exp, n_tok_pred)
+ORDER BY register
+"""
+
+
+def encode_pair(surface: str, reading: str | None) -> str:
+    """Same stable pair encoding as reading_parity.encode_pair (t29's
+    Spark scorer ships (surface, reading) sequences as array<string>)."""
+    return f"{surface}\x1f{reading if reading is not None else ''}"

@@ -412,3 +412,81 @@ class TestT28Catalog:
         assert got == T28_EXPECTED
         for r in rows:
             assert r["acc"] == pytest.approx(r["n_match"] / r["n_sent"])
+
+
+# --- held-out USER-DICT parity corpus (round 10, fifth axis) ---------------
+
+
+class TestUserdictRecordedAggregates:
+    def test_recorded_matches_live_engine(self):
+        from hive_udf_neologd_spark.tokenizer.userdict_parity import (
+            T29_EXPECTED,
+            compute_expected,
+        )
+
+        assert compute_expected() == T29_EXPECTED
+
+    def test_accuracy_floor(self):
+        from hive_udf_neologd_spark.tokenizer.userdict_parity import (
+            T29_ACC_FLOOR,
+            T29_EXPECTED,
+            accuracy,
+        )
+
+        acc = accuracy(T29_EXPECTED)
+        assert acc >= T29_ACC_FLOOR, (
+            f"held-out user-dict parity regressed: accuracy {acc:.6f} "
+            f"< floor {T29_ACC_FLOOR}"
+        )
+
+    def test_shape_and_hygiene(self):
+        from hive_udf_neologd_spark.tokenizer.userdict_parity import (
+            UD_PARITY_CORPUS,
+        )
+
+        sids = [sid for sid, *_ in UD_PARITY_CORPUS]
+        assert len(sids) == len(set(sids))
+        assert len(sids) >= 26
+        for _sid, _reg, mode, ud_rows, text, pairs in UD_PARITY_CORPUS:
+            assert mode in ("normal", "search", "extended")
+            assert text and pairs
+            for row in ud_rows:
+                # Valid 4-field user-dict rows whose segments concatenate
+                # to the surface — the loader's own contract.
+                parts = [p.strip() for p in row.split(",")]
+                assert len(parts) >= 4
+                assert "".join(parts[1].split()) == parts[0]
+
+    def test_total_row_is_register_sum(self):
+        from hive_udf_neologd_spark.tokenizer.userdict_parity import (
+            T29_EXPECTED,
+        )
+
+        sums = [0, 0, 0, 0]
+        for reg, row in T29_EXPECTED.items():
+            if reg == "__total__":
+                continue
+            for i in range(4):
+                sums[i] += row[i]
+        assert tuple(sums) == T29_EXPECTED["__total__"]
+
+
+class TestT29Catalog:
+    def test_t29_matches_oracle_values(self, spark):
+        from hive_udf_neologd_spark.operators.textops import (
+            t29_userdict_parity,
+        )
+        from hive_udf_neologd_spark.tokenizer.userdict_parity import (
+            T29_EXPECTED,
+        )
+
+        rows = t29_userdict_parity(spark, "/root/testdata/sf0.001").collect()
+        got = {
+            r["register"]: (
+                r["n_sent"], r["n_match"], r["n_tok_exp"], r["n_tok_pred"],
+            )
+            for r in rows
+        }
+        assert got == T29_EXPECTED
+        for r in rows:
+            assert r["acc"] == pytest.approx(r["n_match"] / r["n_sent"])
