@@ -152,6 +152,74 @@ READING_PARITY_CORPUS: tuple[
      (("家賃", "ヤチン"), ("支払い", "シハライ"), ("済ませ", "スマセ"))),
     (35, "rr_tie", "質問の答えを書いた。",
      (("質問", "シツモン"), ("答え", "コタエ"), ("書い", "カイ"))),
+    # ------------------------------------------------------------------
+    # Round-10 tranche 2 (sids 36-58, rr2_* registers) — the second
+    # authored-tier extension, derived the same way BEFORE measurement:
+    # snapshot membership checked against the committed CSV, readings
+    # are public IPADIC facts for the TO-BE-AUTHORED tranche (pre-fix
+    # these read None), built-in 1-char kanji stay None, and two
+    # deliberate exclusion pins: (a) カ変 来る is NEVER authored — the
+    # prefix derivation (base[:-1]) is wrong for suppletive カ変 stems
+    # (来た reads キタ, not ク+タ), so 来 must stay None; (b) the
+    # reference golden-anchor surfaces (関西国際空港, 日本経済新聞)
+    # stay deliberately unauthored so the t28/t29 control expectations
+    # and reference behavioral anchors remain byte-stable.
+    # --- rr2_verb ------------------------------------------------------
+    (36, "rr2_verb", "靴下を洗った。",
+     (("靴下", "クツシタ"), ("洗っ", "アラッ"))),
+    (37, "rr2_verb", "財布を拾った。",
+     (("財布", "サイフ"), ("拾っ", "ヒロッ"))),
+    (38, "rr2_verb", "先生が外出を許した。",
+     (("先生", "センセイ"), ("外出", "ガイシュツ"), ("許し", "ユルシ"))),
+    # --- rr2_ichidan ---------------------------------------------------
+    (39, "rr2_ichidan", "窓を開けた。", (("窓", None), ("開け", "アケ"))),
+    (40, "rr2_ichidan", "辞典を借りた。",
+     (("辞典", "ジテン"), ("借り", "カリ"))),
+    (41, "rr2_ichidan", "財布を見せた。",
+     (("財布", "サイフ"), ("見せ", "ミセ"))),
+    # --- rr2_adj -------------------------------------------------------
+    (42, "rr2_adj", "明るい玄関だ。",
+     (("明るい", "アカルイ"), ("玄関", "ゲンカン"))),
+    (43, "rr2_adj", "珍しい切手を集めた。",
+     (("珍しい", "メズラシイ"), ("切手", "キッテ"), ("集め", "アツメ"))),
+    (44, "rr2_adj", "涼しい週末だった。",
+     (("涼しい", "スズシイ"), ("週末", "シュウマツ"))),
+    # --- rr2_food ------------------------------------------------------
+    (45, "rr2_food", "寿司と天ぷらを食べた。",
+     (("寿司", "スシ"), ("天ぷら", "テンプラ"), ("食べ", "タベ"))),
+    (46, "rr2_food", "牛乳と紅茶を飲んだ。",
+     (("牛乳", "ギュウニュウ"), ("紅茶", "コウチャ"), ("飲ん", "ノン"))),
+    (47, "rr2_food", "弁当を買った。",
+     (("弁当", "ベントウ"), ("買っ", "カッ"))),
+    # --- rr2_household -------------------------------------------------
+    (48, "rr2_household", "冷蔵庫と洗濯機を使った。",
+     (("冷蔵庫", "レイゾウコ"), ("洗濯機", "センタクキ"),
+      ("使っ", "ツカッ"))),
+    (49, "rr2_household", "玄関の階段で転んだ。",
+     (("玄関", "ゲンカン"), ("階段", "カイダン"), ("転ん", "コロン"))),
+    # --- rr2_place (incl. mechanical 県-suffix derivation) -------------
+    (50, "rr2_place", "姫路城と温泉へ行った。",
+     (("姫路城", "ヒメジジョウ"), ("温泉", "オンセン"), ("行っ", "イッ"))),
+    (51, "rr2_place", "長野県の神社を見た。",
+     (("長野県", "ナガノケン"), ("神社", "ジンジャ"), ("見", "ミ"))),
+    # --- rr2_people (incl. the カ変 exclusion pin) ---------------------
+    (52, "rr2_people", "先輩と同僚が来た。",
+     (("先輩", "センパイ"), ("同僚", "ドウリョウ"), ("来", None))),
+    (53, "rr2_people", "祖母と息子を呼んだ。",
+     (("祖母", "ソボ"), ("息子", "ムスコ"), ("呼ん", "ヨン"))),
+    # --- rr2_emotion ---------------------------------------------------
+    (54, "rr2_emotion", "勇気と自信を持った。",
+     (("勇気", "ユウキ"), ("自信", "ジシン"), ("持っ", "モッ"))),
+    # --- rr2_health ----------------------------------------------------
+    (55, "rr2_health", "風邪で頭痛がした。",
+     (("風邪", "カゼ"), ("頭痛", "ズツウ"))),
+    (56, "rr2_health", "薬局で診察を受けた。",
+     (("薬局", "ヤッキョク"), ("診察", "シンサツ"), ("受け", "ウケ"))),
+    # --- rr2_null_anchor (golden-anchor exclusion pins) ----------------
+    (57, "rr2_null_anchor", "関西国際空港へ行った。",
+     (("関西国際空港", None), ("行っ", "イッ"))),
+    (58, "rr2_null_anchor", "日本経済新聞を読んだ。",
+     (("日本経済新聞", None), ("読ん", "ヨン"))),
 )
 
 
