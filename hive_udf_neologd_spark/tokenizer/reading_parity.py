@@ -297,8 +297,24 @@ T28_ACC_FLOOR = 1.0
 # it to 1.0 with three expectations corrected by documented argument
 # (見 → ミ: the shared-tier design reaches built-in rows of authored
 # lemmas, see the corpus comment at sid 6; BASELINE.md round-10 notes).
+# Tranche 2 recorded round 10 (sids 36-58, rr2_* registers): honest
+# pre-fix 0.637931 (37/58, token counts 147/147 — every miss the
+# planned unauthored-tranche gap; both exclusion-pin anchors green),
+# closed to 1.0 by the tranche-2 authored tier (readings.py: verbs/
+# ichidan/adjectives/everyday nouns/places + the mechanical place-
+# suffix derivation in the generator; 4,474 rows / 1,493 lemmas).
 T28_EXPECTED: dict[str, tuple[int, int, int, int]] = {
-    "__total__": (35, 35, 89, 89),
+    "__total__": (58, 58, 147, 147),
+    "rr2_adj": (3, 3, 7, 7),
+    "rr2_emotion": (1, 1, 3, 3),
+    "rr2_food": (3, 3, 8, 8),
+    "rr2_health": (2, 2, 5, 5),
+    "rr2_household": (2, 2, 6, 6),
+    "rr2_ichidan": (3, 3, 6, 6),
+    "rr2_null_anchor": (2, 2, 4, 4),
+    "rr2_people": (2, 2, 6, 6),
+    "rr2_place": (2, 2, 6, 6),
+    "rr2_verb": (3, 3, 7, 7),
     "rr_adj": (4, 4, 11, 11),
     "rr_compound": (2, 2, 5, 5),
     "rr_conj": (5, 5, 10, 10),
