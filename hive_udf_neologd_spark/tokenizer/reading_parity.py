@@ -220,6 +220,66 @@ READING_PARITY_CORPUS: tuple[
      (("関西国際空港", None), ("行っ", "イッ"))),
     (58, "rr2_null_anchor", "日本経済新聞を読んだ。",
      (("日本経済新聞", None), ("読ん", "ヨン"))),
+    # ------------------------------------------------------------------
+    # Round-10 tranche 3 (sids 59-76, rr3_* registers) — third
+    # authored-tier extension, same derivation discipline BEFORE
+    # measurement: snapshot membership checked against the committed
+    # CSV; readings are public IPADIC facts for the TO-BE-AUTHORED
+    # tranche (SAHEN tier-2/3 サ変 nouns, civic/economic/transport/
+    # school vocabulary, lexical compound verbs whose readings compose
+    # from their parts' readings per IPADIC, and 形容動詞語幹 rows);
+    # built-in 1-char kanji (章) still pin None.
+    # --- rr3_sahen -----------------------------------------------------
+    (59, "rr3_sahen", "会議の延長を依頼した。",
+     (("会議", None), ("延長", "エンチョウ"), ("依頼", "イライ"))),
+    (60, "rr3_sahen", "装置を設置した。",
+     (("装置", "ソウチ"), ("設置", "セッチ"))),
+    # --- rr3_civic -----------------------------------------------------
+    (61, "rr3_civic", "憲法と条例を調べた。",
+     (("憲法", "ケンポウ"), ("条例", "ジョウレイ"), ("調べ", "シラベ"))),
+    (62, "rr3_civic", "予算と決算を検討した。",
+     (("予算", "ヨサン"), ("決算", "ケッサン"), ("検討", "ケントウ"))),
+    # --- rr3_transport -------------------------------------------------
+    (63, "rr3_transport", "切符を改札で見せた。",
+     (("切符", "キップ"), ("改札", "カイサツ"), ("見せ", "ミセ"))),
+    (64, "rr3_transport", "渋滞で遅延が発生した。",
+     (("渋滞", "ジュウタイ"), ("遅延", "チエン"), ("発生", "ハッセイ"))),
+    # --- rr3_school ----------------------------------------------------
+    (65, "rr3_school", "授業で文法を学んだ。",
+     (("授業", "ジュギョウ"), ("文法", "ブンポウ"), ("学ん", "マナン"))),
+    (66, "rr3_school", "試験の答案を提出した。",
+     (("試験", "シケン"), ("答案", "トウアン"), ("提出", "テイシュツ"))),
+    # --- rr3_stage -----------------------------------------------------
+    (67, "rr3_stage", "舞台で太鼓と三味線を演奏した。",
+     (("舞台", "ブタイ"), ("太鼓", "タイコ"), ("三味線", "シャミセン"),
+      ("演奏", "エンソウ"))),
+    (68, "rr3_stage", "歌詞を書いて作曲した。",
+     (("歌詞", "カシ"), ("書い", "カイ"), ("作曲", "サッキョク"))),
+    # --- rr3_compound_verb ---------------------------------------------
+    (69, "rr3_compound_verb", "名前を読み上げた。",
+     (("名前", None), ("読み上げ", "ヨミアゲ"))),
+    (70, "rr3_compound_verb", "会議を思い出した。",
+     (("会議", None), ("思い出し", "オモイダシ"))),
+    (71, "rr3_compound_verb", "タクシーに乗り換えた。",
+     (("タクシー", "タクシー"), ("乗り換え", "ノリカエ"))),
+    # --- rr3_adj_stem --------------------------------------------------
+    (72, "rr3_adj_stem", "穏やかな週末だった。",
+     (("穏やか", "オダヤカ"), ("週末", "シュウマツ"))),
+    (73, "rr3_adj_stem", "賑やかな商店街を歩いた。",
+     (("賑やか", "ニギヤカ"), ("商店街", "ショウテンガイ"),
+      ("歩い", "アルイ"))),
+    (74, "rr3_adj_stem", "新鮮な野菜を買った。",
+     (("新鮮", "シンセン"), ("野菜", "ヤサイ"), ("買っ", "カッ"))),
+    # --- rr3_money -----------------------------------------------------
+    (75, "rr3_money", "借金の利息を計算した。",
+     (("借金", "シャッキン"), ("利息", "リソク"), ("計算", "ケイサン"))),
+    # --- rr3_people ----------------------------------------------------
+    (76, "rr3_people", "若者と高齢者が集まった。",
+     (("若者", "ワカモノ"), ("高齢者", "コウレイシャ"),
+      ("集まっ", "アツマッ"))),
+    # --- rr3_null_mix --------------------------------------------------
+    (77, "rr3_null_mix", "憲法の章を読んだ。",
+     (("憲法", "ケンポウ"), ("章", None), ("読ん", "ヨン"))),
 )
 
 
