@@ -295,10 +295,10 @@ T26_STATS: dict[int, tuple[int, int, int, int]] = {
     3: (15, 13, 1, 12),
     4: (14, 9, 5, 9),
     5: (16, 15, 1, 14),
-    # pids 6-7: +1 reading each at reading tranche 2 (図書室/宿題-tier
-    # nouns and 台風-adjacent vocabulary entering the authored tier).
+    # pids 6-7: +1 reading each at reading tranche 2; pid 7 +1 more at
+    # tranche 3 (呼び掛ける entering the compound-verb tier).
     6: (13, 9, 4, 11),
-    7: (14, 11, 2, 10),
+    7: (14, 11, 2, 11),
 }
 
 
