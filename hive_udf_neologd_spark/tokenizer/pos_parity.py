@@ -1,0 +1,141 @@
+"""Held-out POS-parity corpus (round 10 — the sixth external axis).
+
+The five existing axes score spans, mode emissions, output terms,
+readings, and user-dict overrides.  None scores the POS STRING itself —
+the one analyzer output where a wrong ROW selection can hide with the
+term, span, lemma, and reading all identical: a same-surface row pair
+differing only in POS subtype (名詞-一般 vs 名詞-固有名詞…, 一般 vs
+サ変接続) would pass every current gate while breaking downstream
+POS-based filtering (the reference analyzer's stop-tag stage, and this
+repo's own t26 名詞-prefix aggregation).  This corpus closes that
+blindness.
+
+Derivation sources (and nothing else — the engine was NOT run on these
+sentences before the expectations were committed):
+
+* The committed dictionary rows: each expected POS is the WINNING
+  row's POS string, read from lexicon.py / the snapshot CSV (probed by
+  surface, never by running the engine on these sentences).  For the
+  one deliberate tie sentence the winner follows the documented
+  connection discipline (答え: verb 1200 + の/を penalty 200 > noun
+  1250 — the wave-423 shadow-pricing, already lemma-pinned by t27).
+* The documented unknown-word classes (lattice.py): grouped unknown
+  runs carry 名詞-一般, digit runs 名詞-数.
+* The documented stop sets (stopwords.py): all 助詞 variants, 助動詞,
+  記号, 接続詞 … drop by tag; し drops by lemma-stopword (する);
+  感動詞 and 名詞-非自立 are NOT stop tags, so こんにちは survives.
+
+Registers: pp_noun_general / pp_sahen / pp_proper / pp_adv_noun
+(副詞可能) / pp_adverb / pp_adj / pp_adj_stem (形容動詞語幹) /
+pp_unknown / pp_number / pp_keigo / pp_tie / pp_interjection /
+pp_compound / pp_place (固有名詞-地域) / pp_person (人名-姓) /
+pp_katakana_dict / pp_unknown_ascii.
+
+(sid, register, text, expected_pairs) — expected_pairs is the ordered
+(surface, pos) sequence of the default-chain ``analyze_rich`` output.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+POS_PARITY_CORPUS: tuple[
+    tuple[int, str, str, tuple[tuple[str, str], ...]], ...
+] = (
+    (1, "pp_noun_general", "美術館で絵画を眺めた。",
+     (("美術館", "名詞-一般"), ("絵画", "名詞-一般"), ("眺め", "動詞-自立"))),
+    (2, "pp_sahen", "日本語を勉強した。",
+     (("日本語", "名詞-一般"), ("勉強", "名詞-サ変接続"))),
+    (3, "pp_proper", "東京駅で待った。",
+     (("東京駅", "名詞-固有名詞-一般"), ("待っ", "動詞-自立"))),
+    (4, "pp_adv_noun", "毎日散歩した。",
+     (("毎日", "名詞-副詞可能"), ("散歩", "名詞-サ変接続"))),
+    (5, "pp_adverb", "ゆっくり歩いた。",
+     (("ゆっくり", "副詞-一般"), ("歩い", "動詞-自立"))),
+    (6, "pp_adj", "新しい時計を買った。",
+     (("新しい", "形容詞-自立"), ("時計", "名詞-一般"),
+      ("買っ", "動詞-自立"))),
+    (7, "pp_adj_stem", "穏やかな週末だった。",
+     (("穏やか", "名詞-形容動詞語幹"), ("週末", "名詞-一般"))),
+    (8, "pp_unknown", "ゾンビが現れた。",
+     (("ゾンビ", "名詞-一般"), ("現れ", "動詞-自立"))),
+    (9, "pp_number", "パスワードは1234です。",
+     (("パスワード", "名詞-一般"), ("1234", "名詞-数"))),
+    (10, "pp_keigo", "資料をいただいた。",
+     (("資料", "名詞-一般"), ("いただい", "動詞-自立"))),
+    (11, "pp_tie", "質問の答えを書いた。",
+     (("質問", "名詞-サ変接続"), ("答え", "名詞-一般"),
+      ("書い", "動詞-自立"))),
+    (12, "pp_interjection", "こんにちは、先生。",
+     (("こんにちは", "感動詞"), ("先生", "名詞-一般"))),
+    (13, "pp_compound", "雨が降り始めた。",
+     (("雨", "名詞-一般"), ("降り始め", "動詞-自立"))),
+    (14, "pp_place", "長野県の神社へ行った。",
+     (("長野県", "名詞-固有名詞-地域-一般"), ("神社", "名詞-一般"),
+      ("行っ", "動詞-自立"))),
+    (15, "pp_person", "田中と話した。",
+     (("田中", "名詞-固有名詞-人名-姓"), ("話し", "動詞-自立"))),
+    (16, "pp_katakana_dict", "タクシーに乗った。",
+     (("タクシー", "名詞-一般"), ("乗っ", "動詞-自立"))),
+    (17, "pp_unknown_ascii", "ゾンビがabcを見た。",
+     (("ゾンビ", "名詞-一般"), ("abc", "名詞-一般"), ("見", "動詞-自立"))),
+)
+
+
+@lru_cache(maxsize=1)
+def _analyzer():
+    from hive_udf_neologd_spark.tokenizer.analyzer import JapaneseAnalyzer
+
+    return JapaneseAnalyzer()
+
+
+def predicted_pairs(text: str) -> list[tuple[str, str]]:
+    return [
+        (tok["surface"], tok["pos"]) for tok in _analyzer().analyze_rich(text)
+    ]
+
+
+def compute_expected() -> dict[str, tuple[int, int, int, int]]:
+    """Per-register (n_sent, n_match, n_tok_exp, n_tok_pred) — recapture
+    source for ``T30_EXPECTED``; same contract as the other axes."""
+    agg: dict[str, list[int]] = {}
+    for _sid, register, text, pairs in POS_PARITY_CORPUS:
+        pred = predicted_pairs(text)
+        row = agg.setdefault(register, [0, 0, 0, 0])
+        row[0] += 1
+        row[1] += 1 if list(pairs) == pred else 0
+        row[2] += len(pairs)
+        row[3] += len(pred)
+    total = [0, 0, 0, 0]
+    for row in agg.values():
+        for i in range(4):
+            total[i] += row[i]
+    agg["__total__"] = total
+    return {k: tuple(v) for k, v in sorted(agg.items())}
+
+
+def accuracy(expected: dict[str, tuple[int, int, int, int]] | None = None) -> float:
+    exp = expected if expected is not None else compute_expected()
+    n, match, _, _ = exp["__total__"]
+    return match / n if n else 1.0
+
+
+def mismatches() -> list[tuple]:
+    out = []
+    for sid, register, text, pairs in POS_PARITY_CORPUS:
+        pred = predicted_pairs(text)
+        if list(pairs) != pred:
+            out.append((sid, register, text, pairs, pred))
+    return out
+
+
+if __name__ == "__main__":
+    exp = compute_expected()
+    for reg, (n, m, te, tp) in exp.items():
+        flag = "" if m == n else "  <-- MISMATCH"
+        print(f"{reg:18s} n={n:3d} match={m:3d} tok_exp={te:4d} tok_pred={tp:4d}{flag}")
+    print(f"exact-match accuracy: {accuracy(exp):.6f}")
+    for sid, reg, text, want, got in mismatches():
+        w = "|".join(f"{s}:{p}" for s, p in want)
+        g = "|".join(f"{s}:{p}" for s, p in got)
+        print(f"\n#{sid} [{reg}] {text}\n  want: {w}\n  got:  {g}")
