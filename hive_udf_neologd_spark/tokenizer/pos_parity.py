@@ -79,6 +79,32 @@ POS_PARITY_CORPUS: tuple[
      (("タクシー", "名詞-一般"), ("乗っ", "動詞-自立"))),
     (17, "pp_unknown_ascii", "ゾンビがabcを見た。",
      (("ゾンビ", "名詞-一般"), ("abc", "名詞-一般"), ("見", "動詞-自立"))),
+    # ------------------------------------------------------------------
+    # Tranche 2 (sids 18-25) — same derivation discipline BEFORE
+    # measurement; widens each load-bearing subtype register to >= 2
+    # sentences.  Unknown runs split at character-class boundaries
+    # (LATIN|DIGIT), so abcde1 emits abcde (名詞-一般) + 1 (名詞-数).
+    (18, "pp_sahen", "装置を設置した。",
+     (("装置", "名詞-一般"), ("設置", "名詞-サ変接続"))),
+    (19, "pp_proper", "姫路城と国会議事堂へ行った。",
+     (("姫路城", "名詞-固有名詞-一般"), ("国会議事堂", "名詞-固有名詞-一般"),
+      ("行っ", "動詞-自立"))),
+    (20, "pp_adv_noun", "昨日三回練習した。",
+     (("昨日", "名詞-副詞可能"), ("三回", "名詞-副詞可能"),
+      ("練習", "名詞-サ変接続"))),
+    (21, "pp_place", "青森県と千葉市を調べた。",
+     (("青森県", "名詞-固有名詞-地域-一般"),
+      ("千葉市", "名詞-固有名詞-地域-一般"), ("調べ", "動詞-自立"))),
+    (22, "pp_noun_general", "弁護士が資料を見せた。",
+     (("弁護士", "名詞-一般"), ("資料", "名詞-一般"), ("見せ", "動詞-自立"))),
+    (23, "pp_unknown_ascii", "ゾンビとabcde1が現れた。",
+     (("ゾンビ", "名詞-一般"), ("abcde", "名詞-一般"), ("1", "名詞-数"),
+      ("現れ", "動詞-自立"))),
+    (24, "pp_katakana_dict", "スーパーコンピューターを使った。",
+     (("スーパーコンピューター", "名詞-一般"), ("使っ", "動詞-自立"))),
+    (25, "pp_noun_general", "屋台で焼きそばを買った。",
+     (("屋台", "名詞-一般"), ("焼きそば", "名詞-一般"),
+      ("買っ", "動詞-自立"))),
 )
 
 
