@@ -101,6 +101,9 @@ HEADLINE = [
     # Round-10: held-out user-dict parity (fifth external axis — per-
     # sentence inline user dictionaries across all modes).
     "t29_userdict_parity",
+    # Round-10: held-out POS parity (sixth external axis — subtype-level
+    # row selection, the field every other axis is blind to).
+    "t30_pos_parity",
 ]
 
 

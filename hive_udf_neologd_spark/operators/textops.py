@@ -1873,6 +1873,84 @@ def _t29_sql() -> str:
 T29_SQL = _t29_sql()
 
 
+def t30_pos_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXTERNAL POS-parity metric (round 10, sixth axis): the held-out
+    POS corpus (tokenizer/pos_parity.py — see that module for the
+    current sentence/register counts; expected (surface, pos) pairs
+    derived from the committed rows' POS strings + documented unknown
+    classes, committed before measurement) scored by exact
+    pair-sequence match.  Pins the one analyzer output where a wrong
+    ROW selection can hide with term/span/lemma/reading all identical:
+    POS subtype (一般 vs サ変接続 vs 固有名詞-地域…), the input to
+    stop-tag filtering and POS-based pipeline stages (t26's 名詞
+    aggregation).  Same constant-frame shape and VALUES-oracle pattern
+    as the other five axes."""
+    prepare(spark)
+    from pyspark.sql.functions import pandas_udf
+
+    from hive_udf_neologd_spark.tokenizer.pos_parity import (
+        POS_PARITY_CORPUS,
+        encode_pair,
+    )
+
+    rows = [
+        (sid, register, text, [encode_pair(s, p) for s, p in pairs])
+        for sid, register, text, pairs in POS_PARITY_CORPUS
+    ]
+    df = spark.createDataFrame(
+        rows, "sid long, register string, text string, exp array<string>"
+    )
+
+    @pandas_udf("matched boolean, n_pred long")
+    def _score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from hive_udf_neologd_spark.tokenizer.pos_parity import (
+            encode_pair,
+            predicted_pairs,
+        )
+
+        for frame in batches:
+            preds = [
+                [encode_pair(s, p) for s, p in predicted_pairs(t)]
+                for t in frame["text"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "matched": [
+                        p == list(e) for p, e in zip(preds, frame["exp"])
+                    ],
+                    "n_pred": [len(p) for p in preds],
+                }
+            )
+
+    per = df.select(
+        "register",
+        F.size("exp").alias("n_exp_row"),
+        _score(F.struct("text", "exp")).alias("s"),
+    )
+    aggs = [
+        F.count(F.lit(1)).alias("n_sent"),
+        F.sum(F.col("s.matched").cast("long")).alias("n_match"),
+        F.sum("n_exp_row").alias("n_tok_exp"),
+        F.sum("s.n_pred").alias("n_tok_pred"),
+    ]
+    return (
+        per.rollup("register")
+        .agg(*aggs)
+        .withColumn("register", F.coalesce("register", F.lit("__total__")))
+        .withColumn("acc", F.col("n_match").cast("double") / F.col("n_sent"))
+        .orderBy("register")
+    )
+
+
+def _t30_sql() -> str:
+    from hive_udf_neologd_spark.tokenizer.pos_parity import t30_values_sql
+
+    return t30_values_sql()
+
+
+T30_SQL = _t30_sql()
+
+
 # --- sql03: SQL-registered tokenizer throughput ----------------------------
 def sql03_sql_udf_throughput(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Throughput gate for the SQL-surface tokenizer (VERDICT r7 next-round
@@ -1958,6 +2036,7 @@ TEXT_QUERIES = {
     "t27_lemma_parity": t27_lemma_parity,
     "t28_reading_parity": t28_reading_parity,
     "t29_userdict_parity": t29_userdict_parity,
+    "t30_pos_parity": t30_pos_parity,
 }
 
 # t08's oracle is a constant-literal VALUES table (see T08_SQL): DuckDB
@@ -1997,4 +2076,5 @@ TEXT_ORACLES = {
     "t27_lemma_parity": T27_SQL,
     "t28_reading_parity": T28_SQL,
     "t29_userdict_parity": T29_SQL,
+    "t30_pos_parity": T30_SQL,
 }

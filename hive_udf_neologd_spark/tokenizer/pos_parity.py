@@ -165,3 +165,59 @@ if __name__ == "__main__":
         w = "|".join(f"{s}:{p}" for s, p in want)
         g = "|".join(f"{s}:{p}" for s, p in got)
         print(f"\n#{sid} [{reg}] {text}\n  want: {w}\n  got:  {g}")
+
+
+# CI floor (tests/test_parity.py): exact-match accuracy over the held-out
+# POS corpus — same contract as the other five axis floors.
+T30_ACC_FLOOR = 1.0
+
+# RECORDED aggregates — the t30 oracle constants; recapture with
+# ``python -m hive_udf_neologd_spark.tokenizer.pos_parity`` after any
+# dictionary/lattice change.  Recorded round 10 at 25 sentences / 17
+# registers.  Honest measurements: tranche 1 **17/17 clean on the first
+# run**, tranche 2 **8/8 clean** — POS-subtype row selection was already
+# exactly faithful (the saturation signal, third clean-first-measurement
+# axis this round after t29's 26/26).
+T30_EXPECTED: dict[str, tuple[int, int, int, int]] = {
+    "__total__": (25, 25, 62, 62),
+    "pp_adj": (1, 1, 3, 3),
+    "pp_adj_stem": (1, 1, 2, 2),
+    "pp_adv_noun": (2, 2, 5, 5),
+    "pp_adverb": (1, 1, 2, 2),
+    "pp_compound": (1, 1, 2, 2),
+    "pp_interjection": (1, 1, 2, 2),
+    "pp_katakana_dict": (2, 2, 4, 4),
+    "pp_keigo": (1, 1, 2, 2),
+    "pp_noun_general": (3, 3, 9, 9),
+    "pp_number": (1, 1, 2, 2),
+    "pp_person": (1, 1, 2, 2),
+    "pp_place": (2, 2, 6, 6),
+    "pp_proper": (2, 2, 5, 5),
+    "pp_sahen": (2, 2, 4, 4),
+    "pp_tie": (1, 1, 3, 3),
+    "pp_unknown": (1, 1, 2, 2),
+    "pp_unknown_ascii": (2, 2, 7, 7),
+}
+
+
+def t30_values_sql() -> str:
+    rows = []
+    for register, (n_sent, n_match, n_tok_exp, n_tok_pred) in sorted(
+        T30_EXPECTED.items()
+    ):
+        rows.append(f"('{register}', {n_sent}, {n_match}, {n_tok_exp}, {n_tok_pred})")
+    values = ",\n  ".join(rows)
+    return f"""
+SELECT register, n_sent, n_match, n_tok_exp, n_tok_pred,
+       CAST(n_match AS DOUBLE) / n_sent AS acc
+FROM (VALUES
+  {values}
+) AS v(register, n_sent, n_match, n_tok_exp, n_tok_pred)
+ORDER BY register
+"""
+
+
+def encode_pair(surface: str, pos: str) -> str:
+    """Stable pair encoding for the t30 Spark scorer (same shape as
+    reading_parity.encode_pair)."""
+    return f"{surface}\x1f{pos}"

@@ -490,3 +490,72 @@ class TestT29Catalog:
         assert got == T29_EXPECTED
         for r in rows:
             assert r["acc"] == pytest.approx(r["n_match"] / r["n_sent"])
+
+
+# --- held-out POS parity corpus (round 10, sixth axis) ---------------------
+
+
+class TestPosRecordedAggregates:
+    def test_recorded_matches_live_engine(self):
+        from hive_udf_neologd_spark.tokenizer.pos_parity import (
+            T30_EXPECTED,
+            compute_expected,
+        )
+
+        assert compute_expected() == T30_EXPECTED
+
+    def test_accuracy_floor(self):
+        from hive_udf_neologd_spark.tokenizer.pos_parity import (
+            T30_ACC_FLOOR,
+            T30_EXPECTED,
+            accuracy,
+        )
+
+        acc = accuracy(T30_EXPECTED)
+        assert acc >= T30_ACC_FLOOR, (
+            f"held-out POS parity regressed: accuracy {acc:.6f} "
+            f"< floor {T30_ACC_FLOOR}"
+        )
+
+    def test_shape_and_hygiene(self):
+        from hive_udf_neologd_spark.tokenizer.pos_parity import (
+            POS_PARITY_CORPUS,
+        )
+
+        sids = [sid for sid, *_ in POS_PARITY_CORPUS]
+        assert len(sids) == len(set(sids))
+        assert len(sids) >= 25
+        for _sid, _reg, text, pairs in POS_PARITY_CORPUS:
+            assert text and pairs
+            for surface, pos in pairs:
+                assert surface == surface.strip() and surface
+                # POS strings are hyphen-joined IPADIC levels.
+                assert pos and " " not in pos
+
+    def test_total_row_is_register_sum(self):
+        from hive_udf_neologd_spark.tokenizer.pos_parity import T30_EXPECTED
+
+        sums = [0, 0, 0, 0]
+        for reg, row in T30_EXPECTED.items():
+            if reg == "__total__":
+                continue
+            for i in range(4):
+                sums[i] += row[i]
+        assert tuple(sums) == T30_EXPECTED["__total__"]
+
+
+class TestT30Catalog:
+    def test_t30_matches_oracle_values(self, spark):
+        from hive_udf_neologd_spark.operators.textops import t30_pos_parity
+        from hive_udf_neologd_spark.tokenizer.pos_parity import T30_EXPECTED
+
+        rows = t30_pos_parity(spark, "/root/testdata/sf0.001").collect()
+        got = {
+            r["register"]: (
+                r["n_sent"], r["n_match"], r["n_tok_exp"], r["n_tok_pred"],
+            )
+            for r in rows
+        }
+        assert got == T30_EXPECTED
+        for r in rows:
+            assert r["acc"] == pytest.approx(r["n_match"] / r["n_sent"])
