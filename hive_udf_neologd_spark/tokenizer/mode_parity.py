@@ -462,6 +462,20 @@ MODE_PARITY_CORPUS: tuple[tuple[int, str, str, str, tuple[str, ...]], ...] = (
      ("音声認識", "音声", "認識", "を", "使う")),
     (142, "me3_new_rows", "extended", "あかんで。", ("あかん", "で")),
     (143, "me3_new_rows", "extended", "おおきに。", ("おおきに",)),
+    # Round-10 fourth mode tranche (sids 144-147) — the same cross-axis
+    # coupling for THIS round's wave: 事務/用事 (wave 426, audit 153's
+    # two probe-confirmed shreds) are 2-kanji dictionary rows, which are
+    # never decompounded in any mode — pinned at the raw lattice in
+    # SEARCH and EXTENDED so the new rows cannot silently regress the
+    # mode surface.
+    (144, "ms4_new_rows", "search", "事務の仕事を探す。",
+     ("事務", "の", "仕事", "を", "探す")),
+    (145, "ms4_new_rows", "search", "用事を済ませる。",
+     ("用事", "を", "済ませる")),
+    (146, "me4_new_rows", "extended", "事務を手伝う。",
+     ("事務", "を", "手伝う")),
+    (147, "me4_new_rows", "extended", "用事がある。",
+     ("用事", "が", "ある")),
 )
 
 
