@@ -621,11 +621,12 @@ T25_ACC_FLOOR = 1.0
 # 0.990741 (1 mismatch, the 音声 dictionary gap, wave 419 —
 # BASELINE.md).
 T25_EXPECTED: dict[str, tuple[int, int, int, int]] = {
-    "__total__": (143, 143, 758, 758),
+    "__total__": (147, 147, 772, 772),
     "me2_ascii_mix": (3, 3, 19, 19),
     "me2_nested": (1, 1, 7, 7),
     "me2_ocr_unigram": (3, 3, 21, 21),
     "me3_new_rows": (3, 3, 8, 8),
+    "me4_new_rows": (2, 2, 6, 6),
     "me_compound": (5, 5, 25, 25),
     "me_digits": (3, 3, 19, 19),
     "me_known_whole": (5, 5, 17, 17),
@@ -639,6 +640,7 @@ T25_EXPECTED: dict[str, tuple[int, int, int, int]] = {
     "ms2_kanji_fused2": (9, 9, 35, 35),
     "ms2_kata_fused2": (5, 5, 17, 17),
     "ms3_new_rows": (5, 5, 23, 23),
+    "ms4_new_rows": (2, 2, 8, 8),
     "ms_2kanji_control": (4, 4, 13, 13),
     "ms_kanji4_split": (18, 18, 101, 101),
     "ms_kanji6_split": (8, 8, 51, 51),
