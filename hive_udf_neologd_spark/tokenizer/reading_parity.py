@@ -280,6 +280,50 @@ READING_PARITY_CORPUS: tuple[
     # --- rr3_null_mix --------------------------------------------------
     (77, "rr3_null_mix", "憲法の章を読んだ。",
      (("憲法", "ケンポウ"), ("章", None), ("読ん", "ヨン"))),
+    # ------------------------------------------------------------------
+    # Round-10 tranche 4 (sids 78-91, rr4_* registers) — fourth
+    # authored-tier extension, same discipline BEFORE measurement:
+    # city/district/landmark proper nouns, weather/geology, and medical
+    # vocabulary (all public dictionary facts), plus the AMBIGUITY
+    # exclusion pinned externally: 紅葉 (コウヨウ/モミジ) and 開く
+    # (アク/ヒライク two-reading class) are NEVER authored — one row can
+    # carry only one reading, so both must stay None (the same
+    # fabrication ban readings.py documents for 開く).
+    # --- rr4_city ------------------------------------------------------
+    (78, "rr4_city", "函館と旭川へ行った。",
+     (("函館", "ハコダテ"), ("旭川", "アサヒカワ"), ("行っ", "イッ"))),
+    (79, "rr4_city", "浜松から豊橋まで歩いた。",
+     (("浜松", "ハママツ"), ("豊橋", "トヨハシ"), ("歩い", "アルイ"))),
+    # --- rr4_tokyo -----------------------------------------------------
+    (80, "rr4_tokyo", "新宿と池袋で買った。",
+     (("新宿", "シンジュク"), ("池袋", "イケブクロ"), ("買っ", "カッ"))),
+    (81, "rr4_tokyo", "秋葉原で部品を探した。",
+     (("秋葉原", "アキハバラ"), ("部品", "ブヒン"), ("探し", "サガシ"))),
+    # --- rr4_landmark --------------------------------------------------
+    (82, "rr4_landmark", "歌舞伎座と隅田川を見た。",
+     (("歌舞伎座", "カブキザ"), ("隅田川", "スミダガワ"), ("見", "ミ"))),
+    (83, "rr4_landmark", "阿蘇山と桜島を調べた。",
+     (("阿蘇山", "アソサン"), ("桜島", "サクラジマ"), ("調べ", "シラベ"))),
+    # --- rr4_weather ---------------------------------------------------
+    (84, "rr4_weather", "台風と竜巻が発生した。",
+     (("台風", "タイフウ"), ("竜巻", "タツマキ"), ("発生", "ハッセイ"))),
+    (85, "rr4_weather", "吹雪で気圧が変わった。",
+     (("吹雪", "フブキ"), ("気圧", "キアツ"), ("変わっ", "カワッ"))),
+    # --- rr4_geo -------------------------------------------------------
+    (86, "rr4_geo", "半島の火山が噴火した。",
+     (("半島", "ハントウ"), ("火山", "カザン"), ("噴火", "フンカ"))),
+    (87, "rr4_geo", "渓谷と盆地を歩いた。",
+     (("渓谷", "ケイコク"), ("盆地", "ボンチ"), ("歩い", "アルイ"))),
+    # --- rr4_medical ---------------------------------------------------
+    (88, "rr4_medical", "血圧と体温を測った。",
+     (("血圧", "ケツアツ"), ("体温", "タイオン"), ("測っ", "ハカッ"))),
+    (89, "rr4_medical", "症状を診断して治療した。",
+     (("症状", "ショウジョウ"), ("診断", "シンダン"), ("治療", "チリョウ"))),
+    # --- rr4_ambiguous_null (the exclusion class, pinned) --------------
+    (90, "rr4_ambiguous_null", "紅葉を見た。",
+     (("紅葉", None), ("見", "ミ"))),
+    (91, "rr4_ambiguous_null", "窓が開いた。",
+     (("窓", None), ("開い", None))),
 )
 
 
