@@ -296,9 +296,9 @@ T26_STATS: dict[int, tuple[int, int, int, int]] = {
     4: (14, 9, 5, 9),
     5: (16, 15, 1, 14),
     # pids 6-7: +1 reading each at reading tranche 2; pid 7 +1 more at
-    # tranche 3 (呼び掛ける entering the compound-verb tier).
+    # tranche 3 (呼び掛ける) and +1 at tranche 4 (台風).
     6: (13, 9, 4, 11),
-    7: (14, 11, 2, 11),
+    7: (14, 11, 2, 12),
 }
 
 

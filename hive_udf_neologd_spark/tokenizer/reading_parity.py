@@ -415,7 +415,7 @@ T28_ACC_FLOOR = 1.0
 # ichidan/adjectives/everyday nouns/places + the mechanical place-
 # suffix derivation in the generator; 4,474 rows / 1,493 lemmas).
 T28_EXPECTED: dict[str, tuple[int, int, int, int]] = {
-    "__total__": (77, 77, 200, 200),
+    "__total__": (91, 91, 240, 240),
     "rr2_adj": (3, 3, 7, 7),
     "rr2_emotion": (1, 1, 3, 3),
     "rr2_food": (3, 3, 8, 8),
@@ -436,6 +436,13 @@ T28_EXPECTED: dict[str, tuple[int, int, int, int]] = {
     "rr3_school": (2, 2, 6, 6),
     "rr3_stage": (2, 2, 7, 7),
     "rr3_transport": (2, 2, 6, 6),
+    "rr4_ambiguous_null": (2, 2, 4, 4),
+    "rr4_city": (2, 2, 6, 6),
+    "rr4_geo": (2, 2, 6, 6),
+    "rr4_landmark": (2, 2, 6, 6),
+    "rr4_medical": (2, 2, 6, 6),
+    "rr4_tokyo": (2, 2, 6, 6),
+    "rr4_weather": (2, 2, 6, 6),
     "rr_adj": (4, 4, 11, 11),
     "rr_compound": (2, 2, 5, 5),
     "rr_conj": (5, 5, 10, 10),
