@@ -286,7 +286,7 @@ READING_PARITY_CORPUS: tuple[
     # city/district/landmark proper nouns, weather/geology, and medical
     # vocabulary (all public dictionary facts), plus the AMBIGUITY
     # exclusion pinned externally: 紅葉 (コウヨウ/モミジ) and 開く
-    # (アク/ヒライク two-reading class) are NEVER authored — one row can
+    # (アク/ヒラク two-reading class) are NEVER authored — one row can
     # carry only one reading, so both must stay None (the same
     # fabrication ban readings.py documents for 開く).
     # --- rr4_city ------------------------------------------------------
@@ -324,6 +324,89 @@ READING_PARITY_CORPUS: tuple[
      (("紅葉", None), ("見", "ミ"))),
     (91, "rr4_ambiguous_null", "窓が開いた。",
      (("窓", None), ("開い", None))),
+    # ------------------------------------------------------------------
+    # Round-11 tranche 5 (sids 92-114, rr5_* registers) — committed
+    # BEFORE any readings.py change (the standing protocol; honest
+    # pre-fix accuracy recorded in BASELINE.md).  Targeting policy is
+    # VERDICT r10 #4: candidates are the HIGHEST-FREQUENCY lemmas whose
+    # readings are still None across the six parity corpora's own
+    # vocabulary (919 distinct None-reading lemmas measured; the top of
+    # the list — 子供/時間/部屋/仕事-class everyday nouns plus the
+    # wave-427 verbs), so every authored reading is exercised by
+    # existing held-out sentences, not invented for bulk.  Expected
+    # readings are public IPADIC column-11 facts; ambiguity screening
+    # per surface was done against the DICTIONARY (which rows share the
+    # surface), never by running the engine on these sentences:
+    # 話 (ハナシ noun / ワ counter), 人 (ヒト / ニン counter),
+    # 明日 (アシタ/アス two IPADIC rows), 時 (トキ/ジ), 年 (ネン/トシ),
+    # 日 (ヒ/ニチ/カ), 何 (ナニ/ナン), 今日 (キョウ/コンニチ),
+    # 昨日 (キノウ/サクジツ) are EXCLUDED — one surface-keyed reading
+    # cannot carry two readings (the 開く precedent); three get pinned
+    # here (rr5_ambiguous_null), and the rr_tier_null pins (資料 et al.)
+    # stay None — s111 re-pins one mid-sentence to prove pin persistence
+    # through a tier-growth round.
+    # --- rr5_daily ------------------------------------------------------
+    (92, "rr5_daily", "子供が部屋で寝た。",
+     (("子供", "コドモ"), ("部屋", "ヘヤ"), ("寝", "ネ"))),
+    (93, "rr5_daily", "駅の前で友達を待った。",
+     (("駅", "エキ"), ("前", "マエ"), ("友達", "トモダチ"),
+      ("待っ", "マッ"))),
+    (94, "rr5_daily", "傘を店に忘れた。",
+     (("傘", "カサ"), ("店", "ミセ"), ("忘れ", "ワスレ"))),
+    (95, "rr5_daily", "夜に電車で荷物を運んだ。",
+     (("夜", "ヨル"), ("電車", "デンシャ"), ("荷物", "ニモツ"),
+      ("運ん", "ハコン"))),
+    (96, "rr5_daily", "写真を全部見せた。",
+     (("写真", "シャシン"), ("全部", "ゼンブ"), ("見せ", "ミセ"))),
+    (97, "rr5_daily", "電車に間に合った。",
+     (("電車", "デンシャ"), ("間に合っ", "マニアッ"))),
+    # --- rr5_work -------------------------------------------------------
+    (98, "rr5_work", "社長が商品の確認をした。",
+     (("社長", "シャチョウ"), ("商品", "ショウヒン"),
+      ("確認", "カクニン"))),
+    (99, "rr5_work", "電話で参加の予定を伝えた。",
+     (("電話", "デンワ"), ("参加", "サンカ"), ("予定", "ヨテイ"),
+      ("伝え", "ツタエ"))),
+    (100, "rr5_work", "政府がその場合の処理を決めた。",
+     (("政府", "セイフ"), ("場合", "バアイ"), ("処理", "ショリ"),
+      ("決め", "キメ"))),
+    (101, "rr5_work", "仕事で失敗した。",
+     (("仕事", "シゴト"), ("失敗", "シッパイ"))),
+    (102, "rr5_work", "前記の資料を誰かが確認した。",
+     (("前記", "ゼンキ"), ("資料", None), ("誰", "ダレ"),
+      ("確認", "カクニン"))),  # 資料: rr_tier_null pin persists
+    # --- rr5_time -------------------------------------------------------
+    (103, "rr5_time", "午後から雪が降った。",
+     (("午後", "ゴゴ"), ("雪", "ユキ"), ("降っ", "フッ"))),
+    (104, "rr5_time", "天気予報が問題の影響を伝えた。",
+     (("天気予報", "テンキヨホウ"), ("問題", "モンダイ"),
+      ("影響", "エイキョウ"), ("伝え", "ツタエ"))),
+    (105, "rr5_time", "過去の結果を時間をかけて調べた。",
+     (("過去", "カコ"), ("結果", "ケッカ"), ("時間", "ジカン"),
+      ("かけ", "カケ"), ("調べ", "シラベ"))),
+    (106, "rr5_time", "問題が増えた。",
+     (("問題", "モンダイ"), ("増え", "フエ"))),
+    # --- rr5_keigo ------------------------------------------------------
+    (107, "rr5_keigo", "社長にお願いを申し上げた。",
+     (("社長", "シャチョウ"), ("お願い", "オネガイ"),
+      ("申し上げ", "モウシアゲ"))),
+    (108, "rr5_keigo", "その点をご覧ください。",
+     (("点", "テン"), ("ご覧", "ゴラン"), ("ください", "クダサイ"))),
+    # --- rr5_deverbal (the wave-427 orphan verbs carry readings too) ----
+    (109, "rr5_deverbal", "彼女が司会を務めた。",
+     (("彼女", "カノジョ"), ("司会", "シカイ"), ("務め", "ツトメ"))),
+    (110, "rr5_deverbal", "紙を折った。",
+     (("紙", "カミ"), ("折っ", "オッ"))),
+    (111, "rr5_deverbal", "意見が大きく隔たった。",
+     (("意見", "イケン"), ("大きく", "オオキク"),
+      ("隔たっ", "ヘダタッ"))),
+    # --- rr5_ambiguous_null (exclusion pins, same class as 紅葉/開く) ---
+    (112, "rr5_ambiguous_null", "話を聞いた。",
+     (("話", None), ("聞い", "キイ"))),
+    (113, "rr5_ambiguous_null", "人が集まった。",
+     (("人", None), ("集まっ", "アツマッ"))),
+    (114, "rr5_ambiguous_null", "明日の予定を確認した。",
+     (("明日", None), ("予定", "ヨテイ"), ("確認", "カクニン"))),
 )
 
 
@@ -334,19 +417,24 @@ def _analyzer():
     return JapaneseAnalyzer()
 
 
-def predicted_pairs(text: str) -> list[tuple[str, str | None]]:
-    return [
-        (tok["surface"], tok["reading"])
-        for tok in _analyzer().analyze_rich(text)
-    ]
+def predicted_pairs(text: str, analyzer=None) -> list[tuple[str, str | None]]:
+    a = analyzer if analyzer is not None else _analyzer()
+    return [(tok["surface"], tok["reading"]) for tok in a.analyze_rich(text)]
 
 
-def compute_expected() -> dict[str, tuple[int, int, int, int]]:
+def compute_expected(dictionary=None) -> dict[str, tuple[int, int, int, int]]:
     """Per-register (n_sent, n_match, n_tok_exp, n_tok_pred) — recapture
-    source for ``T28_EXPECTED``; same contract as T22/T25/T27."""
+    source for ``T28_EXPECTED``; same contract as T22/T25/T27.
+    ``dictionary`` scores the axis on an alternate Dictionary
+    (dress-rehearsal hook)."""
+    ana = None
+    if dictionary is not None:
+        from hive_udf_neologd_spark.tokenizer.analyzer import JapaneseAnalyzer
+
+        ana = JapaneseAnalyzer(dictionary=dictionary)
     agg: dict[str, list[int]] = {}
     for _sid, register, text, pairs in READING_PARITY_CORPUS:
-        pred = predicted_pairs(text)
+        pred = predicted_pairs(text, analyzer=ana)
         row = agg.setdefault(register, [0, 0, 0, 0])
         row[0] += 1
         row[1] += 1 if list(pairs) == pred else 0
