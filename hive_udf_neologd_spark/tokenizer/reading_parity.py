@@ -503,7 +503,7 @@ T28_ACC_FLOOR = 1.0
 # ichidan/adjectives/everyday nouns/places + the mechanical place-
 # suffix derivation in the generator; 4,474 rows / 1,493 lemmas).
 T28_EXPECTED: dict[str, tuple[int, int, int, int]] = {
-    "__total__": (91, 91, 240, 240),
+    "__total__": (114, 114, 311, 311),
     "rr2_adj": (3, 3, 7, 7),
     "rr2_emotion": (1, 1, 3, 3),
     "rr2_food": (3, 3, 8, 8),
@@ -531,6 +531,12 @@ T28_EXPECTED: dict[str, tuple[int, int, int, int]] = {
     "rr4_medical": (2, 2, 6, 6),
     "rr4_tokyo": (2, 2, 6, 6),
     "rr4_weather": (2, 2, 6, 6),
+    "rr5_ambiguous_null": (3, 3, 7, 7),
+    "rr5_daily": (6, 6, 19, 19),
+    "rr5_deverbal": (3, 3, 8, 8),
+    "rr5_keigo": (2, 2, 6, 6),
+    "rr5_time": (4, 4, 14, 14),
+    "rr5_work": (5, 5, 17, 17),
     "rr_adj": (4, 4, 11, 11),
     "rr_compound": (2, 2, 5, 5),
     "rr_conj": (5, 5, 10, 10),

@@ -59,6 +59,47 @@ def main() -> int:
     magg = mode_expected()
     mn, mm, _, _ = magg["__total__"]
     print(f"mode-parity: sentences={mn} matched={mm} accuracy={accuracy(magg):.6f}")
+
+    # Reading-tier coverage stats (VERDICT r10 #4): how much of the live
+    # corpus vocabulary the authored tier covers, and the head of the
+    # still-unauthored frequency list — the targeting input for the next
+    # tranche, computed rather than guessed.
+    from collections import Counter
+
+    from hive_udf_neologd_spark.tokenizer.analyzer import JapaneseAnalyzer
+    from hive_udf_neologd_spark.tokenizer.lemma_parity import (  # noqa: E402
+        LEMMA_PARITY_CORPUS,
+    )
+    from hive_udf_neologd_spark.tokenizer.mode_parity import (  # noqa: E402
+        MODE_PARITY_CORPUS,
+    )
+    from hive_udf_neologd_spark.tokenizer.readings import LEMMA_READINGS
+
+    analyzer = JapaneseAnalyzer()
+    covered: Counter = Counter()
+    uncovered: Counter = Counter()
+    texts = (
+        [t for _, _, t, _ in PARITY_CORPUS]
+        + [t for _, _, t, _ in LEMMA_PARITY_CORPUS]
+        + [row[3] for row in MODE_PARITY_CORPUS]
+    )
+    for t in texts:
+        for tok in analyzer.analyze_rich(t):
+            if tok["unknown"]:
+                continue
+            key = tok["base_form"] or tok["surface"]
+            (covered if tok["reading"] is not None else uncovered)[key] += 1
+    n_cov = sum(covered.values())
+    n_unc = sum(uncovered.values())
+    print(
+        f"reading tier: {len(LEMMA_READINGS)} authored lemmas; corpus "
+        f"token coverage {n_cov}/{n_cov + n_unc} "
+        f"({n_cov / (n_cov + n_unc):.1%}), {len(uncovered)} distinct "
+        f"lemmas still None"
+    )
+    print("  top unauthored (next-tranche candidates):")
+    for lemma, freq in uncovered.most_common(25):
+        print(f"    {freq:3d} {lemma}")
     return 0
 
 
