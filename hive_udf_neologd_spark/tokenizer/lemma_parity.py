@@ -189,16 +189,23 @@ def _analyzer():
     return JapaneseAnalyzer()
 
 
-def predicted_terms(text: str) -> list[str]:
-    return _analyzer().tokenize(text)
+def predicted_terms(text: str, analyzer=None) -> list[str]:
+    a = analyzer if analyzer is not None else _analyzer()
+    return a.tokenize(text)
 
 
-def compute_expected() -> dict[str, tuple[int, int, int, int]]:
+def compute_expected(dictionary=None) -> dict[str, tuple[int, int, int, int]]:
     """Per-register (n_sent, n_match, n_tok_exp, n_tok_pred) — recapture
-    source for ``T27_EXPECTED``; same contract as T22/T25."""
+    source for ``T27_EXPECTED``; same contract as T22/T25.  ``dictionary``
+    scores the axis on an alternate Dictionary (dress-rehearsal hook)."""
+    ana = None
+    if dictionary is not None:
+        from hive_udf_neologd_spark.tokenizer.analyzer import JapaneseAnalyzer
+
+        ana = JapaneseAnalyzer(dictionary=dictionary)
     agg: dict[str, list[int]] = {}
     for _sid, register, text, terms in LEMMA_PARITY_CORPUS:
-        pred = predicted_terms(text)
+        pred = predicted_terms(text, analyzer=ana)
         row = agg.setdefault(register, [0, 0, 0, 0])
         row[0] += 1
         row[1] += 1 if list(terms) == pred else 0

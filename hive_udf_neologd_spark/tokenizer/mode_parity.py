@@ -559,20 +559,31 @@ def _raw_lattice(mode: str):
     return Lattice(builtin_dictionary(), None, mode)
 
 
-def predicted_surfaces(text: str, mode: str) -> list[str]:
+def predicted_surfaces(text: str, mode: str, lattice=None) -> list[str]:
     """Raw mode-specific emission (punctuation already discarded by the
     lattice) — the same altitude parity.predicted_spans scores NORMAL at,
-    so the metric isolates the MODE axis from the filter chain."""
-    return [t.surface for t in _raw_lattice(mode).segment(text)]
+    so the metric isolates the MODE axis from the filter chain.
+    ``lattice`` overrides the cached engine (1M dress-rehearsal hook)."""
+    lat = lattice if lattice is not None else _raw_lattice(mode)
+    return [t.surface for t in lat.segment(text)]
 
 
-def compute_expected() -> dict[str, tuple[int, int, int, int]]:
+def compute_expected(dictionary=None) -> dict[str, tuple[int, int, int, int]]:
     """Per-register (n_sent, n_match, n_tok_exp, n_tok_pred) by running the
     live engine — the recapture source for ``T25_EXPECTED`` and the
-    consistency gate in tests."""
+    consistency gate in tests.  ``dictionary`` scores the axis on an
+    alternate Dictionary (VERDICT r10 #2 dress rehearsal)."""
+    lats: dict[str, object] = {}
+    if dictionary is not None:
+        from hive_udf_neologd_spark.tokenizer.lattice import Lattice
+
+        lats = {
+            m: Lattice(dictionary, None, m)
+            for m in {row[2] for row in MODE_PARITY_CORPUS}
+        }
     agg: dict[str, list[int]] = {}
     for _sid, register, mode, text, surfaces in MODE_PARITY_CORPUS:
-        pred = predicted_surfaces(text, mode)
+        pred = predicted_surfaces(text, mode, lattice=lats.get(mode))
         row = agg.setdefault(register, [0, 0, 0, 0])
         row[0] += 1
         row[1] += 1 if list(surfaces) == pred else 0

@@ -115,18 +115,24 @@ def _analyzer():
     return JapaneseAnalyzer()
 
 
-def predicted_pairs(text: str) -> list[tuple[str, str]]:
-    return [
-        (tok["surface"], tok["pos"]) for tok in _analyzer().analyze_rich(text)
-    ]
+def predicted_pairs(text: str, analyzer=None) -> list[tuple[str, str]]:
+    a = analyzer if analyzer is not None else _analyzer()
+    return [(tok["surface"], tok["pos"]) for tok in a.analyze_rich(text)]
 
 
-def compute_expected() -> dict[str, tuple[int, int, int, int]]:
+def compute_expected(dictionary=None) -> dict[str, tuple[int, int, int, int]]:
     """Per-register (n_sent, n_match, n_tok_exp, n_tok_pred) — recapture
-    source for ``T30_EXPECTED``; same contract as the other axes."""
+    source for ``T30_EXPECTED``; same contract as the other axes.
+    ``dictionary`` scores the axis on an alternate Dictionary
+    (dress-rehearsal hook)."""
+    ana = None
+    if dictionary is not None:
+        from hive_udf_neologd_spark.tokenizer.analyzer import JapaneseAnalyzer
+
+        ana = JapaneseAnalyzer(dictionary=dictionary)
     agg: dict[str, list[int]] = {}
     for _sid, register, text, pairs in POS_PARITY_CORPUS:
-        pred = predicted_pairs(text)
+        pred = predicted_pairs(text, analyzer=ana)
         row = agg.setdefault(register, [0, 0, 0, 0])
         row[0] += 1
         row[1] += 1 if list(pairs) == pred else 0

@@ -212,20 +212,35 @@ def _analyzer(mode: str, ud_rows: tuple[str, ...]):
 
 
 def predicted_pairs(
-    mode: str, ud_rows: tuple[str, ...], text: str
+    mode: str, ud_rows: tuple[str, ...], text: str, analyzer=None
 ) -> list[tuple[str, str | None]]:
-    return [
-        (tok["surface"], tok["reading"])
-        for tok in _analyzer(mode, ud_rows).analyze_rich(text)
-    ]
+    a = analyzer if analyzer is not None else _analyzer(mode, ud_rows)
+    return [(tok["surface"], tok["reading"]) for tok in a.analyze_rich(text)]
 
 
-def compute_expected() -> dict[str, tuple[int, int, int, int]]:
+def compute_expected(dictionary=None) -> dict[str, tuple[int, int, int, int]]:
     """Per-register (n_sent, n_match, n_tok_exp, n_tok_pred) — recapture
-    source for ``T29_EXPECTED``; same contract as T22/T25/T27/T28."""
+    source for ``T29_EXPECTED``; same contract as T22/T25/T27/T28.
+    ``dictionary`` scores the axis on an alternate Dictionary — analyzers
+    are built per (mode, user-dict) config against it, mirroring the
+    cached default path (dress-rehearsal hook)."""
+    local: dict[tuple[str, tuple[str, ...]], object] = {}
+    if dictionary is not None:
+        from hive_udf_neologd_spark.tokenizer.analyzer import JapaneseAnalyzer
+
+        for _sid, _reg, mode, ud_rows, _text, _pairs in UD_PARITY_CORPUS:
+            key = (mode, ud_rows)
+            if key not in local:
+                local[key] = JapaneseAnalyzer(
+                    mode=mode,
+                    user_dict_rows=list(ud_rows) if ud_rows else None,
+                    dictionary=dictionary,
+                )
     agg: dict[str, list[int]] = {}
     for _sid, register, mode, ud_rows, text, pairs in UD_PARITY_CORPUS:
-        pred = predicted_pairs(mode, ud_rows, text)
+        pred = predicted_pairs(
+            mode, ud_rows, text, analyzer=local.get((mode, ud_rows))
+        )
         row = agg.setdefault(register, [0, 0, 0, 0])
         row[0] += 1
         row[1] += 1 if list(pairs) == pred else 0
