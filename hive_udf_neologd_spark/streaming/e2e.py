@@ -40,14 +40,31 @@ from hive_udf_neologd_spark.streaming.term_counts import (
 _RUN_IDS = itertools.count()
 
 
+# Harness scratch root: tmpfs when available (the staged snapshots and
+# per-query checkpoints are ephemeral bench/test fixtures, and putting
+# them in RAM removes the disk-IO sensitivity that dominated s04's
+# variance band — BASELINE.md round-11 protocol note).  Falls back to
+# /tmp on hosts without /dev/shm.
+_SCRATCH_ROOT = (
+    "/dev/shm/spark_graft_stream"
+    if os.path.isdir("/dev/shm")
+    else "/tmp/spark_graft_stream"
+)
+
+
 def _stage_dir(sf_dir: str, name: str) -> str:
     """Per-run unique staging path: pid + run counter keep concurrent
     processes (bench + check_oracle against the same sf dir) from
     clobbering each other's staged files mid-readStream."""
     base = os.path.basename(sf_dir.rstrip("/"))
-    return (
-        f"/tmp/spark_graft_stream/{base}/{name}_{os.getpid()}_{next(_RUN_IDS)}"
-    )
+    return f"{_SCRATCH_ROOT}/{base}/{name}_{os.getpid()}_{next(_RUN_IDS)}"
+
+
+def _checkpoint_dir(name: str) -> str:
+    """Explicit per-query checkpoint under the tmpfs scratch root —
+    Spark's implicit temp checkpoint lands in java.io.tmpdir (disk),
+    which is exactly the small-file-write noise the protocol excludes."""
+    return f"{_SCRATCH_ROOT}/ckpt/{name}"
 
 
 _STAGED: set[str] = set()
@@ -66,7 +83,7 @@ def _stage_once(sf_dir: str, name: str, df) -> str:
     are never mutated after staging may use this (s11's incremental
     append keeps the unique-per-run path)."""
     base = os.path.basename(sf_dir.rstrip("/"))
-    stage = f"/tmp/spark_graft_stream/{base}/{name}_{os.getpid()}"
+    stage = f"{_SCRATCH_ROOT}/{base}/{name}_{os.getpid()}"
     if stage not in _STAGED:
         df.coalesce(4).write.mode("overwrite").parquet(stage)
         _STAGED.add(stage)
@@ -85,6 +102,7 @@ def s03_streaming_event_counts_e2e(spark: SparkSession, sf_dir: str) -> DataFram
     q = (
         out.writeStream.format("memory")
         .queryName(name)
+        .option("checkpointLocation", _checkpoint_dir(name))
         .outputMode("append")
         .trigger(availableNow=True)
         .start()
@@ -142,6 +160,7 @@ def s04_streaming_term_counts_e2e(spark: SparkSession, sf_dir: str) -> DataFrame
     q = (
         out.writeStream.format("memory")
         .queryName(name)
+        .option("checkpointLocation", _checkpoint_dir(name))
         .outputMode("append")
         .trigger(availableNow=True)
         .start()
@@ -188,6 +207,7 @@ def _run_append(out, name_prefix: str, mode: str = "append", want_query: bool = 
     q = (
         out.writeStream.format("memory")
         .queryName(name)
+        .option("checkpointLocation", _checkpoint_dir(name))
         .outputMode(mode)
         .trigger(availableNow=True)
         .start()
@@ -463,7 +483,12 @@ def s10_foreachbatch_merge_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", "1")
         .parquet(stage)
     )
-    q = src.writeStream.foreachBatch(_merge).trigger(availableNow=True).start()
+    q = (
+        src.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", _checkpoint_dir(f"s10_{os.getpid()}_{next(_RUN_IDS)}"))
+        .trigger(availableNow=True)
+        .start()
+    )
     q.awaitTermination(300)
     return (
         spark.read.parquet(target)
