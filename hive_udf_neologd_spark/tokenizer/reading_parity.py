@@ -407,6 +407,89 @@ READING_PARITY_CORPUS: tuple[
      (("人", None), ("集まっ", "アツマッ"))),
     (114, "rr5_ambiguous_null", "明日の予定を確認した。",
      (("明日", None), ("予定", "ヨテイ"), ("確認", "カクニン"))),
+    # ------------------------------------------------------------------
+    # Round-11 tranche 6 (sids 115-138, rr6_* registers) — committed
+    # BEFORE the readings block, same protocol as tranche 5 (which see
+    # for the targeting policy).  Candidates continue down the measured
+    # frequency tail (freq 3-4: institutions, サ変 tier, weather/sport,
+    # contract register).  New screening notes: 得る (エル/ウル), 外
+    # (ソト/ガイ/ホカ), 力 (チカラ/リョク), 中 (ナカ/チュウ), and the
+    # BARE NUMERALS (一/二/三/五 — kun-variant fused surfaces like 一人
+    # would inherit the on reading through any split path) join the
+    # exclusion class; 三 is pinned None here (s129).  する-verbs
+    # (達する/有する) get their 基本形 reading only — the conjugated
+    # surface 達し does not satisfy the derivation precondition
+    # (surface does not extend base[:-1]), so it stays None honestly
+    # rather than fabricated (s134 pins the 基本形).
+    # --- rr6_weather ----------------------------------------------------
+    (115, "rr6_weather", "富士山の気温が上昇した。",
+     (("富士山", "フジサン"), ("気温", "キオン"), ("上昇", "ジョウショウ"))),
+    (116, "rr6_weather", "毎朝コップの水を飲む。",
+     (("毎朝", "マイアサ"), ("コップ", "コップ"), ("水", "ミズ"),
+      ("飲む", "ノム"))),
+    # --- rr6_sahen ------------------------------------------------------
+    (117, "rr6_sahen", "画面の設定と表示を確認した。",
+     (("画面", "ガメン"), ("設定", "セッテイ"), ("表示", "ヒョウジ"),
+      ("確認", "カクニン"))),
+    (118, "rr6_civic", "午前の試合が大会の会場で始まった。",
+     (("午前", "ゴゼン"), ("試合", "シアイ"), ("大会", "タイカイ"),
+      ("会場", "カイジョウ"), ("始まっ", "ハジマッ"))),
+    (119, "rr6_civic", "空港で友人と新幹線の話をした。",
+     (("空港", "クウコウ"), ("友人", "ユウジン"),
+      ("新幹線", "シンカンセン"), ("話", None))),  # 話 exclusion pin
+    # --- rr6_daily2 -----------------------------------------------------
+    (120, "rr6_daily2", "朝に薬を飲んで動画を見た。",
+     (("朝", "アサ"), ("薬", "クスリ"), ("飲ん", "ノン"),
+      ("動画", "ドウガ"), ("見", "ミ"))),
+    (121, "rr6_daily2", "会場の予約をした。",
+     (("会場", "カイジョウ"), ("予約", "ヨヤク"))),
+    (122, "rr6_daily2", "夢で選手を見た。",
+     (("夢", "ユメ"), ("選手", "センシュ"), ("見", "ミ"))),
+    (123, "rr6_sahen", "実験の結果を報告した。",
+     (("実験", "ジッケン"), ("結果", "ケッカ"), ("報告", "ホウコク"))),
+    (124, "rr6_sahen", "各地で調査を繰り返した。",
+     (("各地", "カクチ"), ("調査", "チョウサ"),
+      ("繰り返し", "クリカエシ"))),
+    (125, "rr6_sahen", "入力の通知が届いた。",
+     (("入力", "ニュウリョク"), ("通知", "ツウチ"), ("届い", "トドイ"))),
+    # --- rr6_law --------------------------------------------------------
+    (126, "rr6_law", "本契約の期限が近い。",
+     (("本契約", "ホンケイヤク"), ("期限", "キゲン"),
+      ("近い", "チカイ"))),
+    (127, "rr6_law", "当該の書類は無効だ。",
+     (("当該", "トウガイ"), ("書類", "ショルイ"), ("無効", "ムコウ"))),
+    (128, "rr6_law", "当事者が裁判所で対策を発表した。",
+     (("当事者", "トウジシャ"), ("裁判所", "サイバンショ"),
+      ("対策", "タイサク"), ("発表", "ハッピョウ"))),
+    (129, "rr6_law", "第三の書類は三件あった。",
+     (("第", "ダイ"), ("三", None), ("書類", "ショルイ"),
+      ("三", None), ("件", "ケン"))),  # bare-numeral exclusion pin
+    # --- rr6_keigo2 -----------------------------------------------------
+    (130, "rr6_keigo2", "恐れ入りますが返信をお願いします。",
+     (("恐れ入り", "オソレイリ"), ("返信", "ヘンシン"),
+      ("お願い", "オネガイ"))),
+    (131, "rr6_keigo2", "お越しの知らせが届いた。",
+     (("お越し", "オコシ"), ("知らせ", "シラセ"), ("届い", "トドイ"))),
+    (132, "rr6_keigo2", "価格は少々高い。",
+     (("価格", "カカク"), ("少々", "ショウショウ"), ("高い", "タカイ"))),
+    # --- rr6_verb -------------------------------------------------------
+    (133, "rr6_verb", "静かな朝に努力を続けた。",
+     (("静か", "シズカ"), ("朝", "アサ"), ("努力", "ドリョク"),
+      ("続け", "ツヅケ"))),
+    (134, "rr6_verb", "目標に達する見込みだ。",
+     (("目標", "モクヒョウ"), ("達する", "タッスル"),
+      ("見込み", "ミコミ"))),
+    (135, "rr6_verb", "同じ味の薬を飲んだ。",
+     (("同じ", "オナジ"), ("味", "アジ"), ("薬", "クスリ"),
+      ("飲ん", "ノン"))),
+    (136, "rr6_verb", "価格が上がって困った。",
+     (("価格", "カカク"), ("上がっ", "アガッ"), ("困っ", "コマッ"))),
+    (137, "rr6_civic", "機械学習の実験を中止した。",
+     (("機械学習", "キカイガクシュウ"), ("実験", "ジッケン"),
+      ("中止", "チュウシ"))),
+    (138, "rr6_daily2", "見込みより大量の書類が届いた。",
+     (("見込み", "ミコミ"), ("大量", "タイリョウ"),
+      ("書類", "ショルイ"), ("届い", "トドイ"))),
 )
 
 
