@@ -289,14 +289,14 @@ T26_STATS: dict[int, tuple[int, int, int, int]] = {
     # unchanged vs round 9 — the reading column is the only mover
     # (n_reading 0-1 → 9-14 per doc), i.e. the tier landed without
     # touching segmentation.
-    # Recaptured round 11 (reading tranche 5): token/noun/base counts
+    # Recaptured round 11 (reading tranches 5+6): token/noun/base counts
     # again unchanged — only n_reading moved (+1..+2 per doc: the
-    # frequency-targeted everyday lemmas 電車/仕事/問題-class appear in
-    # the pool sentences).
-    0: (16, 12, 4, 13),
+    # frequency-targeted everyday lemmas 電車/仕事/問題/水/朝-class
+    # appear in the pool sentences).
+    0: (16, 12, 4, 14),
     1: (16, 14, 2, 13),
-    2: (14, 12, 2, 12),
-    3: (15, 13, 1, 13),
+    2: (14, 12, 2, 13),
+    3: (15, 13, 1, 14),
     4: (14, 9, 5, 11),
     5: (16, 15, 1, 15),
     # pids 6-7: +1 reading each at reading tranche 2; pid 7 +1 more at

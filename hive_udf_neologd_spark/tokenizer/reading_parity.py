@@ -586,7 +586,7 @@ T28_ACC_FLOOR = 1.0
 # ichidan/adjectives/everyday nouns/places + the mechanical place-
 # suffix derivation in the generator; 4,474 rows / 1,493 lemmas).
 T28_EXPECTED: dict[str, tuple[int, int, int, int]] = {
-    "__total__": (114, 114, 311, 311),
+    "__total__": (138, 138, 395, 395),
     "rr2_adj": (3, 3, 7, 7),
     "rr2_emotion": (1, 1, 3, 3),
     "rr2_food": (3, 3, 8, 8),
@@ -620,6 +620,13 @@ T28_EXPECTED: dict[str, tuple[int, int, int, int]] = {
     "rr5_keigo": (2, 2, 6, 6),
     "rr5_time": (4, 4, 14, 14),
     "rr5_work": (5, 5, 17, 17),
+    "rr6_civic": (3, 3, 12, 12),
+    "rr6_daily2": (4, 4, 14, 14),
+    "rr6_keigo2": (3, 3, 9, 9),
+    "rr6_law": (4, 4, 15, 15),
+    "rr6_sahen": (4, 4, 13, 13),
+    "rr6_verb": (4, 4, 14, 14),
+    "rr6_weather": (2, 2, 7, 7),
     "rr_adj": (4, 4, 11, 11),
     "rr_compound": (2, 2, 5, 5),
     "rr_conj": (5, 5, 10, 10),
