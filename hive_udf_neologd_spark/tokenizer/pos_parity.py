@@ -105,6 +105,57 @@ POS_PARITY_CORPUS: tuple[
     (25, "pp_noun_general", "屋台で焼きそばを買った。",
      (("屋台", "名詞-一般"), ("焼きそば", "名詞-一般"),
       ("買っ", "動詞-自立"))),
+    # ------------------------------------------------------------------
+    # Round-11 tranche 2 (sids 26-39, pp2_* registers) — the wave-427/
+    # 428 vocabulary, POS-pinned held-out: the orphan verbs' noun/verb
+    # row SPLITS (務め noun in を/として contexts vs 務め 連用形 under
+    # ます/た — the exact tie class the deverbal cost parity prices),
+    # the new サ変 vs 一般 subtype selections (司会/補佐 サ変接続 vs
+    # 理事/渉外/評議 一般 — 評議 ships 一般 from the court tier, a
+    # dictionary fact this corpus now pins against IPADIC's サ変
+    # temptation), and the 副詞可能 tier incl. the 午後 dual-row tie
+    # (副詞可能 registered first wins per the strict-< discipline).
+    # Expectations derived from the committed rows (probed by surface)
+    # and the documented tie rules only.
+    (26, "pp2_role", "彼女が司会を務めた。",
+     (("彼女", "名詞-代名詞-一般"), ("司会", "名詞-サ変接続"),
+      ("務め", "動詞-自立"))),
+    (27, "pp2_role", "理事が渉外を担当した。",
+     (("理事", "名詞-一般"), ("渉外", "名詞-一般"),
+      ("担当", "名詞-一般"))),
+    (28, "pp2_role", "監事と書記が理事を補佐した。",
+     (("監事", "名詞-一般"), ("書記", "名詞-一般"),
+      ("理事", "名詞-一般"), ("補佐", "名詞-サ変接続"))),
+    (29, "pp2_role", "評議員が集まった。",
+     (("評議員", "名詞-一般"), ("集まっ", "動詞-自立"))),
+    (30, "pp2_verb", "紙を折った。",
+     (("紙", "名詞-一般"), ("折っ", "動詞-自立"))),
+    (31, "pp2_verb", "意見が大きく隔たった。",
+     (("意見", "名詞-一般"), ("大きく", "形容詞-自立"),
+      ("隔たっ", "動詞-自立"))),
+    (32, "pp2_adv_noun", "年間の目標を調べた。",
+     (("年間", "名詞-副詞可能"), ("目標", "名詞-一般"),
+      ("調べ", "動詞-自立"))),
+    (33, "pp2_adv_noun", "全部を午後に確認した。",
+     (("全部", "名詞-副詞可能"), ("午後", "名詞-副詞可能"),
+      ("確認", "名詞-サ変接続"))),
+    (34, "pp2_noun", "駅の前で友達を待った。",
+     (("駅", "名詞-一般"), ("前", "名詞-非自立-副詞可能"),
+      ("友達", "名詞-一般"), ("待っ", "動詞-自立"))),
+    (35, "pp2_tie2", "会長としての務めを果たした。",
+     (("会長", "名詞-一般"), ("務め", "名詞-一般"),
+      ("果たし", "動詞-自立"))),
+    (36, "pp2_tie2", "大きな隔たりがあった。",
+     (("大きな", "連体詞"), ("隔たり", "名詞-一般"))),
+    (37, "pp2_role", "書記が書類を提出した。",
+     (("書記", "名詞-一般"), ("書類", "名詞-一般"),
+      ("提出", "名詞-サ変接続"))),
+    (38, "pp2_verb", "彼が議長を務める。",
+     (("彼", "名詞-代名詞-一般"), ("議長", "名詞-一般"),
+      ("務める", "動詞-自立"))),
+    (39, "pp2_adv_noun", "過去の試合を調べた。",
+     (("過去", "名詞-副詞可能"), ("試合", "名詞-サ変接続"),
+      ("調べ", "動詞-自立"))),
 )
 
 
