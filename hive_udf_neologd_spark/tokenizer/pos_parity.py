@@ -234,9 +234,18 @@ T30_ACC_FLOOR = 1.0
 # registers.  Honest measurements: tranche 1 **17/17 clean on the first
 # run**, tranche 2 **8/8 clean** — POS-subtype row selection was already
 # exactly faithful (the saturation signal, third clean-first-measurement
-# axis this round after t29's 26/26).
+# axis this round after t29's 26/26).  Round-11 tranche 2 (pp2_*, the
+# wave-427/428 vocabulary incl. the deverbal noun/verb POS splits and
+# the 午後 dual-row tie): **14/14 clean on the first run** — corpus
+# committed before measurement, aggregates recaptured to 39 sentences /
+# 22 registers.
 T30_EXPECTED: dict[str, tuple[int, int, int, int]] = {
-    "__total__": (25, 25, 62, 62),
+    "__total__": (39, 39, 103, 103),
+    "pp2_adv_noun": (3, 3, 9, 9),
+    "pp2_noun": (1, 1, 4, 4),
+    "pp2_role": (5, 5, 15, 15),
+    "pp2_tie2": (2, 2, 5, 5),
+    "pp2_verb": (3, 3, 8, 8),
     "pp_adj": (1, 1, 3, 3),
     "pp_adj_stem": (1, 1, 2, 2),
     "pp_adv_noun": (2, 2, 5, 5),
