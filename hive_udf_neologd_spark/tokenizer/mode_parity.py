@@ -476,6 +476,24 @@ MODE_PARITY_CORPUS: tuple[tuple[int, str, str, str, tuple[str, ...]], ...] = (
      ("事務", "を", "手伝う")),
     (147, "me4_new_rows", "extended", "用事がある。",
      ("用事", "が", "ある")),
+    # --- round-11 tranche 5 (ms5_*/me5_*): cross-axis pins on the
+    # round-11 vocabulary, held-out before measurement.  Derivations use
+    # only the documented penalty arithmetic (lattice.py:52-115 — kanji
+    # surface len>2 pays 3100+1000*(n-3)) and the committed row costs:
+    # 本契約 splits (本 1500 + 契約 1500 = 3000 < 1500+3100) with the
+    # compound emitted as synonym first; 予防接種 likewise (3000 <
+    # 1500+4100).  節税 has NO row (audit-156 gray zone): NORMAL groups
+    # it as one unknown (3000+500·2 = 4000 beats 節 1500 + 税-unk 3000),
+    # but EXTENDED's unigram path reads 節(dict 1500)+税(unk 3000) —
+    # surfaces 節|税 either way, pinning the audit's unknown against the
+    # unigram rule.
+    (148, "ms5_round11", "search", "本契約を結んだ。",
+     ("本契約", "本", "契約", "を", "結ん", "だ")),
+    (149, "ms5_round11", "search", "予防接種の予定を確認した。",
+     ("予防接種", "予防", "接種", "の", "予定", "を", "確認", "し",
+      "た")),
+    (150, "me5_round11", "extended", "節税の制度を使った。",
+     ("節", "税", "の", "制度", "を", "使っ", "た")),
 )
 
 
