@@ -650,7 +650,9 @@ T25_ACC_FLOOR = 1.0
 # 0.990741 (1 mismatch, the 音声 dictionary gap, wave 419 —
 # BASELINE.md).
 T25_EXPECTED: dict[str, tuple[int, int, int, int]] = {
-    "__total__": (147, 147, 772, 772),
+    "__total__": (150, 150, 794, 794),
+    "me5_round11": (1, 1, 7, 7),
+    "ms5_round11": (2, 2, 15, 15),
     "me2_ascii_mix": (3, 3, 19, 19),
     "me2_nested": (1, 1, 7, 7),
     "me2_ocr_unigram": (3, 3, 21, 21),
