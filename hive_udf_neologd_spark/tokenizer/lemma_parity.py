@@ -179,6 +179,21 @@ LEMMA_PARITY_CORPUS: tuple[tuple[int, str, str, tuple[str, ...]], ...] = (
     (63, "ll2_tie_more", "深い眠りについた。", ("深い", "眠り", "つく")),
     (64, "ll2_tie_more", "踊りを習った。", ("踊り", "習う")),
     (65, "ll2_tie_more", "祈りをささげた。", ("祈り", "ささげる")),
+    # --- round-11 tranche 3 (ll3_*): the wave-427 orphan verbs on the
+    # LEMMA axis, held-out before measurement — the axis where the
+    # orphan class actually bit (司会を務める lemmatized to nothing
+    # before the wave).  Derivations: IPADIC conjugation + the deverbal
+    # cost-parity tie rules already pinned by ll2_tie_more (noun in
+    # を/が/の contexts, verb lemma under た/ます).
+    (66, "ll3_orphan", "彼女は司会を務めた。", ("彼女", "司会", "務める")),
+    (67, "ll3_orphan", "会長としての務めを果たした。",
+     ("会長", "務め", "果たす")),  # として 助詞-連語, POS-stopped
+    (68, "ll3_orphan", "鶴を折りました。", ("鶴", "折る")),
+    (69, "ll3_orphan", "紙の折りを数えた。", ("紙", "折り", "数える")),
+    (70, "ll3_orphan", "両者の意見は大きく隔たっている。",
+     ("両者", "意見", "大きい", "隔たる")),
+    (71, "ll3_orphan", "二人の間の隔たりを感じた。",
+     ("二人", "間", "隔たり", "感じる")),
 )
 
 
