@@ -199,6 +199,44 @@ UD_PARITY_CORPUS: tuple[
     (26, "ud_control", "normal", (),
      "東京駅で待った。",
      (("東京駅", "トウキョウエキ"), ("待っ", "マッ"))),
+    # ------------------------------------------------------------------
+    # Round-11 tranche 2 (sids 27-31, ud2_* registers) — held-out before
+    # measurement; derivations from the documented user-dict semantics
+    # only (user rows always win their span, carry the CSV's readings
+    # verbatim, are never synonym-emitted, and are excluded from
+    # EXTENDED unigramming) plus committed row facts.  Classes the first
+    # 26 leave thin: a user row overriding a ROW ADDED THIS ROUND (the
+    # wave-428 評議員 compound), a user reading override of an
+    # authored-tier reading (電車 デンシャ → カスタムデンシャ), EXTENDED
+    # over a surface that is otherwise a gray-zone UNKNOWN (節税 — the
+    # user segmentation must suppress the unigram path), a SEARCH
+    # emission mixing a dict-compound synonym (予防接種) with a user
+    # compound (no synonym) in one sentence, and two user rows where one
+    # is a prefix of the other (longest-first among user rows).
+    (27, "ud2_new_row_override", "normal",
+     ("評議員,評議 員,ヒョウギ イン,カスタム名詞",),
+     "評議員が集まった。",
+     (("評議", "ヒョウギ"), ("員", "イン"), ("集まっ", "アツマッ"))),
+    (28, "ud2_reading_override", "normal",
+     ("電車,電車,カスタムデンシャ,カスタム名詞",),
+     "電車に乗った。",
+     (("電車", "カスタムデンシャ"), ("乗っ", "ノッ"))),
+    (29, "ud2_extended", "extended",
+     ("節税,節 税,セツ ゼイ,カスタム名詞",),
+     "節税を学んだ。",
+     (("節", "セツ"), ("税", "ゼイ"), ("学ん", "マナン"))),
+    (30, "ud2_search_mix", "search",
+     ("日本経済新聞,日本 経済 新聞,ニホン ケイザイ シンブン,カスタム名詞",),
+     "予防接種と日本経済新聞を調べた。",
+     (("予防接種", None), ("予防", "ヨボウ"), ("接種", None),
+      ("日本", "ニホン"), ("経済", "ケイザイ"), ("新聞", "シンブン"),
+      ("調べ", "シラベ"))),
+    (31, "ud2_longest", "normal",
+     ("評議員,評議 員,ヒョウギ イン,カスタム名詞",
+      "評議,評議,ヒョウギ,カスタム名詞"),
+     "評議員と評議を調べた。",
+     (("評議", "ヒョウギ"), ("員", "イン"), ("評議", "ヒョウギ"),
+      ("調べ", "シラベ"))),
 )
 
 
