@@ -332,7 +332,12 @@ T29_ACC_FLOOR = 1.0
 # override semantics the in-repo goldens pinned were already exactly
 # faithful; the same shape as mode tranche 2's 27/27-clean extension).
 T29_EXPECTED: dict[str, tuple[int, int, int, int]] = {
-    "__total__": (26, 26, 71, 71),
+    "__total__": (31, 31, 90, 90),
+    "ud2_extended": (1, 1, 3, 3),
+    "ud2_longest": (1, 1, 4, 4),
+    "ud2_new_row_override": (1, 1, 3, 3),
+    "ud2_reading_override": (1, 1, 2, 2),
+    "ud2_search_mix": (1, 1, 7, 7),
     "ud_chain": (2, 2, 6, 6),
     "ud_control": (3, 3, 6, 6),
     "ud_longest": (1, 1, 4, 4),
