@@ -424,7 +424,9 @@ _NOUNS_GENERAL = [
     "料理", "食事", "水", "お金", "値段", "価格", "商品", "製品",
     "技術", "研究", "開発", "設計", "機能", "性能", "品質", "環境",
     "関係", "状態", "状況", "条件", "理由", "目的", "対象", "範囲",
-    "結論", "原因", "効果", "影響", "特徴", "種類", "部分", "全体",
+    "結論", "原因", "効果", "特徴", "種類", "部分", "全体",
+    # 影響 moved to _NOUNS_SAHEN (wave-430 subtype sweep: IPADIC
+    # 名詞,サ変接続 — connection classes identical, POS string only).
     "最初", "最後", "途中", "順番", "番号", "数", "量", "形", "色",
     "音", "味", "匂い", "気持ち", "感じ", "経験", "知識", "能力",
 ]
@@ -486,6 +488,9 @@ _NOUNS_SAHEN = [  # 名詞-サ変接続 (suru-verbs' noun stems)
     "追加", "保存", "計算", "集計", "比較", "評価", "判断", "選択",
     "決定", "管理", "運用", "対応", "参加", "協力", "準備", "完成",
     "成功", "失敗", "開始", "終了", "移動", "到着", "出発", "帰宅",
+    # wave-430 subtype sweep arrivals (IPADIC 名詞,サ変接続; formerly in
+    # the general tiers above — segmentation-neutral, POS output only):
+    "影響", "計画", "議論",
 ]
 _NOUNS_ADVERBIAL = ["過去", "今日", "明日", "昨日", "現在", "将来", "今回", "最近",
                     "今年", "去年", "来年", "毎日", "毎年", "毎回", "以前", "以降",
@@ -746,7 +751,9 @@ _NOUNS_GENERAL_EXTRA = [
     "地震", "台風", "津波", "火事", "市場", "銀行", "工場", "農業",
     "漁業", "工業", "産業", "貿易", "輸出", "輸入", "景気", "物価",
     "給料", "税金", "保険", "年金", "契約", "書類", "会議", "資料",
-    "計画", "予定", "目標", "成果", "課題", "提案", "意見", "議論",
+    "予定", "目標", "成果", "課題", "提案", "意見",
+    # 計画/議論 moved to _NOUNS_SAHEN (wave-430 subtype sweep — same
+    # IPADIC 名詞,サ変接続 correction as 影響 above).
     "理論", "実験", "観察", "証拠", "事実", "真実", "嘘", "秘密",
     "権利", "義務", "責任", "自由", "平等", "正義", "道徳", "倫理",
     "感情", "記憶", "想像", "意識", "精神", "身体", "血", "骨",

@@ -121,8 +121,14 @@ POS_PARITY_CORPUS: tuple[
      (("彼女", "名詞-代名詞-一般"), ("司会", "名詞-サ変接続"),
       ("務め", "動詞-自立"))),
     (27, "pp2_role", "理事が渉外を担当した。",
+     # CORRECTED BY ARGUMENT post-measurement: the pin was derived from
+     # the committed row (担当 shipped 名詞-一般), and the wave-430
+     # サ変-subtype sweep then corrected that ROW to the IPADIC fact
+     # (名詞,サ変接続) — the derivation source moved, so the pin moves
+     # with it; the original 14/14 measurement against the old rows
+     # stands recorded in BASELINE.md.
      (("理事", "名詞-一般"), ("渉外", "名詞-一般"),
-      ("担当", "名詞-一般"))),
+      ("担当", "名詞-サ変接続"))),
     (28, "pp2_role", "監事と書記が理事を補佐した。",
      (("監事", "名詞-一般"), ("書記", "名詞-一般"),
       ("理事", "名詞-一般"), ("補佐", "名詞-サ変接続"))),
