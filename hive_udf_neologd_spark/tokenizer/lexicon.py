@@ -427,7 +427,8 @@ _NOUNS_GENERAL = [
     "結論", "原因", "効果", "特徴", "種類", "部分", "全体",
     # 影響 moved to _NOUNS_SAHEN (wave-430 subtype sweep: IPADIC
     # 名詞,サ変接続 — connection classes identical, POS string only).
-    "最初", "最後", "途中", "順番", "番号", "数", "量", "形", "色",
+    "最初", "最後", "順番", "番号", "数", "量", "形", "色",
+    # 途中 moved to _NOUNS_ADVERBIAL (wave-431 副詞可能 subtype sweep).
     "音", "味", "匂い", "気持ち", "感じ", "経験", "知識", "能力",
 ]
 # --- single-kanji noun tier (round-8 audit 129) ---------------------------
@@ -494,7 +495,10 @@ _NOUNS_SAHEN = [  # 名詞-サ変接続 (suru-verbs' noun stems)
 ]
 _NOUNS_ADVERBIAL = ["過去", "今日", "明日", "昨日", "現在", "将来", "今回", "最近",
                     "今年", "去年", "来年", "毎日", "毎年", "毎回", "以前", "以降",
-                    "以上", "以下", "全部", "一部", "今後", "当時", "午前", "午後"]
+                    "以上", "以下", "全部", "一部", "今後", "当時", "午前", "午後",
+                    # wave-431 副詞可能 subtype sweep arrival (IPADIC
+                    # fact; formerly in the general tier above):
+                    "途中"]
 
 # --- pronouns (名詞-代名詞-一般) ------------------------------------------
 _PRONOUNS = ["これ", "それ", "あれ", "どれ", "ここ", "そこ", "あそこ", "どこ",

@@ -56,7 +56,11 @@ POS_PARITY_CORPUS: tuple[
      (("新しい", "形容詞-自立"), ("時計", "名詞-一般"),
       ("買っ", "動詞-自立"))),
     (7, "pp_adj_stem", "穏やかな週末だった。",
-     (("穏やか", "名詞-形容動詞語幹"), ("週末", "名詞-一般"))),
+     # CORRECTED BY ARGUMENT post-measurement: the 週末 pin was derived
+     # from the committed row (一般), and the wave-431 副詞可能 sweep
+     # corrected that ROW to the IPADIC subtype — the pin moves with
+     # its derivation source (same protocol as s27 担当 / wave 430).
+     (("穏やか", "名詞-形容動詞語幹"), ("週末", "名詞-副詞可能"))),
     (8, "pp_unknown", "ゾンビが現れた。",
      (("ゾンビ", "名詞-一般"), ("現れ", "動詞-自立"))),
     (9, "pp_number", "パスワードは1234です。",
