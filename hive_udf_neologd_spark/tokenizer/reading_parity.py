@@ -490,6 +490,97 @@ READING_PARITY_CORPUS: tuple[
     (138, "rr6_daily2", "見込みより大量の書類が届いた。",
      (("見込み", "ミコミ"), ("大量", "タイリョウ"),
       ("書類", "ショルイ"), ("届い", "トドイ"))),
+    # ------------------------------------------------------------------
+    # Round-11 tranche 7 (sids 139-162, rr7_* registers) — committed
+    # BEFORE the readings block, same protocol as tranches 5/6.  The
+    # freq-2 tail: media/econ/legal/people registers, the compound
+    # verbs (乗り遅れる/走り続ける), and the DEVERBAL-NOUN surface keys
+    # the conjugation derivation cannot reach (務め/考え/違い/問い合わせ
+    # — noun rows carry no base form, so the lemma key must be the
+    # surface itself; their verb twins' readings coincide, the rr_tie
+    # argument).  New exclusions joining the pinned class: 頭 (アタマ/
+    # トウ counter on the same surface), 家 (イエ/ウチ), 音 (オト/ネ),
+    # 空 (ソラ/カラ), 日本 (ニホン/ニッポン — IPADIC ships both rows),
+    # 工場 (コウジョウ/コウバ), 大事 (ダイジ/オオゴト), 一度 (イチド/
+    # ヒトタビ), 得る/あり得る (エル/ウル).
+    # --- rr7_media ------------------------------------------------------
+    (139, "rr7_media", "新曲の配信が無料で始まった。",
+     (("新曲", "シンキョク"), ("配信", "ハイシン"), ("無料", "ムリョウ"),
+      ("始まっ", "ハジマッ"))),
+    (140, "rr7_media", "記事の記録を更新した。",
+     (("記事", "キジ"), ("記録", "キロク"), ("更新", "コウシン"))),
+    (141, "rr7_media", "絵本と音楽が好きだ。",
+     (("絵本", "エホン"), ("音楽", "オンガク"), ("好き", "スキ"))),
+    # --- rr7_econ -------------------------------------------------------
+    (142, "rr7_econ", "経済の議論が国会で始まった。",
+     (("経済", "ケイザイ"), ("議論", "ギロン"), ("国会", "コッカイ"),
+      ("始まっ", "ハジマッ"))),
+    (143, "rr7_econ", "消費税と金利の記事を読んだ。",
+     (("消費税", "ショウヒゼイ"), ("金利", "キンリ"), ("記事", "キジ"),
+      ("読ん", "ヨン"))),
+    (144, "rr7_econ", "全国で輸入の業績を調べた。",
+     (("全国", "ゼンコク"), ("輸入", "ユニュウ"),
+      ("業績", "ギョウセキ"), ("調べ", "シラベ"))),
+    # --- rr7_law2 -------------------------------------------------------
+    (145, "rr7_law2", "義務の履行を巡る議論があった。",
+     (("義務", "ギム"), ("履行", "リコウ"), ("巡る", "メグル"),
+      ("議論", "ギロン"))),
+    (146, "rr7_law2", "前項の事項を書面に記載した。",
+     (("前項", "ゼンコウ"), ("事項", "ジコウ"), ("書面", "ショメン"),
+      ("記載", "キサイ"))),
+    (147, "rr7_law2", "本件の効力が解除された。",
+     (("本件", "ホンケン"), ("効力", "コウリョク"),
+      ("解除", "カイジョ"))),
+    # --- rr7_daily3 -----------------------------------------------------
+    (148, "rr7_daily3", "犬と庭で遊んだ。",
+     (("犬", "イヌ"), ("庭", "ニワ"), ("遊ん", "アソン"))),
+    (149, "rr7_daily3", "塩と油で料理した。",
+     (("塩", "シオ"), ("油", "アブラ"), ("料理", "リョウリ"))),
+    (150, "rr7_daily3", "部屋の布団を整理した。",
+     (("部屋", "ヘヤ"), ("布団", "フトン"), ("整理", "セイリ"))),
+    (151, "rr7_daily3", "自転車で買い物に行った。",
+     (("自転車", "ジテンシャ"), ("買い物", "カイモノ"),
+      ("行っ", "イッ"))),
+    # --- rr7_verb2 ------------------------------------------------------
+    (152, "rr7_verb2", "頂上まで走り続けた。",
+     (("頂上", "チョウジョウ"), ("走り続け", "ハシリツヅケ"))),
+    (153, "rr7_verb2", "彼女は必ず誓いを守る。",
+     (("彼女", "カノジョ"), ("必ず", "カナラズ"), ("誓い", "チカイ"),
+      ("守る", "マモル"))),
+    (154, "rr7_verb2", "電車に乗り遅れた。",
+     (("電車", "デンシャ"), ("乗り遅れ", "ノリオクレ"))),
+    (155, "rr7_verb2", "提案を断った。",
+     (("提案", "テイアン"), ("断っ", "コトワッ"))),
+    # --- rr7_deverbal2 (noun-surface keys) -------------------------------
+    (156, "rr7_deverbal2", "締め切りの問い合わせが来た。",
+     (("締め切り", "シメキリ"), ("問い合わせ", "トイアワセ"),
+      ("来", None))),  # 来る suppletive exclusion persists
+    (157, "rr7_deverbal2", "考えの違いを整理した。",
+     (("考え", "カンガエ"), ("違い", "チガイ"), ("整理", "セイリ"))),
+    (158, "rr7_deverbal2", "会長の務めを知った。",
+     (("会長", "カイチョウ"), ("務め", "ツトメ"), ("知っ", "シッ"))),
+    # --- rr7_time2 ------------------------------------------------------
+    (159, "rr7_time2", "昭和と令和の歴史を学んだ。",
+     (("昭和", "ショウワ"), ("令和", "レイワ"), ("歴史", "レキシ"),
+      ("学ん", "マナン"))),
+    (160, "rr7_time2", "四半期の日程を本日決めた。",
+     (("四半期", "シハンキ"), ("日程", "ニッテイ"),
+      ("本日", "ホンジツ"), ("決め", "キメ"))),
+    (161, "rr7_time2", "氷点下の天気で星を見た。",
+     (("氷点下", "ヒョウテンカ"), ("天気", "テンキ"), ("星", "ホシ"),
+      ("見", "ミ"))),
+    # --- rr7_people2 ----------------------------------------------------
+    (162, "rr7_people2", "学生とお客様が全員集まった。",
+     (("学生", "ガクセイ"), ("お客様", "オキャクサマ"),
+      ("全員", "ゼンイン"), ("集まっ", "アツマッ"))),
+    (163, "rr7_people2", "社員が首相に賛成した。",
+     (("社員", "シャイン"), ("首相", "シュショウ"),
+      ("賛成", "サンセイ"))),
+    (164, "rr7_people2", "人間は歴史から学ぶ。",
+     (("人間", "ニンゲン"), ("歴史", "レキシ"), ("学ぶ", "マナブ"))),
+    (165, "rr7_sahen2", "添付の画像で方法を説明した。",
+     (("添付", "テンプ"), ("画像", "ガゾウ"), ("方法", "ホウホウ"),
+      ("説明", "セツメイ"))),
 )
 
 
