@@ -494,6 +494,21 @@ MODE_PARITY_CORPUS: tuple[tuple[int, str, str, str, tuple[str, ...]], ...] = (
       "た")),
     (150, "me5_round11", "extended", "節税の制度を使った。",
      ("節", "税", "の", "制度", "を", "使っ", "た")),
+    # --- round-12 tranche 6 (ms6_punct/me6_punct): the lone-・ class on
+    # the MODE axis (VERDICT r11 #1 done-criterion: a SEARCH decompound
+    # across ・).  Derivation: discardPunctuation covers U+30FB (Po), so
+    # ・ never surfaces in ANY mode; SEARCH synonym arithmetic is
+    # unchanged by an adjacent ・ (予防接種 splits: 予防 1500 + 接種
+    # 1500 = 3000 < 1500+4100, compound emitted first); EXTENDED's
+    # unigram rule applies to unknown runs, and a discarded ・ is not an
+    # unknown run.  Committed BEFORE the engine fix (pre-fix scores in
+    # BASELINE.md).
+    (151, "ms6_punct", "search", "野菜・果物を食べた。",
+     ("野菜", "果物", "を", "食べ", "た")),
+    (152, "ms6_punct", "search", "運動・予防接種を受けた。",
+     ("運動", "予防接種", "予防", "接種", "を", "受け", "た")),
+    (153, "me6_punct", "extended", "東京・大阪に行った。",
+     ("東京", "大阪", "に", "行っ", "た")),
 )
 
 

@@ -18,7 +18,10 @@ from hive_udf_neologd_spark.tokenizer.parity import (
 
 # Characters allowed BETWEEN expected tokens (discarded by the tokenizer):
 # Japanese/ASCII punctuation and whitespace only.
-_PUNCT = set("。、．，・「」『』（）()！？!?　 　…―ー-：:；;")
+_PUNCT = set("。、．，・「」『』（）()！？!?　 　…―ー-：:；;〜★％№･")  # round-12
+# ho10_sym additions: 〜 (U+301C Pd), ★ (So), ％ (Po), № (So), ･ (U+FF65
+# Po) — all in Lucene's discardPunctuation categories, legal BETWEEN
+# expected tokens.
 
 
 class TestCorpusIntegrity:
