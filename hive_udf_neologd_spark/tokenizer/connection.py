@@ -249,7 +249,32 @@ PARTICLE_DEMO = 46  # でも (副助詞 — 誰にでも, 子供でも分かる)
                  # stems: a generic-particle でも would have merged
                  # every te-form 飲ん+で+も into 飲ん+でも (corpus 231
                  # pins なく/て/も).  Round-8 held-out tranche 2, s557.
-N_CLASSES = 49
+NUM_UNK = 49  # unknown ARABIC-DIGIT runs' RIGHT class (round 12): an
+                 # exact copy of DEFAULT's authored row (so every block/
+                 # penalty a digit context had keeps holding) PLUS the
+                 # 数→つ counter reward (COUNTER_TSU below).
+                 # Deliberately NOT shared with the kanji-numeral
+                 # 名詞-数 DICTIONARY rows: the lexicon carries fused
+                 # kanji-number compounds (一人, 一時, 一つ…) whose
+                 # pinned whole readings a class-level reward would
+                 # re-split; arabic-digit runs have no fused competitors
+                 # except the NEologd date entries (10日/3月 at 900),
+                 # which the split can never reach (the digit run's own
+                 # 3500 unknown cost comes first).
+COUNTER_TSU = 50  # the counter つ's LEFT class (round 12, VERDICT r11
+                 # #2 "must win after 数 and lose elsewhere"): +800
+                 # from EVERY left class except NUM_UNK (blanket loop
+                 # below — counters attach to numbers; every other
+                 # neighbor is a thief context: い+つ undercut いつ's
+                 # 2-char rung inside いつまでに, や+つ undercut やつ
+                 # when つ briefly shared the generic 助数詞 tuple),
+                 # and -2700 from NUM_UNK so digit+つ reads
+                 # 数|助数詞 (1つください → つ 3600-2700+ください 1200
+                 # = 2100 < つく+ださい 2400).  Being a COARSE class,
+                 # the +800 reaches live-as-left tuple ids through the
+                 # (group_rc, COUNTER_TSU) fallback — no liveness
+                 # change, no canonicalization side effects.
+N_CLASSES = 51
 
 # Declared schema version of the CLASS-ASSIGNMENT mapping (entry_classes):
 # the marshal-precompiled dictionary snapshot bakes each row's (lc, rc)
@@ -296,7 +321,11 @@ N_CLASSES = 49
 # (書か, 聞か, 置か...) canonicalizes to its coarse group so the
 # (VERB_ONBIN → 未然形) ておく-contraction reward cannot leak onto
 # generally ungrammatical bigrams.
-CLASS_SCHEMA_VERSION = 14
+# v15: round-12 counter つ — two new behavior classes (NUM_UNK for
+# unknown digit runs, COUNTER_TSU for つ's surface-scoped left) shift
+# every tuple id by 2, and the live-particle counter-penalty closure
+# adds exact-pair overrides.
+CLASS_SCHEMA_VERSION = 15
 
 # 連用 (continuative) forms — the state auxiliaries attach to (聴い+た,
 # でき+ます, 高かっ+た).  Deliberately NOT including 未然形: rewarding
@@ -398,6 +427,9 @@ def entry_classes(
         # na-adjective way (うれしげ+な+表情).
         if surface == "さ" and "接尾" in pos:
             return (NOUN_SA, NOUN)
+        if surface == "つ" and "助数詞" in pos:
+            # The hiragana counter (round 12): see COUNTER_TSU.
+            return (COUNTER_TSU, NOUN)
         if surface == "げ" and "接尾" in pos:
             return (NOUN_SA, NOUN_KD)
         if surface == "そう" and "接尾" in pos:
@@ -1165,6 +1197,29 @@ for _next in (PARTICLE, PARTICLE_CASE, PARTICLE_TE, PARTICLE_DE, AUX,
               AUX_DA, AUX_COP):
     CONNECTION_COSTS[(BOS, _next)] = 400
 
+# COUNTER_TSU (round 12): the counter つ loses everywhere by +800 —
+# blanket over every coarse left so no attachment context is missed
+# (see the class declaration for the thief contexts this closes).  The
+# one legal left, NUM_UNK, is carved out right after the row copy below.
+for _left in range(N_CLASSES):
+    if _left != NUM_UNK:
+        CONNECTION_COSTS[(_left, COUNTER_TSU)] = 800
+
+# NUM_UNK (round 12): digit runs behaved as DEFAULT until the counter つ
+# landed — copy DEFAULT's complete authored row so that stays true
+# verbatim (blocks on bare う/ん/た/ない…, the なく/んで guards), then
+# apply the one divergence: the 数→助数詞 reward that makes digit+つ
+# the canonical IPADIC read (margins in the COUNTER_TSU declaration).
+# Runs AFTER every CONNECTION_COSTS author site above by construction —
+# a later DEFAULT-row edit added below this line would silently not
+# copy, so keep this block last.
+for (_l, _r), _v in list(CONNECTION_COSTS.items()):
+    if _l == DEFAULT:
+        CONNECTION_COSTS[(NUM_UNK, _r)] = _v
+if DEFAULT in EOS_COSTS:  # pragma: no cover — DEFAULT has no EOS cost today
+    EOS_COSTS[NUM_UNK] = EOS_COSTS[DEFAULT]
+CONNECTION_COSTS[(NUM_UNK, COUNTER_TSU)] = -2700
+
 
 # --- mechanical tuple-class machinery (fills the tables declared above
 # entry_classes; runs LAST so the authored matrix is complete) --------------
@@ -1271,6 +1326,24 @@ TUPLE_OVERRIDES: dict[tuple[int, int], int] = {
     (VERB_ONBIN, _KAGYO_MIZEN): -1000,
 }
 EOS_OVERRIDES: dict[int, int] = {}
+
+# Counter-penalty closure over LIVE particle lefts (round 12): the
+# audit-135 +800 above is keyed on the COARSE particle classes, which
+# reaches every particle tuple that canonicalizes — but a tuple already
+# live-as-left (named as a left by some other override) keeps its own
+# rc, falls back to (group_rc, group_lc) = (PARTICLE, NOUN) = 0, and
+# skips the penalty entirely (found while probing the counter つ, whose
+# first draft shared this tuple and slid in after や for exactly this
+# reason; BASELINE.md round 12).  Add the exact pair for every
+# ALREADY-live particle-group left — setdefault on already-live ids
+# only, so no tuple's canonicalization changes and no other
+# coarse-keyed override detaches.
+_CNT_LC = TUPLE_IDS[("名詞-接尾-助数詞", "", "")]
+for _l in ({l for (l, _r) in TUPLE_OVERRIDES} | set(EOS_OVERRIDES)):
+    if _l >= N_CLASSES and _TUPLE_GROUPS[_l - N_CLASSES][1] in (
+        PARTICLE, PARTICLE_CASE, PARTICLE_TE, PARTICLE_DE
+    ):
+        TUPLE_OVERRIDES.setdefault((_l, _CNT_LC), 800)
 
 # 4) Canonicalization: an id is live as a LEFT class only if an override
 # names it on the right; live as a RIGHT class only if an override names

@@ -65,8 +65,25 @@ _POS_UNK_NUM = "名詞-数"
 _POS_UNK = "名詞-一般"
 _POS_PUNCT = "記号-一般"
 
+# Punct-category chars the kana blocks claim (・ ゠ ゛ ゜) — each gets a
+# zero-cost discardable node CANDIDATE alongside the unknown candidates,
+# the engine analog of IPADIC Symbol.csv's ・ 記号,一般 row (round 12,
+# VERDICT r11 #1).  Grouping is untouched: the chars keep their kana
+# char_class, so an unknown run still spans them (フランツ・カフカ one
+# grouped candidate) and wins whenever the split path's unknown parts
+# cost more — but two KNOWN rows around ・ now split the IPADIC way
+# (ピアノ・ギター → ピアノ|[・]|ギター at 3000 vs grouped 6500).
+_MISC_PUNCT = chardef.MISCLASSED_PUNCT
+_is_punct_token = chardef.is_punct_token
+
 _BOS = connection.BOS
 _DEF = connection.DEFAULT
+# Unknown ARABIC-DIGIT runs carry NUM_UNK as their RIGHT class
+# (round 12): an exact copy of DEFAULT's row plus the 数→助数詞
+# counter reward (see connection.NUM_UNK for why kanji-numeral
+# dictionary rows are deliberately excluded).  The LEFT class stays
+# DEFAULT — incoming edges to digit runs are unchanged.
+_NUM_RC = connection.NUM_UNK
 
 # Dense form for the Viterbi hot loop: _CONN2D[prev_rc][next_lc] → cost
 # (0 for unlisted pairs).  Tuples of ints — one index op per candidate.
@@ -260,11 +277,21 @@ class Lattice:
                 # discardable node.
                 relax(run_end[i] - i, 0, None, _POS_PUNCT, True, _DEF, _DEF)
             else:
-                unk_pos = _POS_UNK_NUM if ci == _DIGIT else _POS_UNK
+                if text[i] in _MISC_PUNCT:
+                    # Symbol.csv-analog candidate (see _MISC_PUNCT note):
+                    # competes with, never replaces, the kana-class
+                    # unknown candidates below.
+                    relax(1, 0, None, _POS_PUNCT, True, _DEF, _DEF)
+                if ci == _DIGIT:
+                    unk_pos = _POS_UNK_NUM
+                    urc = _NUM_RC  # 名詞-数 right class (counter reward)
+                else:
+                    unk_pos = _POS_UNK
+                    urc = _DEF
                 if extended:
                     # Extended mode: unknown words become unigrams
                     # (Kuromoji EXTENDED).
-                    relax(1, 3000, None, unk_pos, False, _DEF, _DEF)
+                    relax(1, 3000, None, unk_pos, False, _DEF, urc)
                 elif ci == _KANJI:
                     # char.def: KANJI group=0 length=2 → candidates 1..2.
                     relax(1, 5200, None, unk_pos, False, _DEF, _DEF)
@@ -273,7 +300,7 @@ class Lattice:
                 elif ci in _GROUPING:
                     rl = run_end[i] - i
                     # Full-run grouped candidate (cheapest per char) ...
-                    relax(rl, 3000 + 500 * rl, None, unk_pos, False, _DEF, _DEF)
+                    relax(rl, 3000 + 500 * rl, None, unk_pos, False, _DEF, urc)
                     # ... plus short prefixes so embedded dictionary words
                     # can win.  Ladder extended to 5 in round 7 (audit
                     # 116): a missing 4-char word (なめらか) had no
@@ -365,10 +392,20 @@ class Lattice:
             if node_punct[nidx]:
                 continue  # discardPunctuation=true
             surface = text[i : i + node_len[nidx]]
+            if _is_punct_token(surface):
+                # Lucene discardPunctuation applies to every emitted
+                # token by CATEGORY, not by node class — an all-punct
+                # surface the kana-class nodes produced (a grouped ・・・
+                # run, a lone ゛) is discarded here (round 12, VERDICT
+                # r11 #1).  One category lookup per token typical: the
+                # first non-punct char short-circuits.
+                continue
             e = node_entry[nidx]
             if e is not None and e.segments:
                 # User-dictionary segmentation: emit each segment as a token.
                 for seg, reading in e.segments:
+                    if _is_punct_token(seg):
+                        continue
                     tokens.append(
                         Token(seg, seg, e.pos, None, reading, False, False)
                     )

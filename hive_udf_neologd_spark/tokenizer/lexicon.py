@@ -626,6 +626,21 @@ _SUFFIXES = [
     # merges, so the plain 1500 noun tier wins there just the same.
 ]
 
+# つ (IPADIC 名詞,接尾,助数詞 — the most common counter in the language;
+# round 12, VERDICT r11 #2): the ONLY hiragana counter, so it cannot sit
+# on the 900/1500 kanji tiers — a cheap 1-char hiragana row is a lattice
+# thief (や+つ would undercut やつ, あい+つ would undercut あいつ).
+# Priced at 3600 and rewarded -2700 from the digit runs' NUM_UNK right
+# class (connection.TUPLE_OVERRIDES), so it wins after arabic numbers
+# ONLY:
+#   3つある  → つ 3600-2700 + ある 1200 = 2100 < つある grouped 4500
+#   1つください → 900+1200 = 2100 < つく 1200 + ださい(row) 1200 = 2400
+#   やつ/あいつ/こたつ stay whole (3600+penalty beats every split)
+#   ひとつ/一つ/二つ/三つ/いくつ lexicalized rows win outright (1500)
+#   kanji numerals carry no reward (一人/一時 fused rows keep winning).
+# Probe-verified collision set recorded in BASELINE.md (round-12 entry).
+_SUFFIX_COUNTER_TSU = ("つ", "名詞-接尾-助数詞", 3600)
+
 _SUFFIXES_COUNTER_1500 = [
     ("匹", "名詞-接尾-助数詞"), ("頭", "名詞-接尾-助数詞"),
     ("羽", "名詞-接尾-助数詞"), ("冊", "名詞-接尾-助数詞"),
@@ -886,6 +901,7 @@ def _build() -> list[tuple]:
         entries.append((surface, pos, 900, None, None))
     for surface, pos in _SUFFIXES_COUNTER_1500:
         entries.append((surface, pos, 1500, None, None))
+    entries.append((*_SUFFIX_COUNTER_TSU[:2], _SUFFIX_COUNTER_TSU[2], None, None))
     for surface in _ADVERBS:
         entries.append((surface, "副詞-一般", 1000, None, None))
     for surface in _ADNOMINAL:
