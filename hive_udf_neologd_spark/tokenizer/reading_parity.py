@@ -588,6 +588,43 @@ READING_PARITY_CORPUS: tuple[
     (165, "rr7_sahen2", "添付の画像で方法を説明した。",
      (("添付", "テンプ"), ("画像", "ガゾウ"), ("方法", "ホウホウ"),
       ("説明", "セツメイ"))),
+    # --- Round-12 tranche 8 (sids 166-175, rr8_*): the remaining
+    # freq>=2 non-excluded SNAPSHOT-row lemmas measured by
+    # parity_report after tranche 7 (news/finance/people registers —
+    # 16 target keys), committed BEFORE the authoring block per
+    # protocol.  Readings are IPADIC column-11 facts: 警察 ケイサツ,
+    # 公表 コウヒョウ, 記者会見 キシャカイケン, 導入 ドウニュウ,
+    # 見合わせる ミアワセル, 閣議 カクギ, 値上がり ネアガリ,
+    # 前日 ゼンジツ, 下がる サガル, 中央銀行 チュウオウギンコウ,
+    # 各国 カッコク, 一人 ヒトリ (the 副詞可能 row — イチニン lives in
+    # compounds like 一人前, not this row), 二人 フタリ, 早め ハヤメ,
+    # 出力 シュツリョク, 大阪 オオサカ.  原因 stays None: it is no row
+    # at all (unknown 2-kanji token — the rr_unknown_null class).
+    (166, "rr8_news", "警察が事故の原因を公表した。",
+     (("警察", "ケイサツ"), ("事故", "ジコ"), ("原因", None),
+      ("公表", "コウヒョウ"))),
+    (167, "rr8_news", "首相は記者会見で導入を発表した。",
+     (("首相", "シュショウ"), ("記者会見", "キシャカイケン"),
+      ("導入", "ドウニュウ"), ("発表", "ハッピョウ"))),
+    (168, "rr8_news", "新幹線の運転を見合わせた。",
+     (("新幹線", "シンカンセン"), ("運転", "ウンテン"),
+      ("見合わせ", "ミアワセ"))),
+    (169, "rr8_news", "閣議の決定を公表した。",
+     (("閣議", "カクギ"), ("決定", "ケッテイ"), ("公表", "コウヒョウ"))),
+    (170, "rr8_fin2", "株価の値上がりが続いた。",
+     (("株価", "カブカ"), ("値上がり", "ネアガリ"), ("続い", "ツヅイ"))),
+    (171, "rr8_fin2", "金利が前日より下がった。",
+     (("金利", "キンリ"), ("前日", "ゼンジツ"), ("下がっ", "サガッ"))),
+    (172, "rr8_fin2", "中央銀行が各国の輸入を確認した。",
+     (("中央銀行", "チュウオウギンコウ"), ("各国", "カッコク"),
+      ("輸入", "ユニュウ"), ("確認", "カクニン"))),
+    (173, "rr8_people3", "一人で大阪へ行った。",
+     (("一人", "ヒトリ"), ("大阪", "オオサカ"), ("行っ", "イッ"))),
+    (174, "rr8_people3", "二人は早めに会場へ集まった。",
+     (("二人", "フタリ"), ("早め", "ハヤメ"), ("会場", "カイジョウ"),
+      ("集まっ", "アツマッ"))),
+    (175, "rr8_sahen3", "画面に結果を出力した。",
+     (("画面", "ガメン"), ("結果", "ケッカ"), ("出力", "シュツリョク"))),
 )
 
 
