@@ -721,67 +721,71 @@ T28_ACC_FLOOR = 1.0
 # ichidan/adjectives/everyday nouns/places + the mechanical place-
 # suffix derivation in the generator; 4,474 rows / 1,493 lemmas).
 T28_EXPECTED: dict[str, tuple[int, int, int, int]] = {
-    "__total__": (165, 165, 485, 485),
-    "rr2_adj": (3, 3, 7, 7),
-    "rr2_emotion": (1, 1, 3, 3),
-    "rr2_food": (3, 3, 8, 8),
-    "rr2_health": (2, 2, 5, 5),
-    "rr2_household": (2, 2, 6, 6),
-    "rr2_ichidan": (3, 3, 6, 6),
-    "rr2_null_anchor": (2, 2, 4, 4),
-    "rr2_people": (2, 2, 6, 6),
-    "rr2_place": (2, 2, 6, 6),
-    "rr2_verb": (3, 3, 7, 7),
-    "rr3_adj_stem": (3, 3, 8, 8),
-    "rr3_civic": (2, 2, 6, 6),
-    "rr3_compound_verb": (3, 3, 6, 6),
-    "rr3_money": (1, 1, 3, 3),
-    "rr3_null_mix": (1, 1, 3, 3),
-    "rr3_people": (1, 1, 3, 3),
-    "rr3_sahen": (2, 2, 5, 5),
-    "rr3_school": (2, 2, 6, 6),
-    "rr3_stage": (2, 2, 7, 7),
-    "rr3_transport": (2, 2, 6, 6),
-    "rr4_ambiguous_null": (2, 2, 4, 4),
-    "rr4_city": (2, 2, 6, 6),
-    "rr4_geo": (2, 2, 6, 6),
-    "rr4_landmark": (2, 2, 6, 6),
-    "rr4_medical": (2, 2, 6, 6),
-    "rr4_tokyo": (2, 2, 6, 6),
-    "rr4_weather": (2, 2, 6, 6),
-    "rr5_ambiguous_null": (3, 3, 7, 7),
-    "rr5_daily": (6, 6, 19, 19),
-    "rr5_deverbal": (3, 3, 8, 8),
-    "rr5_keigo": (2, 2, 6, 6),
-    "rr5_time": (4, 4, 14, 14),
-    "rr5_work": (5, 5, 17, 17),
-    "rr6_civic": (3, 3, 12, 12),
-    "rr6_daily2": (4, 4, 14, 14),
-    "rr6_keigo2": (3, 3, 9, 9),
-    "rr6_law": (4, 4, 15, 15),
-    "rr6_sahen": (4, 4, 13, 13),
-    "rr6_verb": (4, 4, 14, 14),
-    "rr6_weather": (2, 2, 7, 7),
-    "rr7_daily3": (4, 4, 12, 12),
-    "rr7_deverbal2": (3, 3, 9, 9),
-    "rr7_econ": (3, 3, 12, 12),
-    "rr7_law2": (3, 3, 11, 11),
-    "rr7_media": (3, 3, 10, 10),
-    "rr7_people2": (3, 3, 10, 10),
-    "rr7_sahen2": (1, 1, 4, 4),
-    "rr7_time2": (3, 3, 12, 12),
-    "rr7_verb2": (4, 4, 10, 10),
-    "rr_adj": (4, 4, 11, 11),
-    "rr_compound": (2, 2, 5, 5),
-    "rr_conj": (5, 5, 10, 10),
-    "rr_kana_control": (2, 2, 4, 4),
-    "rr_kun_rendaku": (4, 4, 10, 10),
-    "rr_on": (5, 5, 16, 16),
-    "rr_potential": (3, 3, 6, 6),
-    "rr_suru": (3, 3, 6, 6),
-    "rr_tie": (2, 2, 6, 6),
-    "rr_tier_null": (3, 3, 9, 9),
-    "rr_unknown_null": (2, 2, 6, 6),
+    '__total__': (175, 175, 519, 519),
+    'rr2_adj': (3, 3, 7, 7),
+    'rr2_emotion': (1, 1, 3, 3),
+    'rr2_food': (3, 3, 8, 8),
+    'rr2_health': (2, 2, 5, 5),
+    'rr2_household': (2, 2, 6, 6),
+    'rr2_ichidan': (3, 3, 6, 6),
+    'rr2_null_anchor': (2, 2, 4, 4),
+    'rr2_people': (2, 2, 6, 6),
+    'rr2_place': (2, 2, 6, 6),
+    'rr2_verb': (3, 3, 7, 7),
+    'rr3_adj_stem': (3, 3, 8, 8),
+    'rr3_civic': (2, 2, 6, 6),
+    'rr3_compound_verb': (3, 3, 6, 6),
+    'rr3_money': (1, 1, 3, 3),
+    'rr3_null_mix': (1, 1, 3, 3),
+    'rr3_people': (1, 1, 3, 3),
+    'rr3_sahen': (2, 2, 5, 5),
+    'rr3_school': (2, 2, 6, 6),
+    'rr3_stage': (2, 2, 7, 7),
+    'rr3_transport': (2, 2, 6, 6),
+    'rr4_ambiguous_null': (2, 2, 4, 4),
+    'rr4_city': (2, 2, 6, 6),
+    'rr4_geo': (2, 2, 6, 6),
+    'rr4_landmark': (2, 2, 6, 6),
+    'rr4_medical': (2, 2, 6, 6),
+    'rr4_tokyo': (2, 2, 6, 6),
+    'rr4_weather': (2, 2, 6, 6),
+    'rr5_ambiguous_null': (3, 3, 7, 7),
+    'rr5_daily': (6, 6, 19, 19),
+    'rr5_deverbal': (3, 3, 8, 8),
+    'rr5_keigo': (2, 2, 6, 6),
+    'rr5_time': (4, 4, 14, 14),
+    'rr5_work': (5, 5, 17, 17),
+    'rr6_civic': (3, 3, 12, 12),
+    'rr6_daily2': (4, 4, 14, 14),
+    'rr6_keigo2': (3, 3, 9, 9),
+    'rr6_law': (4, 4, 15, 15),
+    'rr6_sahen': (4, 4, 13, 13),
+    'rr6_verb': (4, 4, 14, 14),
+    'rr6_weather': (2, 2, 7, 7),
+    'rr7_daily3': (4, 4, 12, 12),
+    'rr7_deverbal2': (3, 3, 9, 9),
+    'rr7_econ': (3, 3, 12, 12),
+    'rr7_law2': (3, 3, 11, 11),
+    'rr7_media': (3, 3, 10, 10),
+    'rr7_people2': (3, 3, 10, 10),
+    'rr7_sahen2': (1, 1, 4, 4),
+    'rr7_time2': (3, 3, 12, 12),
+    'rr7_verb2': (4, 4, 10, 10),
+    'rr8_fin2': (3, 3, 10, 10),
+    'rr8_news': (4, 4, 14, 14),
+    'rr8_people3': (2, 2, 7, 7),
+    'rr8_sahen3': (1, 1, 3, 3),
+    'rr_adj': (4, 4, 11, 11),
+    'rr_compound': (2, 2, 5, 5),
+    'rr_conj': (5, 5, 10, 10),
+    'rr_kana_control': (2, 2, 4, 4),
+    'rr_kun_rendaku': (4, 4, 10, 10),
+    'rr_on': (5, 5, 16, 16),
+    'rr_potential': (3, 3, 6, 6),
+    'rr_suru': (3, 3, 6, 6),
+    'rr_tie': (2, 2, 6, 6),
+    'rr_tier_null': (3, 3, 9, 9),
+    'rr_unknown_null': (2, 2, 6, 6),
 }
 
 
