@@ -255,6 +255,16 @@ _ADJ_NOUN_STEMS = [
     "簡単", "便利", "必要", "重要", "有名", "特別", "自由", "安全",
     "可能", "大変", "元気", "綺麗", "静か", "豊か", "確か", "十分",
     "複雑", "正確", "適切", "有効", "明確", "具体的", "基本的",
+    # audit 160 (round 12): the SINGLE-KANJI 形容動詞語幹 members
+    # (IPADIC 嫌 イヤ, 変 ヘン, 楽 ラク, 急 キュウ, 妙 ミョウ) had no
+    # rows at all, so 嫌なやつ grouped な into the following kana run
+    # (嫌|なやつ) instead of reading the copula-な attachment the
+    # NOUN_KD class exists for — the audit-158b sweep scanned only rows
+    # ALREADY before な in the corpora, which is why rowless stems
+    # survived it.  Neighbor compounds all carry fused rows at 1500
+    # (機嫌/嫌味/大嫌い/変化/変更/大変/音楽/気楽/微妙/奇妙/急行/特急),
+    # so the new 1-kanji rows only ever beat unknown alternatives.
+    "嫌", "変", "楽", "急", "妙",
 ]
 
 # --- verbs (動詞-自立): (surface, base) — inflected forms share the base --
@@ -503,7 +513,16 @@ _NOUNS_ADVERBIAL = ["過去", "今日", "明日", "昨日", "現在", "将来", 
 # --- pronouns (名詞-代名詞-一般) ------------------------------------------
 _PRONOUNS = ["これ", "それ", "あれ", "どれ", "ここ", "そこ", "あそこ", "どこ",
              "私", "僕", "君", "彼", "彼女", "誰", "何", "みんな", "我々",
-             "あなた", "自分"]
+             "あなた", "自分",
+             # audit 160 (round 12): the つ-family demonstrative pronouns
+             # (IPADIC 名詞,代名詞,一般) — probe-confirmed shreds in
+             # RUNNING text: sentence-final they grouped whole, but a
+             # following particle extends the kana run and the grouped
+             # candidate swallowed it (あいつは強い → あいつは|強い,
+             # こいつを見ろ → こいつを|…), and やつが来た read や+つが.
+             # どいつ is hiragana — no collision with ドイツ (katakana
+             # surface, different codepoints).
+             "あいつ", "こいつ", "そいつ", "どいつ"]
 
 # --- katakana loanwords (名詞-一般) ---------------------------------------
 # Dictionary entries split adjacent katakana compounds at word boundaries
@@ -851,6 +870,12 @@ def _build() -> list[tuple]:
     # unknown (3500) it replaces, far over every competing particle/aux
     # row, and left-gated hard by NOUN_NOMI (connection.py).
     entries.append(("ん", "名詞-非自立-一般", 800, None, None))
+    # やつ (IPADIC 名詞,非自立,一般 — audit 160): や+つが shred in
+    # running text; the noun tier 1200 beats the grouped unknown (4000+)
+    # while おやつ (1500, fused row) still wins its own surface (お
+    # prefix 800 + やつ 1200 = 2000 > 1500) and the やつれる paradigm
+    # keeps its verb rows (れる cannot attach to a noun).
+    entries.append(("やつ", "名詞-非自立-一般", 1200, None, None))
     # Wi-Fi (NEologd row): the unknown path splits at the hyphen (PUNCT
     # char class) — Wi+Fi (round-8 held-out tranche, s463).  Contains
     # '-', so it can never match inside a pure-alnum line and the ASCII
