@@ -274,7 +274,24 @@ COUNTER_TSU = 50  # the counter つ's LEFT class (round 12, VERDICT r11
                  # the +800 reaches live-as-left tuple ids through the
                  # (group_rc, COUNTER_TSU) fallback — no liveness
                  # change, no canonicalization side effects.
-N_CLASSES = 51
+SUFFIX_RA = 51  # the plural/collective suffix ら's LEFT class (round 12,
+                 # audit 161 — the class the audit-160 note deferred):
+                 # IPADIC carries ら as 名詞,接尾,一般 (子供ら, 容疑者ら
+                 # — ubiquitous in news text), but a cheap 1-char
+                 # hiragana row is a lattice thief everywhere EXCEPT
+                 # right after a noun (さく+ら, ば+ら, や+つ+ら…), so it
+                 # mirrors COUNTER_TSU: +800 from EVERY left class
+                 # (blanket loop below), -2700 from NOUN — noun rows'
+                 # right side, reached for tuple-id noun rows through
+                 # the (group_rc, SUFFIX_RA) fallback.  Net after a
+                 # noun: 3600-2700 = 900, the vetted suffix band —
+                 # 子供+ら(900)+が(50) beats 子供+らが(unknown 4400+);
+                 # lexicalized ら-final rows are untouchable (彼ら/
+                 # これら/こちら/傍ら/平ら at ≤1500 vs prefix-noun
+                 # (≥900) + ら(900) ≥ 1800, and さく/ば aren't noun
+                 # rows at all); noun+らしい keeps its 助動詞 row
+                 # (らしい ≤1200 vs ら(900)+しい(unknown 4400+)).
+N_CLASSES = 52
 
 # Declared schema version of the CLASS-ASSIGNMENT mapping (entry_classes):
 # the marshal-precompiled dictionary snapshot bakes each row's (lc, rc)
@@ -325,7 +342,9 @@ N_CLASSES = 51
 # unknown digit runs, COUNTER_TSU for つ's surface-scoped left) shift
 # every tuple id by 2, and the live-particle counter-penalty closure
 # adds exact-pair overrides.
-CLASS_SCHEMA_VERSION = 15
+# v16: round-12 audit 161 — SUFFIX_RA (the plural suffix ら's
+# surface-scoped left class) shifts every tuple id by 1.
+CLASS_SCHEMA_VERSION = 16
 
 # 連用 (continuative) forms — the state auxiliaries attach to (聴い+た,
 # でき+ます, 高かっ+た).  Deliberately NOT including 未然形: rewarding
@@ -430,6 +449,11 @@ def entry_classes(
         if surface == "つ" and "助数詞" in pos:
             # The hiragana counter (round 12): see COUNTER_TSU.
             return (COUNTER_TSU, NOUN)
+        if surface == "ら" and "接尾" in pos:
+            # The plural/collective suffix (round 12, audit 161): see
+            # SUFFIX_RA.  Right side is an ordinary noun (子供ら+が,
+            # 容疑者ら+は, sentence-final 奴ら。).
+            return (SUFFIX_RA, NOUN)
         if surface == "げ" and "接尾" in pos:
             return (NOUN_SA, NOUN_KD)
         if surface == "そう" and "接尾" in pos:
@@ -1204,6 +1228,17 @@ for _next in (PARTICLE, PARTICLE_CASE, PARTICLE_TE, PARTICLE_DE, AUX,
 for _left in range(N_CLASSES):
     if _left != NUM_UNK:
         CONNECTION_COSTS[(_left, COUNTER_TSU)] = 800
+
+# SUFFIX_RA (round 12, audit 161): the suffix ら loses everywhere by
+# +800 — blanket over every coarse left so no attachment context is
+# missed — except after nouns, where the -2700 reward makes noun+ら the
+# canonical IPADIC read (margins in the class declaration).  Written
+# BEFORE the NUM_UNK row copy below so digit runs inherit the +800
+# (3ら is nonsense) the same way they inherit every DEFAULT block.
+for _left in range(N_CLASSES):
+    if _left != NOUN:
+        CONNECTION_COSTS[(_left, SUFFIX_RA)] = 800
+CONNECTION_COSTS[(NOUN, SUFFIX_RA)] = -2700
 
 # NUM_UNK (round 12): digit runs behaved as DEFAULT until the counter つ
 # landed — copy DEFAULT's complete authored row so that stays true

@@ -470,6 +470,17 @@ _NOUNS_SINGLE_KANJI = [
     "縄", "輪", "鈴", "笛", "鐘", "旗", "傘", "靴", "服", "帯", "袖",
     "襟", "裾", "糊", "墨", "筆", "硯", "幕", "柵", "堀", "門", "塔",
     "蔵", "倉", "塀", "麓", "岬", "蓋", "鍋", "峠", "裏",
+    # audit 161 (round 12): the kanji row of やつ (IPADIC 名詞,一般 —
+    # the gen tool drops single-char surfaces, so it lives here); the
+    # ho11_ra probe read 奴らの as 奴+らの before the SUFFIX_RA class
+    # could attach (an unknown 奴's right class is not NOUN).  男/女
+    # are deliberately NOT added despite 男らが reading 男+らが in the
+    # audit-161 collision sweep: the probe showed their 1-kanji rows
+    # split rowless IPADIC compounds wholesale (男子→男+子, 美女→美+女,
+    # 女王/女神/男前/海女/大男/山男 — the wave-434 hazard class at its
+    # most productive), so they need their full compound neighborhood
+    # waved first.  Deferred with the BASELINE.md audit-161 note.
+    "奴",
     # Standalone-noun twins of audit-135's counter suffixes (話を聞く,
     # 曲が流れる, 席を立つ…) — the 助数詞 rows alone would carry the
     # wrong POS in free-noun contexts:
@@ -522,7 +533,23 @@ _PRONOUNS = ["これ", "それ", "あれ", "どれ", "ここ", "そこ", "あそ
              # こいつを見ろ → こいつを|…), and やつが来た read や+つが.
              # どいつ is hiragana — no collision with ドイツ (katakana
              # surface, different codepoints).
-             "あいつ", "こいつ", "そいつ", "どいつ"]
+             "あいつ", "こいつ", "そいつ", "どいつ",
+             # audit 161 (round 12): 彼ら is a LEXICALIZED IPADIC
+             # pronoun row (カレラ) — it must stay whole under the new
+             # SUFFIX_RA class (彼ら 1200 vs 彼 1200 + ら 900 = 2100;
+             # held-out pin s1117); お前 (オマエ) read お|前 through the
+             # 接頭詞 お; ここら (ココラ) grouped with its particle
+             # (ここらで one token).  こちら/そちら/あちら/どちら and
+             # 傍ら/平ら already ship as snapshot rows.
+             "彼ら", "お前", "ここら",
+             # audit 161 collision sweep: これら/それら are LEXICALIZED
+             # IPADIC pronoun rows — without them the new NOUN→SUFFIX_RA
+             # reward re-split them as これ+ら/それ+ら (pre-sweep they
+             # grouped as unknowns, same surface, so the six axes never
+             # saw them); 俺 (オレ) read 俺+らの with ら fused into the
+             # particle.  あれら is NOT added — IPADIC membership
+             # uncertain, and a wrong row would create a divergence.
+             "これら", "それら", "俺"]
 
 # --- katakana loanwords (名詞-一般) ---------------------------------------
 # Dictionary entries split adjacent katakana compounds at word boundaries
@@ -659,6 +686,19 @@ _SUFFIXES = [
 #   kanji numerals carry no reward (一人/一時 fused rows keep winning).
 # Probe-verified collision set recorded in BASELINE.md (round-12 entry).
 _SUFFIX_COUNTER_TSU = ("つ", "名詞-接尾-助数詞", 3600)
+
+# ら (IPADIC 名詞,接尾,一般 — the plural/collective suffix: 子供ら,
+# 容疑者ら, 学生ら; ubiquitous in news text; round 12, audit 161 — the
+# class the audit-160 note deferred): the same 1-char-hiragana lattice
+# arithmetic as つ — a cheap row is a thief (さく+ら would undercut
+# さくら, ば+ら would undercut ばら), so it sits at 3600 with a -2700
+# reward from noun rights ONLY (connection.SUFFIX_RA):
+#   子供らが遊ぶ → ら 3600-2700 + が 50 band < らが grouped unknown 4400+
+#   やつらが来た → やつ 1200 + ら 900 beats や+つら junk
+#   彼ら/これら/それら/こちら/傍ら/平ら lexicalized rows win outright
+#   彼らしい → らしい's 助動詞 row (≤1200) beats ら 900 + しい (4400+)
+# Probe-verified collision set recorded in BASELINE.md (audit 161).
+_SUFFIX_PLURAL_RA = ("ら", "名詞-接尾-一般", 3600)
 
 _SUFFIXES_COUNTER_1500 = [
     ("匹", "名詞-接尾-助数詞"), ("頭", "名詞-接尾-助数詞"),
@@ -927,6 +967,7 @@ def _build() -> list[tuple]:
     for surface, pos in _SUFFIXES_COUNTER_1500:
         entries.append((surface, pos, 1500, None, None))
     entries.append((*_SUFFIX_COUNTER_TSU[:2], _SUFFIX_COUNTER_TSU[2], None, None))
+    entries.append((*_SUFFIX_PLURAL_RA[:2], _SUFFIX_PLURAL_RA[2], None, None))
     for surface in _ADVERBS:
         entries.append((surface, "副詞-一般", 1000, None, None))
     for surface in _ADNOMINAL:
