@@ -544,6 +544,16 @@ def entry_classes(
         # while ことがない is legal for ない itself.
         if surface == "なく":
             return (AUX_NAKU, AUX)
+        if surface == "らし":
+            # らしい's ガル接続 form (IPADIC 形容詞・イ段 — the
+            # noun+らしさ nominalization: 自分|らし|さ; round 12,
+            # audit 162).  Left side reuses SUFFIX_RA: the attachment
+            # profile IS noun-only (らしさ follows 体言), and a cheap
+            # generic-AUX らし would shred every 〜らし verb 連用形
+            # whose row is missing (く+らし undercutting 暮らし).
+            # Right side ADJ_GARU so the nominalizer さ (NOUN_SA) and
+            # そう attach exactly as after adjective stems.
+            return (SUFFIX_RA, ADJ_GARU)
         # う (volitional) and ん (ぬ/の contractions) are single hiragana
         # with cost 100 — cheap enough to shred any hiragana content word
         # (うまい → う+まい, うに → う+に, ませ+ん fine but BOS+ん not).

@@ -564,6 +564,13 @@ _NOUNS_KATAKANA = [
     "ユーザー", "ユーザ", "ファイル", "フォルダ", "ネットワーク",
     "サーバー", "サーバ", "クラウド", "プログラム", "プログラミング",
     "デザイン", "プロジェクト", "チーム", "ゲーム", "ニュース",
+    # audit 162 (round 12): プロ (IPADIC 名詞,一般) had no row, so its
+    # unknown-katakana right class never reached the SUFFIX_RA reward
+    # (プロらしさ grouped らしさを).  Longer committed rows keep winning
+    # their own surfaces (プログラム/プロジェクト at 1500 whole vs
+    # プロ+tail ≥ 3000), and rowless プロX katakana runs keep grouping
+    # (プロ 1500 + unknown tail > the grouped unknown).
+    "プロ",
     "ブログ", "メール", "スマホ", "スマートフォン", "パソコン",
     "ネット", "ライブラリ", "フレームワーク", "モデル", "テーブル",
     "カラム", "インデックス", "クエリ", "バッチ", "ストリーム",
@@ -968,6 +975,19 @@ def _build() -> list[tuple]:
         entries.append((surface, pos, 1500, None, None))
     entries.append((*_SUFFIX_COUNTER_TSU[:2], _SUFFIX_COUNTER_TSU[2], None, None))
     entries.append((*_SUFFIX_PLURAL_RA[:2], _SUFFIX_PLURAL_RA[2], None, None))
+    # らし — らしい's ガル接続 form (IPADIC 助動詞, 形容詞・イ段, base
+    # らしい; round 12, audit 162): the noun+らしさ nominalization reads
+    # noun|らし|さ in MeCab (自分らしさ → 自分|らし|さ).  Noun-only
+    # attachment via connection.SUFFIX_RA (priced out everywhere else so
+    # 暮らし/鳴らし/減らし 連用形 rows keep their surfaces); right side
+    # ADJ_GARU so さ attaches the adjective-stem way.  2900 (net 200
+    # after nouns), NOT ら's 3600: at net 900 the ら-final pronouns lost
+    # their own suffix read (彼らしさ read 彼ら+し+さ through the 終助詞
+    # さ at ~1500 total; net 200 makes 彼|らし|さ win at ~1400 while
+    # らしい's 100-cost row still beats らし+い everywhere, and 彼ら+
+    # らし+さ keeps the lexicalized pronoun whole — probe set in
+    # BASELINE.md).  Base form folds to らしい.
+    entries.append(("らし", "助動詞", 2900, "らしい", None))
     for surface in _ADVERBS:
         entries.append((surface, "副詞-一般", 1000, None, None))
     for surface in _ADNOMINAL:
