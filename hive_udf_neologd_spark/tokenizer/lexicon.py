@@ -473,14 +473,15 @@ _NOUNS_SINGLE_KANJI = [
     # audit 161 (round 12): the kanji row of やつ (IPADIC 名詞,一般 —
     # the gen tool drops single-char surfaces, so it lives here); the
     # ho11_ra probe read 奴らの as 奴+らの before the SUFFIX_RA class
-    # could attach (an unknown 奴's right class is not NOUN).  男/女
-    # are deliberately NOT added despite 男らが reading 男+らが in the
-    # audit-161 collision sweep: the probe showed their 1-kanji rows
-    # split rowless IPADIC compounds wholesale (男子→男+子, 美女→美+女,
-    # 女王/女神/男前/海女/大男/山男 — the wave-434 hazard class at its
-    # most productive), so they need their full compound neighborhood
-    # waved first.  Deferred with the BASELINE.md audit-161 note.
+    # could attach (an unknown 奴's right class is not NOUN).
     "奴",
+    # audit 163 (round 12): 男/女 (IPADIC 名詞,一般 オトコ/オンナ) —
+    # deferred from audit 161 until their rowless compound neighborhood
+    # landed (wave 436: 男子/女子/美女/女王/女神/男前/海女/大男/山男 +
+    # 20 more), because the 1-kanji rows split those wholesale the
+    # moment they existed (the wave-434 hazard).  With the neighborhood
+    # waved, the rows close 男らが → 男|ら|が (ho13_gender).
+    "男", "女",
     # Standalone-noun twins of audit-135's counter suffixes (話を聞く,
     # 曲が流れる, 席を立つ…) — the 助数詞 rows alone would carry the
     # wrong POS in free-noun contexts:
