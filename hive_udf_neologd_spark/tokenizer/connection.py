@@ -291,7 +291,19 @@ SUFFIX_RA = 51  # the plural/collective suffix ら's LEFT class (round 12,
                  # (≥900) + ら(900) ≥ 1800, and さく/ば aren't noun
                  # rows at all); noun+らしい keeps its 助動詞 row
                  # (らしい ≤1200 vs ら(900)+しい(unknown 4400+)).
-N_CLASSES = 52
+TARA_R = 52  # たら's RIGHT class (round 12, audit 166): たら is た's
+                 # 仮定形 — a CONDITIONAL, so unlike bare た (連体形;
+                 # the もったいない guard) a following clause may open
+                 # with a 連用形 verb (開けたら出てきた → 開け|たら|
+                 # 出|て|き|た in MeCab).  Sharing AUX_TA_R blocked
+                 # たら+VERB_CONT, so an unknown single ら stole the
+                 # split (開け|た|ら|出 — ho15_tara pre-fix).  The
+                 # class is an exact copy of AUX_TA_R's authored row
+                 # (the NUM_UNK copy mechanism, below) with ONE
+                 # divergence: (TARA_R, VERB_CONT) opens at 200.  Every
+                 # other た-side discipline (×たら+れる, ×たら+たい,
+                 # ×たら+ない) is inherited verbatim.
+N_CLASSES = 53
 
 # Declared schema version of the CLASS-ASSIGNMENT mapping (entry_classes):
 # the marshal-precompiled dictionary snapshot bakes each row's (lc, rc)
@@ -344,7 +356,9 @@ N_CLASSES = 52
 # adds exact-pair overrides.
 # v16: round-12 audit 161 — SUFFIX_RA (the plural suffix ら's
 # surface-scoped left class) shifts every tuple id by 1.
-CLASS_SCHEMA_VERSION = 16
+# v17: round-12 audit 166 — TARA_R (たら's dedicated right class)
+# shifts every tuple id by 1.
+CLASS_SCHEMA_VERSION = 17
 
 # 連用 (continuative) forms — the state auxiliaries attach to (聴い+た,
 # でき+ます, 高かっ+た).  Deliberately NOT including 未然形: rewarding
@@ -604,7 +618,9 @@ def entry_classes(
         # まし+たら), same right-side discipline (たら+continuative-stem
         # is as ungrammatical as た's).
         if surface == "たら":
-            return (AUX_TA, AUX_TA_R)
+            # Right side TARA_R (audit 166): た's row minus the
+            # 連用形-clause block — see the class declaration.
+            return (AUX_TA, TARA_R)
         if surface == "だら":
             return (AUX_DA, AUX)
         if surface in ("です", "でし", "でしょ"):
@@ -1264,6 +1280,19 @@ for (_l, _r), _v in list(CONNECTION_COSTS.items()):
 if DEFAULT in EOS_COSTS:  # pragma: no cover — DEFAULT has no EOS cost today
     EOS_COSTS[NUM_UNK] = EOS_COSTS[DEFAULT]
 CONNECTION_COSTS[(NUM_UNK, COUNTER_TSU)] = -2700
+
+# TARA_R (round 12, audit 166): copy AUX_TA_R's complete authored row
+# so every た-side discipline holds verbatim for たら, then apply the
+# one divergence — the conditional's clause boundary admits a 連用形
+# opener (margins in the class declaration).  Same last-position
+# contract as the NUM_UNK copy above: a later AUX_TA_R edit added
+# below this line would silently not copy.
+for (_l, _r), _v in list(CONNECTION_COSTS.items()):
+    if _l == AUX_TA_R:
+        CONNECTION_COSTS[(TARA_R, _r)] = _v
+if AUX_TA_R in EOS_COSTS:
+    EOS_COSTS[TARA_R] = EOS_COSTS[AUX_TA_R]
+CONNECTION_COSTS[(TARA_R, VERB_CONT)] = 200
 
 
 # --- mechanical tuple-class machinery (fills the tables declared above

@@ -372,7 +372,9 @@ class TestMecabCsvIngest:
         rows = [
             # だ's 体言接続 な — must get AUX_NA/AUX_NA_R, not AUX/AUX.
             "な,100,100,100,助動詞,*,*,*,特殊・ダ,体言接続,だ,ナ,ナ",
-            # た's 仮定形 たら — AUX_TA left, AUX_TA_R right.
+            # た's 仮定形 たら — AUX_TA left, TARA_R right (audit 166:
+            # its own right class so the conditional's clause may open
+            # with a 連用形 verb, unlike bare た).
             "たら,100,100,100,助動詞,*,*,*,特殊・タ,仮定形,た,タラ,タラ",
             # まい (特殊・マイ, cform 基本形) — AUX_MAI left.
             "まい,100,100,100,助動詞,*,*,*,特殊・マイ,基本形,まい,マイ,マイ",
@@ -382,7 +384,7 @@ class TestMecabCsvIngest:
         ]
         na, tara, mai, datt = load_mecab_csv(rows)
         assert (na.lc, na.rc) == (C.AUX_NA, C.AUX_NA_R)
-        assert (tara.lc, tara.rc) == (C.AUX_TA, C.AUX_TA_R)
+        assert (tara.lc, tara.rc) == (C.AUX_TA, C.TARA_R)
         assert mai.lc == C.AUX_MAI
         assert (datt.lc, datt.rc) != (na.lc, na.rc)
 
