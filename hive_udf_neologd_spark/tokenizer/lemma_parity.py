@@ -194,6 +194,34 @@ LEMMA_PARITY_CORPUS: tuple[tuple[int, str, str, tuple[str, ...]], ...] = (
      ("両者", "意見", "大きい", "隔たる")),
     (71, "ll3_orphan", "二人の間の隔たりを感じた。",
      ("二人", "間", "隔たり", "感じる")),
+    # --- round-12 tranche 16 (ll4_*): the カ行促音便 class and the いい
+    # adjective (audit 170), held-out BEFORE any engine change.
+    # Derivations (and nothing else): IPADIC conjugates いく/行く/逝く as
+    # 五段・カ行促音便 — 連用タ接続 is stem+っ (いっ/行っ/逝っ), never
+    # stem+い (イ音便 いい/行い does not exist for this class); the
+    # surface いい is IPADIC's 形容詞 (形容詞・イイ, 基本形-only, lemma
+    # いい — NOT a stopword) wherever the following context accepts
+    # 基本形, and 言う's 連用形 (lemma いう — dropped by the vendored
+    # stop list) exactly where ます/まし must follow a 連用形; かっこ is
+    # IPADIC's 名詞,一般 (カッコ), so かっこいい reads かっこ|いい
+    # compositionally; いっしょ is the NEologd-register kana spelling of
+    # 一緒 (the ほんと/wave-350 all-hiragana class); いったい is IPADIC's
+    # 副詞.  Chain: 助動詞/助詞 POS-stopped; し→する, いい→いう,
+    # その→stop-worded by lemma; いく/くる are NOT in the 109-word list.
+    (72, "ll4_iku", "うまくいった。", ("うまい", "いく")),
+    (73, "ll4_iku", "先に行ったよ。", ("先", "行く")),
+    (74, "ll4_iku", "彼は若くして逝った。", ("彼", "若い", "逝く")),
+    (75, "ll4_iku", "時が過ぎていった。", ("時", "過ぎる", "いく")),
+    (76, "ll4_iku", "買い物に行ってきた。", ("買い物", "行く", "くる")),
+    (77, "ll4_ii", "天気がいい。", ("天気", "いい")),
+    (78, "ll4_ii", "仲がいい友達だ。", ("仲", "いい", "友達")),
+    (79, "ll4_ii", "そのほうがいいと思う。", ("ほう", "いい", "思う")),
+    (80, "ll4_ii", "彼は田中といいます。", ("彼", "田中")),
+    (81, "ll4_ii", "かっこいい車だ。", ("かっこ", "いい", "車")),
+    (82, "ll4_ii", "いいね。", ("いい",)),
+    (83, "ll4_ii", "もういいよ。", ("もう", "いい")),
+    (84, "ll4_kana_adv", "いっしょに帰ろう。", ("いっしょ", "帰る")),
+    (85, "ll4_kana_adv", "いったい何だ。", ("いったい", "何")),
 )
 
 
@@ -260,8 +288,10 @@ if __name__ == "__main__":
 
 
 # CI floor (tests/test_parity.py): exact-match accuracy over the held-out
-# lemma corpus — same contract as T25_ACC_FLOOR.
-T27_ACC_FLOOR = 1.0
+# lemma corpus — same contract as T25_ACC_FLOOR.  TEMPORARILY at the
+# honest round-12 tranche-16 pre-fix value (75/85); restored to 1.0 by
+# the audit-170 fix wave.
+T27_ACC_FLOOR = 0.882352
 
 # RECORDED aggregates — the t27 oracle constants; recapture with
 # ``python -m hive_udf_neologd_spark.tokenizer.lemma_parity`` after any
@@ -278,8 +308,15 @@ T27_ACC_FLOOR = 1.0
 # 1200) and one sentence reworded out of the purposive-に discipline
 # (BASELINE.md).
 T27_EXPECTED: dict[str, tuple[int, int, int, int]] = {
-    "__total__": (71, 71, 182, 182),
+    "__total__": (85, 75, 215, 208),
     "ll3_orphan": (6, 6, 19, 19),
+    # round-12 tranche 16 (audit 170) HONEST PRE-FIX aggregates — the
+    # カ行促音便/いい class, committed before the fix wave: いい loses to
+    # the verb row (→いう→stop-dropped), 逝っ/いっしょ/いったい shred,
+    # いっ(いく) rows missing.
+    "ll4_ii": (7, 2, 16, 11),
+    "ll4_iku": (5, 2, 13, 12),
+    "ll4_kana_adv": (2, 0, 4, 3),
     "ll2_causative": (3, 3, 9, 9),
     "ll2_compound_verb": (3, 3, 8, 8),
     "ll2_desiderative": (3, 3, 8, 8),

