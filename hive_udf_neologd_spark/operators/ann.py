@@ -54,8 +54,150 @@ def _dot_expr(a: str, b: str) -> F.Column:
     )
 
 
+# --- shared numpy kernels (round 12, guide §4.2) ---------------------------
+# Interpreted higher-order functions (aggregate/zip_with) evaluate a
+# closure per array element; the N×K assignment and pairwise-cosine
+# kernels below do the same math as one fused numpy op per DIMENSION,
+# which preserves Spark's sequential left fold exactly: accumulating in
+# array order over dims yields the IDENTICAL doubles (((0+x0)+x1)+…)
+# the HOF fold produces, so ranks/ties — and the DuckDB oracle hashes —
+# are unchanged.  This is the bit-parity argument a09 established in
+# round 2; round 12 applies the same kernels to training (a06/a08/a09/
+# a12), sampled assignment (a03/a11) and brute-force scoring (a01/a10).
+
+
+def _cos_np_udf():
+    """Vectorized pairwise cosine: dim-order fold over the product matrix
+    (a09's kernel, hoisted for reuse by a01/a10/a08-family rescoring)."""
+    import numpy as np
+
+    @pandas_udf("double")
+    def _cos_np(
+        qe_s: pd.Series, e_s: pd.Series, qn_s: pd.Series, nrm_s: pd.Series
+    ) -> pd.Series:
+        if not len(qe_s):
+            return pd.Series([], dtype="float64")
+        Q = np.array(qe_s.tolist(), dtype=np.float64)
+        E = np.array(e_s.tolist(), dtype=np.float64)
+        P = Q * E
+        dot = np.zeros(len(P), dtype=np.float64)
+        for d in range(P.shape[1]):  # dim-order fold, HOF parity
+            dot += P[:, d]
+        return pd.Series(dot / (qn_s.to_numpy() * nrm_s.to_numpy()))
+
+    return _cos_np
+
+
+def _collect_rows(cents: DataFrame, cols: tuple[str, ...] = ("c_id", "ce")):
+    """Driver-side materialization of a centroid frame — K rows of 64
+    doubles, driver-small BY DESIGN (the Faiss coarse-quantizer
+    assumption; at 100 TB K is fixed by the index, never ∝ N).  Sorted by
+    c_id so numpy argmin/argmax first-hit tie-breaks to min c_id."""
+    return sorted(
+        (tuple(r[c] for c in cols) for r in cents.collect()), key=lambda t: t[0]
+    )
+
+
+def _assign_np(df: DataFrame, cent_rows, carry: tuple = ()) -> DataFrame:
+    """Nearest centroid by squared euclidean (tie → min c_id) as a NARROW
+    numpy ``mapInPandas`` kernel over driver-collected centroids — the
+    production replacement for the crossJoin+HOF+min_by shape: no join,
+    no shuffle, one fused (B, K) op per dimension.  Output columns
+    (vec_id, e, *carry, c_id, d2) match the HOF ``_assign`` contract.
+
+    Bit-parity: dim-order accumulation == Spark aggregate's left fold;
+    ``np.argmin`` returns the FIRST minimum over columns sorted by c_id,
+    which is exactly ``min_by(struct(d2, c_id))``."""
+    import numpy as np
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    c_ids = np.array([r[0] for r in cent_rows], dtype=np.int64)
+    C = np.array([list(r[1]) for r in cent_rows], dtype=np.float64)  # (K, dim)
+    schema = StructType(
+        [StructField("vec_id", LongType()), StructField("e", ArrayType(DoubleType()))]
+        + [StructField(c, DoubleType()) for c in carry]
+        + [StructField("c_id", LongType()), StructField("d2", DoubleType())]
+    )
+
+    def _batches(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            E = np.array(pdf["e"].tolist(), dtype=np.float64)  # (B, dim)
+            d2 = np.zeros((E.shape[0], C.shape[0]), dtype=np.float64)
+            for d in range(E.shape[1]):  # dim-order fold, HOF parity
+                diff = E[:, d, None] - C[None, :, d]
+                d2 += diff * diff
+            out = pdf[["vec_id", "e", *carry]].copy()
+            am = np.argmin(d2, axis=1)
+            out["c_id"] = c_ids[am]
+            out["d2"] = d2[np.arange(len(am)), am]
+            yield out
+
+    return df.select("vec_id", "e", *carry).mapInPandas(_batches, schema)
+
+
+def _assign_cos_np(df: DataFrame, cent_rows) -> DataFrame:
+    """Max-cosine list assignment (tie → min c_id) as the same narrow
+    numpy kernel — a03/a11's sampled-centroid counterpart of
+    ``_assign_np``.  ``cent_rows`` carries (c_id, ce, cn) with cn the
+    premultiplied centroid norm; cosine = dot/(cn·nrm) with the dot
+    accumulated in dim order (HOF fold parity), and ``np.argmax``
+    first-hit over c_id-sorted columns == max_by(struct(a_cos, -c_id))."""
+    import numpy as np
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    c_ids = np.array([r[0] for r in cent_rows], dtype=np.int64)
+    C = np.array([list(r[1]) for r in cent_rows], dtype=np.float64)  # (K, dim)
+    cn = np.array([r[2] for r in cent_rows], dtype=np.float64)  # (K,)
+    schema = StructType(
+        [
+            StructField("vec_id", LongType()),
+            StructField("e", ArrayType(DoubleType())),
+            StructField("nrm", DoubleType()),
+            StructField("list_id", LongType()),
+        ]
+    )
+
+    def _batches(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            E = np.array(pdf["e"].tolist(), dtype=np.float64)  # (B, dim)
+            nrm = pdf["nrm"].to_numpy(dtype=np.float64)
+            dot = np.zeros((E.shape[0], C.shape[0]), dtype=np.float64)
+            for d in range(E.shape[1]):  # dim-order fold, HOF parity
+                dot += E[:, d, None] * C[None, :, d]
+            # a_cos = dot / (cn * nrm): same operand order as the HOF
+            # column expression (cn·nrm), then one IEEE division.
+            a_cos = dot / (cn[None, :] * nrm[:, None])
+            out = pdf[["vec_id", "e", "nrm"]].copy()
+            out["list_id"] = c_ids[np.argmax(a_cos, axis=1)]
+            yield out
+
+    return df.select("vec_id", "e", "nrm").mapInPandas(_batches, schema)
+
+
 # --- a01: brute-force cosine top-k ----------------------------------------
 def a01_ann_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force exact top-k.  Round-12 measurement note (guide §1):
+    the numpy pairwise-cosine kernel was tried here and MEASURED SLOWER
+    (0.63 → 1.17 s at sf0.1) — with the query side already broadcast,
+    every candidate pair would ship two 64-d arrays across the Arrow
+    boundary, which costs more than the JVM fold saves at this pair
+    volume.  The interpreted-HOF dot product stays deliberately."""
     prepare(spark)
     emb = _emb(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") % _QUERY_MOD == 0).select(
@@ -191,24 +333,28 @@ def _ivf_sampled_parts(spark: SparkSession, sf_dir: str):
     recall-vs-nprobe sweep — assignment is computed once and reused
     across every nprobe setting, exactly what an operator tuning the
     index at 100 TB does: the expensive inverted-list build is
-    nprobe-invariant)."""
+    nprobe-invariant).
+
+    Round 12: the N×K max-cosine assignment runs as the narrow numpy
+    kernel (``_assign_cos_np``) over the driver-collected centroid
+    sample instead of a crossJoin + interpreted-HOF + max_by shuffle —
+    bit-identical doubles (dim-order fold), no join, no exchange on the
+    corpus side; the probe stage still crossJoins the (rebuilt,
+    broadcast) centroid frame, which is K-sized per query."""
     emb = _emb(spark, sf_dir)
-    cents = emb.filter(F.col("vec_id") % _CENT_MOD == 1).select(
-        F.col("vec_id").alias("c_id"), F.col("e").alias("ce"), F.col("nrm").alias("cn")
+    cent_rows = _collect_rows(
+        emb.filter(F.col("vec_id") % _CENT_MOD == 1).select(
+            F.col("vec_id").alias("c_id"),
+            F.col("e").alias("ce"),
+            F.col("nrm").alias("cn"),
+        ),
+        cols=("c_id", "ce", "cn"),
     )
-    a_cos = _dot_expr("ce", "e") / (F.col("cn") * F.col("nrm"))
-    assigned = (
-        emb.crossJoin(F.broadcast(cents))
-        .select("vec_id", "e", "nrm", "c_id", a_cos.alias("a_cos"))
-        .groupBy("vec_id")
-        .agg(
-            F.max_by("c_id", F.struct(F.col("a_cos"), (-F.col("c_id")).alias("nc"))).alias(
-                "list_id"
-            ),
-            F.first("e").alias("e"),
-            F.first("nrm").alias("nrm"),
-        )
+    cents = spark.createDataFrame(
+        [(int(c), list(ce), float(n)) for c, ce, n in cent_rows],
+        "c_id long, ce array<double>, cn double",
     )
+    assigned = _assign_cos_np(emb, cent_rows)
     q = emb.filter(F.col("vec_id") % _QUERY_MOD == 0).select(
         F.col("vec_id").alias("q_id"), F.col("e").alias("qe"), F.col("nrm").alias("qn")
     )
@@ -401,55 +547,60 @@ _KM_SEED_MOD = 29  # same deterministic seed set as a03's centroids
 _KM_ITERS = 2
 
 
-def _assign(emb: DataFrame, cents: DataFrame, carry: tuple = ()) -> DataFrame:
-    """Nearest centroid by squared euclidean (tie → min c_id): broadcast
-    nested loop + map-side partial min_by, one row per vector on the
-    shuffle.  ``carry`` columns of ``emb`` ride along via first()."""
-    d2 = F.expr(
-        "aggregate(zip_with(e, ce, (x, y) -> (x - y) * (x - y)),"
-        " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
-    )
-    return (
-        emb.crossJoin(F.broadcast(cents))
-        .select("vec_id", "e", *carry, "c_id", d2.alias("d2"))
-        .groupBy("vec_id")
-        .agg(
-            F.min_by("c_id", F.struct(F.col("d2"), F.col("c_id"))).alias("c_id"),
-            F.first("e").alias("e"),
-            *[F.first(c).alias(c) for c in carry],
-            F.min("d2").alias("d2"),
-        )
-    )
-
-
-def _trained_centroids(emb: DataFrame, train: DataFrame | None = None) -> DataFrame:
+def _trained_centroid_rows(emb: DataFrame, train: DataFrame | None = None):
     """Two rounded Lloyd iterations from the deterministic seed sample —
-    shared by a06 (reports cluster stats) and a08 (uses the centroids as
-    an IVF coarse quantizer).  Rounding to 4 dp between iterations is what
-    lets the DuckDB oracle replay training bit-for-bit.
+    shared by a06 (reports cluster stats) and a08/a09/a12 (use the
+    centroids as an IVF coarse quantizer).  Rounding to 4 dp between
+    iterations is what lets the DuckDB oracle replay training
+    bit-for-bit.
 
     ``train`` restricts the Lloyd refinement passes to a sample (a12) —
     seeds still come from ``emb`` so K matches a08's index; only the
-    per-iteration assignment cost shrinks with the sample."""
+    per-iteration assignment cost shrinks with the sample.
+
+    Round 12: each Lloyd assignment runs as the narrow numpy kernel
+    (``_assign_np``) over driver-held centroids instead of a crossJoin +
+    interpreted-HOF d2 fold + min_by shuffle, and the (cluster, dim)
+    partial-avg recompute collects its K×dim result (driver-small, the
+    coarse quantizer itself) instead of re-assembling arrays through a
+    second groupBy.  Values are bit-identical (dim-order fold + the same
+    avg/round expressions over the same assignment); per iteration the
+    corpus now pays ONE narrow pass + one (cluster, dim) partial-agg
+    shuffle — the crossJoin that inflated the corpus K× is gone.
+
+    Returns the trained centroids as driver rows
+    ``[(c_id, (ce_0, …, ce_63)), …]`` sorted by c_id."""
     if train is None:
         train = emb
-    cents = emb.filter(F.col("vec_id") % _KM_SEED_MOD == 1).select(
-        F.col("vec_id").alias("c_id"), F.col("e").alias("ce")
+    cent_rows = _collect_rows(
+        emb.filter(F.col("vec_id") % _KM_SEED_MOD == 1).select(
+            F.col("vec_id").alias("c_id"), F.col("e").alias("ce")
+        )
     )
     for _ in range(_KM_ITERS):
-        assigned = _assign(train, cents)
-        cents = (
+        assigned = _assign_np(train, cent_rows)
+        cell_rows = (
             assigned.select("c_id", F.posexplode("e").alias("dim", "x"))
             .groupBy("c_id", "dim")
             .agg(F.round(F.avg("x"), 4).alias("cx"))
-            .groupBy("c_id")
-            .agg(
-                F.expr(
-                    "transform(array_sort(collect_list(struct(dim, cx))), s -> s.cx)"
-                ).alias("ce")
-            )
+            .collect()
         )
-    return cents
+        by_cid: dict = {}
+        for r in cell_rows:
+            by_cid.setdefault(r["c_id"], {})[r["dim"]] = r["cx"]
+        cent_rows = sorted(
+            (cid, tuple(dims[i] for i in range(len(dims))))
+            for cid, dims in by_cid.items()
+        )
+    return cent_rows
+
+
+def _cents_df(spark: SparkSession, cent_rows) -> DataFrame:
+    """K-row centroid frame rebuilt from driver rows (for the broadcast
+    probe joins — same shape the HOF pipeline produced)."""
+    return spark.createDataFrame(
+        [(int(c), list(ce)) for c, ce in cent_rows], "c_id long, ce array<double>"
+    )
 
 
 def a06_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -463,9 +614,9 @@ def a06_kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle.  Output: final cluster sizes and inertia."""
     prepare(spark)
     emb = _emb(spark, sf_dir).select("vec_id", "e")
-    cents = _trained_centroids(emb)
+    cents = _trained_centroid_rows(emb)
     # Final stats against the *last recomputed* centroids.
-    final = _assign(emb, cents)
+    final = _assign_np(emb, cents)
     return (
         final.groupBy(F.col("c_id").alias("cluster"))
         .agg(
@@ -519,27 +670,29 @@ def a08_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
     of a deterministic sample — the full Faiss-style train → assign →
     probe → rescore pipeline, every stage oracle-replayed in DuckDB.
 
-    Scale shape mirrors a03 (assignment and probing broadcast the centroid
-    set; only candidates reach the top-k window) plus the training cost:
-    per iteration one broadcast assignment and one (cluster, dim)
-    partial-avg shuffle.  Train on a sample at 100 TB — centroid quality
-    doesn't need every vector, assignment does."""
+    Scale shape mirrors a03 (assignment runs as the narrow numpy kernel,
+    probing broadcasts the centroid set; only candidates reach the top-k
+    window) plus the training cost: per iteration one narrow assignment
+    pass and one (cluster, dim) partial-avg shuffle.  Train on a sample
+    at 100 TB — centroid quality doesn't need every vector, assignment
+    does."""
     prepare(spark)
     emb = _emb(spark, sf_dir)
-    # localCheckpoint: the centroid frame is referenced by BOTH the
-    # inverted-list assignment and the query probes below — without
-    # materialization each reference re-runs the full two-iteration Lloyd
-    # lineage (train once, use twice; K-sized, same values bit-for-bit).
-    cents = _trained_centroids(emb.select("vec_id", "e")).localCheckpoint()
+    # Trained once, driver-held (K-sized): both the inverted-list
+    # assignment kernel and the query probes read the same rows — the
+    # round-11 localCheckpoint dance is unnecessary now that training
+    # materializes through its per-iteration collects.
+    cents = _trained_centroid_rows(emb.select("vec_id", "e"))
     return _ivf_probe_rescore(emb, cents)
 
 
-def _ivf_probe_rescore(emb: DataFrame, cents: DataFrame) -> DataFrame:
+def _ivf_probe_rescore(emb: DataFrame, cent_rows) -> DataFrame:
     """The index-build → probe → exact-rescore tail shared by a08 and a12
     (identical for any trained centroid set): full-corpus inverted-list
-    assignment, per-query top-``_N_PROBE`` lists, exact cosine on
-    candidates only."""
-    inv = _assign(emb, cents, carry=("nrm",)).select(
+    assignment (numpy kernel, narrow), per-query top-``_N_PROBE`` lists,
+    exact cosine on candidates only."""
+    cents = _cents_df(emb.sparkSession, cent_rows)
+    inv = _assign_np(emb, cent_rows, carry=("nrm",)).select(
         "vec_id", "e", "nrm", F.col("c_id").alias("list_id")
     )
     q = emb.filter(F.col("vec_id") % _QUERY_MOD == 0).select(
@@ -663,59 +816,19 @@ def a09_ivf_np_kernel(spark: SparkSession, sf_dir: str) -> DataFrame:
     in the kernel closure — the coarse quantizer is driver-small BY
     DESIGN (Faiss's assumption too); at 100 TB train fixed-K on a
     sample, never K ∝ N."""
-    import numpy as np
-    from pyspark.sql.types import (
-        ArrayType,
-        DoubleType,
-        LongType,
-        StructField,
-        StructType,
-    )
-
     prepare(spark)
     emb = _emb(spark, sf_dir)
-    # Train ONCE: collect the (driver-small) centroids, then feed both the
-    # assignment kernel closure and the probe join from the collected rows
-    # — referencing the training DataFrame twice would re-run both Lloyd
-    # iterations per consumer.
-    cent_rows = sorted(
-        _trained_centroids(emb.select("vec_id", "e")).collect(),
-        key=lambda r: r["c_id"],
-    )
-    c_ids = np.array([r["c_id"] for r in cent_rows], dtype=np.int64)
-    C = np.array([r["ce"] for r in cent_rows], dtype=np.float64)  # (K, dim)
-    cents = spark.createDataFrame(
-        [(int(r["c_id"]), list(r["ce"])) for r in cent_rows],
-        "c_id long, ce array<double>",
-    )
+    # Train ONCE: the trained centroids are driver rows (K-sized), feeding
+    # both the assignment kernel closure and the probe join — referencing
+    # a training DataFrame twice would re-run both Lloyd iterations per
+    # consumer.  (Round 12: training itself now runs the same numpy
+    # assignment kernel — see _trained_centroid_rows.)
+    cent_rows = _trained_centroid_rows(emb.select("vec_id", "e"))
+    cents = _cents_df(spark, cent_rows)
 
-    out_schema = StructType(
-        [
-            StructField("vec_id", LongType()),
-            StructField("e", ArrayType(DoubleType())),
-            StructField("nrm", DoubleType()),
-            StructField("list_id", LongType()),
-        ]
+    inv = _assign_np(emb, cent_rows, carry=("nrm",)).select(
+        "vec_id", "e", "nrm", F.col("c_id").alias("list_id")
     )
-
-    def _assign_batches(batches):
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            E = np.array(pdf["e"].tolist(), dtype=np.float64)  # (B, dim)
-            # Dim-order accumulation == Spark aggregate's left fold, one
-            # fused (B, K) op per dimension.
-            d2 = np.zeros((E.shape[0], C.shape[0]), dtype=np.float64)
-            for d in range(E.shape[1]):
-                diff = E[:, d, None] - C[None, :, d]
-                d2 += diff * diff
-            # argmin returns the FIRST minimum; columns are sorted by c_id,
-            # so ties break to min c_id — min_by(struct(d2, c_id)) parity.
-            pdf = pdf[["vec_id", "e", "nrm"]].copy()
-            pdf["list_id"] = c_ids[np.argmin(d2, axis=1)]
-            yield pdf
-
-    inv = emb.select("vec_id", "e", "nrm").mapInPandas(_assign_batches, out_schema)
 
     q = emb.filter(F.col("vec_id") % _QUERY_MOD == 0).select(
         F.col("vec_id").alias("q_id"),
@@ -739,19 +852,8 @@ def a09_ivf_np_kernel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id") != F.col("q_id")
     )
 
-    @pandas_udf("double")
-    def _cos_np(qe_s: pd.Series, e_s: pd.Series, qn_s: pd.Series, nrm_s: pd.Series) -> pd.Series:
-        if not len(qe_s):
-            return pd.Series([], dtype="float64")
-        Q = np.array(qe_s.tolist(), dtype=np.float64)
-        E = np.array(e_s.tolist(), dtype=np.float64)
-        P = Q * E
-        dot = np.zeros(len(P), dtype=np.float64)
-        for d in range(P.shape[1]):  # dim-order fold, a08 parity
-            dot += P[:, d]
-        return pd.Series(dot / (qn_s.to_numpy() * nrm_s.to_numpy()))
-
     w = Window.partitionBy("q_id").orderBy(F.desc("cos_raw"), F.asc("vec_id"))
+    _cos_np = _cos_np_udf()
     return (
         cands.select("q_id", "vec_id", _cos_np("qe", "e", "qn", "nrm").alias("cos_raw"))
         .withColumn("rank", F.row_number().over(w))
@@ -855,6 +957,8 @@ def a10_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("q_id"), F.col("e").alias("qe"), F.col("nrm").alias("qn")
     )
     scored = emb.crossJoin(F.broadcast(queries)).filter(F.col("vec_id") != F.col("q_id"))
+    # HOF dot kept deliberately — the numpy kernel measured slower here
+    # (0.64 → 0.75 s), same Arrow-transfer argument as a01.
     cos = F.round(_dot_expr("qe", "e") / (F.col("qn") * F.col("nrm")), 4)
     return (
         scored.select("q_id", cos.alias("cos"))
@@ -910,25 +1014,65 @@ def a11_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents, assigned, q = _ivf_sampled_parts(spark, sf_dir)
     assigned = assigned.localCheckpoint()
     n_q = exact.select("q_id").distinct().count()
-    out = None
-    for nprobe in _A11_NPROBES:
-        ivf = _ivf_topk_from(cents, assigned, q, nprobe).select(
-            F.col("q_id").alias("iq"), F.col("neighbor_id").alias("inb")
+    # Round 12 (guide §2.4): ONE candidate/rescore pass at max(nprobe)
+    # replaces the four per-nprobe branch subtrees (4× probe windows,
+    # 4× candidate joins, 4× rescores, 4 joins against ground truth).
+    # Each candidate carries its list's probe rank ``pr``; membership in
+    # the nprobe-branch is exactly ``pr <= nprobe`` (identical candidate
+    # sets — each vector lives in ONE list, and the probe ranking is the
+    # branch-invariant part), so exploding the candidate by the nprobe
+    # settings and ranking per (nprobe, q_id) reproduces every branch's
+    # top-k bit-for-bit from a single pipeline.
+    max_np = max(_A11_NPROBES)
+    wq = Window.partitionBy("q_id").orderBy(F.desc("p_cos"), F.asc("c_id"))
+    probes = (
+        q.crossJoin(F.broadcast(cents))
+        .select(
+            "q_id", "qe", "qn", "c_id",
+            (_dot_expr("ce", "qe") / (F.col("cn") * F.col("qn"))).alias("p_cos"),
         )
-        branch = (
-            exact.join(
-                ivf,
-                (F.col("q_id") == F.col("iq")) & (F.col("neighbor_id") == F.col("inb")),
-                "left",
-            )
-            .agg(
-                F.lit(nprobe).alias("nprobe"),
-                F.count("inb").alias("n_matched"),
-                F.round(F.count("inb") / float(n_q * _TOP_K), 4).alias("mean_recall"),
-            )
+        .withColumn("pr", F.row_number().over(wq))
+        .filter(F.col("pr") <= max_np)
+        .select("q_id", "qe", "qn", F.col("c_id").alias("list_id"), "pr")
+    )
+    cands = assigned.join(F.broadcast(probes), "list_id").filter(
+        F.col("vec_id") != F.col("q_id")
+    )
+    cos = _dot_expr("qe", "e") / (F.col("qn") * F.col("nrm"))
+    np_arr = F.array(*[F.lit(n) for n in _A11_NPROBES])
+    branched = (
+        cands.select("q_id", "vec_id", "pr", cos.alias("cos_raw"))
+        .select("q_id", "vec_id", "pr", "cos_raw", F.explode(np_arr).alias("nprobe"))
+        .filter(F.col("pr") <= F.col("nprobe"))
+    )
+    w = Window.partitionBy("nprobe", "q_id").orderBy(
+        F.desc("cos_raw"), F.asc("vec_id")
+    )
+    ivf = (
+        branched.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _TOP_K)
+        .select(
+            F.col("nprobe").alias("inp"),
+            F.col("q_id").alias("iq"),
+            F.col("vec_id").alias("inb"),
         )
-        out = branch if out is None else out.unionByName(branch)
-    return out.orderBy("nprobe")
+    )
+    exact_np = exact.select("q_id", "neighbor_id", F.explode(np_arr).alias("nprobe"))
+    return (
+        exact_np.join(
+            ivf,
+            (F.col("nprobe") == F.col("inp"))
+            & (F.col("q_id") == F.col("iq"))
+            & (F.col("neighbor_id") == F.col("inb")),
+            "left",
+        )
+        .groupBy("nprobe")
+        .agg(
+            F.count("inb").alias("n_matched"),
+            F.round(F.count("inb") / float(n_q * _TOP_K), 4).alias("mean_recall"),
+        )
+        .orderBy("nprobe")
+    )
 
 
 def _a11_sql() -> str:
@@ -972,9 +1116,7 @@ def a12_ivf_sampled_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     prepare(spark)
     emb = _emb(spark, sf_dir)
     train = emb.select("vec_id", "e").filter(F.col("vec_id") % _TRAIN_MOD == 1)
-    cents = _trained_centroids(
-        emb.select("vec_id", "e"), train=train
-    ).localCheckpoint()
+    cents = _trained_centroid_rows(emb.select("vec_id", "e"), train=train)
     return _ivf_probe_rescore(emb, cents)
 
 
