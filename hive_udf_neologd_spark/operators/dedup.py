@@ -177,8 +177,12 @@ def _minhash_bands(docs: DataFrame) -> DataFrame:
     )
 
 
-def d02_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    prepare(spark)
+def _d02_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """d02's distinct candidate pairs WITHOUT the final presentation sort —
+    shared by d02 (which adds the ORDER BY its declared output carries)
+    and the connected-components consumers d07/d09, whose aggregates are
+    order-insensitive: feeding them the sorted frame paid a range
+    exchange + sampling pass for nothing (round 12, guide §2.4)."""
     corpus = _corpus(spark, sf_dir, with_exact=False)
     bands = _minhash_bands(corpus)
     left = bands.alias("a")
@@ -198,8 +202,12 @@ def d02_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
         .distinct()
-        .orderBy("id_a", "id_b")
     )
+
+
+def d02_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    prepare(spark)
+    return _d02_pairs(spark, sf_dir).orderBy("id_a", "id_b")
 
 
 D02_SQL = f"""
@@ -378,7 +386,17 @@ def d05_bucket_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~20 % of the token volume; candidate pairs are distinct-ed before the
     (keyed, scale-safe) fetch of the two token sets.  All integer
     arithmetic: ⌈4n/5⌉ = (4n+4) DIV 5 — FP-free, so Spark and DuckDB would
-    agree even if the oracle were rewritten this way."""
+    agree even if the oracle were rewritten this way.
+
+    Round-12 measurement note (guide §1): the canonical AllPairs/PPJoin
+    document-frequency prefix ordering was implemented and MEASURED
+    SLOWER here (3.1 → 4.0 s at sf0.1) — this corpus draws from a
+    31-token vocabulary, so df ordering cannot discriminate (every token
+    is near-ubiquitous; candidates stayed at 82.5 k) while the reorder
+    pipeline added an explode + df join + re-collect.  The lexicographic
+    order stays; on a natural-vocabulary corpus the df order is the right
+    call and the swap is a drop-in (any fixed total order satisfies the
+    completeness theorem)."""
     prepare(spark)
     docs = _base(spark, sf_dir).select(
         "doc_id",
@@ -493,6 +511,66 @@ def _d6_band_bucket(band: int) -> str:
     return " + ".join(parts)
 
 
+def _d6_bands_np(doubled: DataFrame) -> DataFrame:
+    """(vec_id, label, band, bucket) LSH band table as a NARROW numpy
+    ``mapInPandas`` kernel (round 12, guide §4.2): the 24 hyperplane dots
+    per vector ran as interpreted ``aggregate(zip_with(...))`` folds —
+    a closure call per (plane, dim, row).  The kernel computes the same
+    dots with one fused (B, planes) op per dimension, accumulated in dim
+    order (the HOF left fold, bit-identical doubles), packs the sign bits
+    per band with integer ops, and emits the three band rows directly —
+    same rows the posexplode produced, no shuffle either way."""
+    import numpy as np
+    from pyspark.sql.types import (
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    W = np.array(
+        [_d6_plane_signs(p) for p in range(_D6_PLANES)], dtype=np.float64
+    )  # (planes, dim)
+    schema = StructType(
+        [
+            StructField("vec_id", LongType()),
+            StructField("label", doubled.schema["label"].dataType),
+            StructField("band", IntegerType()),
+            StructField("bucket", IntegerType()),
+        ]
+    )
+
+    def _batches(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            E = np.array(pdf["e"].tolist(), dtype=np.float64)  # (B, dim)
+            dots = np.zeros((E.shape[0], _D6_PLANES), dtype=np.float64)
+            for d in range(E.shape[1]):  # dim-order fold, HOF parity
+                dots += E[:, d, None] * W[None, :, d]
+            bits = dots > 0  # (B, planes)
+            out_frames = []
+            for b in range(_D6_BANDS):
+                bucket = np.zeros(E.shape[0], dtype=np.int64)
+                for k in range(_D6_BAND_BITS):
+                    bucket += bits[:, _D6_BAND_BITS * b + k].astype(np.int64) << k
+                out_frames.append(
+                    pd.DataFrame(
+                        {
+                            "vec_id": pdf["vec_id"].to_numpy(),
+                            "label": pdf["label"].to_numpy(),
+                            "band": np.full(E.shape[0], b, dtype=np.int32),
+                            "bucket": bucket.astype(np.int32),
+                        }
+                    )
+                )
+            yield pd.concat(out_frames, ignore_index=True)
+
+    return doubled.select("vec_id", "label", "e").mapInPandas(_batches, schema)
+
+
 def d06_embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-duplicate pairs (cosine ≥ 0.999) within label, with
     candidate generation via BANDED random-hyperplane LSH (Charikar '02)
@@ -517,13 +595,7 @@ def d06_embedding_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     doubled = emb.unionByName(
         emb.select((F.col("vec_id") + 100000).alias("vec_id"), "label", "e")
     )
-    bands = doubled.select(
-        "vec_id",
-        "label",
-        F.posexplode(
-            F.array(*[F.expr(_d6_band_bucket(b)) for b in range(_D6_BANDS)])
-        ).alias("band", "bucket"),
-    )
+    bands = _d6_bands_np(doubled)
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(
@@ -591,7 +663,7 @@ def _cc_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Min-label fixpoint over d02's candidate pairs: (member n, component
     label lbl) where lbl = the component's minimum doc_id.  Shared by d07
     (cluster stats) and d09 (canonical-doc selection)."""
-    pairs = d02_minhash_lsh_pairs(spark, sf_dir).select("id_a", "id_b")
+    pairs = _d02_pairs(spark, sf_dir)
     edges = pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v")).unionByName(
         pairs.select(F.col("id_b").alias("u"), F.col("id_a").alias("v"))
     )
@@ -635,10 +707,14 @@ def _cc_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
         jump = stepped.select(
             F.col("n").alias("jn"), F.col("lbl").alias("jlbl")
         )
+        # Lazy checkpoint (round 12): the convergence-sum action below is
+        # the round's ONE job — it materializes the checkpoint as a side
+        # effect, where the eager form paid a separate materialization
+        # job per round before the sum ran on top of it.
         new_labels = (
             stepped.join(jump, stepped["lbl"] == jump["jn"])
             .select("n", F.least("lbl", "jlbl").alias("lbl"))
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         labels = new_labels
         cur_sum = new_labels.agg(F.sum(F.col("lbl").cast("decimal(38,0)"))).first()[0]
