@@ -237,29 +237,52 @@ ORDER BY doc_id
 def t05_fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprinting via winnowing: hash every 3-token shingle,
     take minima over a sliding window of 4 shingles, count distinct minima
-    per doc.  One shuffle (window on doc_id), map-side shingling."""
+    per doc.
+
+    Round 12 (guide §4.2 + §2.4): winnowing is a strictly PER-DOCUMENT
+    computation, so the whole thing runs inside one narrow ``mapInPandas``
+    kernel (hashlib md5 — hex-identical to Spark's ``md5``; window minima
+    are lexicographic string mins either way) emitting one row per doc.
+    The previous shape exploded every shingle hash to a row and paid a
+    full (doc_id) window shuffle + sort + re-aggregate for state that
+    never crosses document boundaries — at 100 TB that exchange carried
+    the entire shingle volume.  Only the final presentation sort remains."""
     prepare(spark)
-    docs = read_table(spark, sf_dir, "documents")
-    # split() hoisted to its own projection — inside the lambda it re-runs
-    # per shingle (O(tokens^2) per document).
-    shingled = (
-        docs.select("doc_id", F.split("text", " ").alias("ts"))
-        .filter(F.size("ts") >= 3)
-        .select(
-            "doc_id",
-            F.posexplode(
-                F.expr(
-                    "transform(sequence(1, size(ts) - 2),"
-                    " i -> md5(concat_ws(' ', slice(ts, i, 3))))"
-                )
-            ).alias("pos", "h"),
-        )
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("n_fingerprints", LongType()),
+        ]
     )
-    w = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, 3)
+
+    def _winnow(batches):
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids, counts = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                ts = text.split(" ") if text is not None else []
+                if len(ts) < 3:
+                    continue
+                hs = [
+                    hashlib.md5(" ".join(ts[i : i + 3]).encode()).hexdigest()
+                    for i in range(len(ts) - 2)
+                ]
+                minima = {min(hs[i : i + 4]) for i in range(len(hs))}
+                ids.append(doc_id)
+                counts.append(len(minima))
+            yield pd.DataFrame({"doc_id": ids, "n_fingerprints": counts})
+
     return (
-        shingled.select("doc_id", F.min("h").over(w).alias("mh"))
-        .groupBy("doc_id")
-        .agg(F.countDistinct("mh").alias("n_fingerprints"))
+        ensure_parallelism(spark, docs)
+        .mapInPandas(_winnow, schema)
         .orderBy("doc_id")
     )
 
