@@ -17,6 +17,8 @@ import os
 import sys
 import time
 
+import pandas as pd  # noqa: F401 — resolves the calibration UDF's type hints
+
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -125,11 +127,49 @@ def _materialize(df) -> None:
 # quiet twins) clears by a wide margin.
 CALIBRATION_NOMINAL_SEC = 0.35
 CALIBRATION_BAND = 2.0
+# Python-boundary twin (round 12): host-level CPU steal observed during
+# this round inflated pandas-UDF-heavy rows 2-3× while the JVM probe
+# stayed comfortably inside its band — the Arrow→Python-worker→Arrow
+# round trip is the contention-sensitive path, so it gets its own probe.
+# Nominal: 0.48-0.63 best-of-3 across four quiet-host sessions on this
+# container (see OPTIMIZATION_r12.md); the 2× band mirrors the JVM
+# probe's rationale.
+CALIBRATION_PY_NOMINAL_SEC = 0.55
 
 
 def _calibrate(spark) -> float:
     df = spark.range(0, 8_000_000, 1, 8).selectExpr("sum(hash(id)) AS h")
     _materialize(df)  # warmup (plan + codegen)
+    best = None
+    for _ in range(3):
+        t0 = time.time()
+        _materialize(df)
+        dt = time.time() - t0
+        best = dt if best is None or dt < best else best
+    return round(best, 3)
+
+
+def _calibrate_py(spark) -> float:
+    """Fixed work through the Python worker boundary at the bench's own
+    fan-out: 32 slices × ~50 ms of numpy per slice through a pandas UDF.
+    The JVM probe (8 light slices) measured CLEAN through a host-steal
+    episode that inflated the wide pandas-UDF rows 3-5× — contention
+    that only bites when all cores are claimed at once needs a probe
+    that claims them."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _aff(x: pd.Series) -> pd.Series:
+        import numpy as np
+
+        v = x.to_numpy(dtype="float64")
+        for _ in range(300):
+            v = np.sqrt(v * v + 1.0)
+        return pd.Series(v)
+
+    df = spark.range(0, 3_200_000, 1, 32).select(F.sum(_aff("id")).alias("s"))
+    _materialize(df)  # warmup (plan + worker spin-up)
     best = None
     for _ in range(3):
         t0 = time.time()
@@ -165,6 +205,7 @@ def main() -> None:
     else:
         selected = HEADLINE
     cal_start = _calibrate(spark)
+    cal_py_start = _calibrate_py(spark)
     for name in selected:
         builder = QUERIES[name]
         # One failing query must not zero out the whole bench — record the
@@ -181,6 +222,7 @@ def main() -> None:
         except Exception as exc:  # noqa: BLE001
             errors[name] = f"{type(exc).__name__}: {str(exc)[:200]}"
     cal_end = _calibrate(spark)
+    cal_py_end = _calibrate_py(spark)
     total = round(sum(timings.values()), 3)
     # A partial total must never be compared against a full one (judge
     # ADVICE r3 + r9): with any per-query error OR a SPARK_GRAFT_ONLY
@@ -200,7 +242,19 @@ def main() -> None:
         "nominal": CALIBRATION_NOMINAL_SEC,
         "threshold": threshold,
     }
-    if cal_start > threshold or cal_end > threshold:
+    py_threshold = round(CALIBRATION_PY_NOMINAL_SEC * CALIBRATION_BAND, 3)
+    payload["calibration_py"] = {
+        "start": cal_py_start,
+        "end": cal_py_end,
+        "nominal": CALIBRATION_PY_NOMINAL_SEC,
+        "threshold": py_threshold,
+    }
+    if (
+        cal_start > threshold
+        or cal_end > threshold
+        or cal_py_start > py_threshold
+        or cal_py_end > py_threshold
+    ):
         payload["contended"] = True
     if is_subset:
         payload["subset"] = True

@@ -841,12 +841,22 @@ def d10_incremental_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     side is small enough to broadcast instead).  Flagging is
     distinct-on-batch-id, so output size is bounded by the batch.  Short
     documents (< 3 tokens, no shingle signature) cannot be screened and
-    are admitted — same rule in both engines."""
+    are admitted — same rule in both engines.
+
+    Round 12 (guide §2.4): ONE minhash pipeline over base ∪ batch,
+    materialized via localCheckpoint, replaces the two separate
+    scan→shingle→md5→min-agg pipelines (sides are recovered from the
+    doc_id ranges: batch ids sit at +{MUT_OFF}).  Filter-splitting the
+    un-materialized union would have re-run the whole pipeline per side —
+    the checkpoint is what makes the single pass real."""
     prepare(spark)
     base = _base(spark, sf_dir)
     batch = _mutated(base).filter((F.col("doc_id") - MUT_OFF) % 3 == 0)
-    existing_bands = _minhash_bands(base)
-    batch_bands = _minhash_bands(batch)
+    bands = _minhash_bands(
+        base.select("doc_id", "text").unionByName(batch.select("doc_id", "text"))
+    ).localCheckpoint()
+    batch_bands = bands.filter(F.col("doc_id") >= MUT_OFF)
+    existing_bands = bands.filter(F.col("doc_id") < MUT_OFF)
     flagged = (
         batch_bands.alias("n").hint("shuffle_hash")
         .join(

@@ -1,0 +1,109 @@
+"""Focused gates for the round-12 optimization internals.
+
+The numpy kernels that replaced the interpreted HOF folds (ann._assign_np,
+ann._assign_cos_np) claim BIT-parity via dim-order accumulation; these
+tests pin that claim against an independent row-at-a-time Python
+reference, including the tie-break conventions (min c_id) the argmin/
+argmax first-hit relies on.  t05's kernel rewrite claims the per-doc
+window exchange is gone; that is asserted on the plan.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from hive_udf_neologd_spark.operators import ann
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _tiny_emb(spark):
+    # 6 vectors, 4-d; vec 5 is equidistant from both centroids (tie).
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.0, 1.0, 0.0, 0.0]),
+        (2, [1.0, 1.0, 0.0, 0.0]),
+        (3, [0.0, 0.0, 1.0, 1.0]),
+        (4, [0.5, 0.5, 0.5, 0.5]),
+        (5, [0.0, 0.0, 0.0, 0.0]),  # d2 tie vs both unit centroids
+    ]
+    return spark.createDataFrame(rows, "vec_id long, e array<double>")
+
+
+CENTS = [(10, (1.0, 0.0, 0.0, 0.0)), (20, (0.0, 1.0, 0.0, 0.0))]
+
+
+def test_assign_np_matches_rowwise_reference(spark):
+    got = {
+        r["vec_id"]: (r["c_id"], r["d2"])
+        for r in ann._assign_np(_tiny_emb(spark), CENTS).collect()
+    }
+    for vec_id, e in [(int(r["vec_id"]), list(r["e"]))
+                      for r in _tiny_emb(spark).collect()]:
+        best = None
+        for c_id, ce in CENTS:
+            d2 = 0.0
+            for x, y in zip(e, ce):  # dim-order left fold
+                d2 += (x - y) * (x - y)
+            if best is None or (d2, c_id) < best:
+                best = (d2, c_id)
+        assert got[vec_id] == (best[1], best[0]), vec_id
+    # The tie row must have broken to the SMALLER c_id.
+    assert got[5][0] == 10
+
+
+def test_assign_cos_np_matches_rowwise_reference(spark):
+    emb = _tiny_emb(spark).filter(F.col("vec_id") != 5).withColumn(
+        "nrm",
+        F.expr(
+            "sqrt(aggregate(transform(e, x -> x * x), CAST(0.0 AS DOUBLE),"
+            " (acc, v) -> acc + v))"
+        ),
+    )
+    cents = [
+        (10, (1.0, 0.0, 0.0, 0.0), 1.0),
+        (20, (0.0, 1.0, 0.0, 0.0), 1.0),
+    ]
+    got = {
+        r["vec_id"]: r["list_id"] for r in ann._assign_cos_np(emb, cents).collect()
+    }
+    for r in emb.collect():
+        e, nrm = list(r["e"]), r["nrm"]
+        best = None
+        for c_id, ce, cn in cents:
+            dot = 0.0
+            for x, y in zip(e, ce):  # dim-order left fold
+                dot += x * y
+            cos = dot / (cn * nrm)
+            if best is None or (-cos, c_id) < best:
+                best = (-cos, c_id)
+        assert got[r["vec_id"]] == best[1], r["vec_id"]
+    # vec 2 is equidistant in angle from both centroids → tie → min c_id.
+    assert got[2] == 10
+
+
+def test_trained_centroid_rows_shape(spark):
+    emb = ann._emb(spark, SF_DIR).select("vec_id", "e")
+    rows = ann._trained_centroid_rows(emb)
+    assert rows == sorted(rows, key=lambda t: t[0])
+    assert all(len(ce) == 64 for _, ce in rows)
+    # 4 dp rounding applied between iterations.
+    assert all(
+        math.isclose(x, round(x, 4), abs_tol=0.0) for _, ce in rows for x in ce
+    )
+
+
+def test_t05_no_window_exchange(spark):
+    from hive_udf_neologd_spark.catalog import QUERIES
+
+    df = QUERIES["t05_fingerprint_winnow"](spark, SF_DIR)
+    plan = spark._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    # The winnowing is per-document inside one narrow kernel: no window
+    # operator, no hash exchange carrying shingle rows — only the
+    # conditional spread and the presentation sort remain.
+    assert "Window" not in plan
+    assert "hashpartitioning" not in plan
