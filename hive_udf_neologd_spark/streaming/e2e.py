@@ -26,6 +26,7 @@ import glob
 import itertools
 import os
 import shutil
+from contextlib import contextmanager
 from datetime import datetime, timedelta
 
 from pyspark.sql import DataFrame, SparkSession
@@ -88,6 +89,57 @@ def _cleanup_scratch() -> None:
 atexit.register(_cleanup_scratch)
 
 
+# --- scale-adaptive streaming shuffle/state partitioning (round 12) --------
+# Spark DISABLES AQE for stateful streaming workloads ("Disabling AQE
+# since AQE is not supported in stateful workloads"), so a streaming
+# aggregate's post-shuffle — and state-store — partition count is exactly
+# ``spark.sql.shuffle.partitions``: a constant that is ~30× too large for
+# a few-MB staged snapshot (32 state stores, each paying per-batch
+# commit/delta-file overhead, dominated s04's lifecycle cost) and far too
+# SMALL for a 100 TB stream.  Derive it from the staged input size at the
+# same advisory chunk AQE's partition coalescing targets (guide §2.2):
+# one state partition per advisory chunk of source bytes.  Deliberately
+# core-count-independent — the driver benches at several SPARK_GRAFT_CPUS
+# values and this derivation gives the same partition count at each.
+_STREAM_ADVISORY_BYTES = int(
+    os.environ.get("SPARK_GRAFT_STREAM_ADVISORY_BYTES", str(64 * 1024 * 1024))
+)
+_STREAM_MAX_PARTITIONS = 32768  # runaway guard for pathological derivations
+
+
+def _derive_stream_partitions(stage: str) -> int:
+    """State/shuffle partition count for a streaming query over a staged
+    snapshot: ceil(staged bytes / advisory chunk), clamped to
+    [1, _STREAM_MAX_PARTITIONS]."""
+    total = 0
+    for root, _dirs, files in os.walk(stage):
+        for f in files:
+            if f.endswith(".parquet"):
+                try:
+                    total += os.path.getsize(os.path.join(root, f))
+                except OSError:
+                    pass
+    return max(1, min(_STREAM_MAX_PARTITIONS, -(-total // _STREAM_ADVISORY_BYTES)))
+
+
+@contextmanager
+def _stream_shuffle_scope(spark: SparkSession, stage: str):
+    """Run a streaming query under the derived partition count, restoring
+    the session conf afterwards.  Safe to apply per query: the state
+    partition count is pinned into each query's (per-run-unique)
+    checkpoint at first start, so scoping the conf cannot corrupt other
+    streams, and aggregate RESULTS are partition-count-invariant — only
+    the state-store instance count changes."""
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(_derive_stream_partitions(stage))
+    )
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
 def _source_fingerprint(sf_dir: str, name: str):
     """Cheap identity of a source table on disk — (file count, total
     bytes, max mtime_ns) over ``<sf_dir>/<name>.parquet`` (file or
@@ -146,15 +198,16 @@ def s03_streaming_event_counts_e2e(spark: SparkSession, sf_dir: str) -> DataFram
     out = streaming_event_counts(
         read_event_stream(spark, stage), window="1 hour", watermark="2 hours"
     )
-    q = (
-        out.writeStream.format("memory")
-        .queryName(name)
-        .option("checkpointLocation", _checkpoint_dir(name))
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
+    with _stream_shuffle_scope(spark, stage):
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .option("checkpointLocation", _checkpoint_dir(name))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
     return (
         spark.table(name)
         .select(
@@ -204,15 +257,16 @@ def s04_streaming_term_counts_e2e(spark: SparkSession, sf_dir: str) -> DataFrame
     out = streaming_term_counts(
         read_document_stream(spark, stage), window="1 hour", watermark="2 hours"
     )
-    q = (
-        out.writeStream.format("memory")
-        .queryName(name)
-        .option("checkpointLocation", _checkpoint_dir(name))
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
+    with _stream_shuffle_scope(spark, stage):
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .option("checkpointLocation", _checkpoint_dir(name))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
     return (
         spark.table(name)
         .select(F.unix_timestamp("window_start").alias("window_start"), "token", "n")
@@ -249,17 +303,32 @@ def _stage_events(spark: SparkSession, sf_dir: str, name: str, df) -> str:
     return stage
 
 
-def _run_append(out, name_prefix: str, mode: str = "append", want_query: bool = False):
+def _run_append(
+    out,
+    name_prefix: str,
+    mode: str = "append",
+    want_query: bool = False,
+    stage: str | None = None,
+):
     name = f"{name_prefix}_{next(_RUN_IDS)}_{os.getpid()}"
-    q = (
-        out.writeStream.format("memory")
-        .queryName(name)
-        .option("checkpointLocation", _checkpoint_dir(name))
-        .outputMode(mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
+
+    def _start():
+        q = (
+            out.writeStream.format("memory")
+            .queryName(name)
+            .option("checkpointLocation", _checkpoint_dir(name))
+            .outputMode(mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        return q
+
+    if stage is not None:
+        with _stream_shuffle_scope(out.sparkSession, stage):
+            q = _start()
+    else:
+        q = _start()
     if want_query:
         return name, q
     return name
@@ -288,7 +357,7 @@ def s05_stream_static_join_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
         .select(F.col("w.start").alias("ws"), "c_mktsegment", "n", "total_value")
     )
-    name = _run_append(out, "s05_sink")
+    name = _run_append(out, "s05_sink", stage=stage)
     return (
         spark.table(name)
         .select(
@@ -334,7 +403,7 @@ def s06_streaming_dedup_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicatesWithinWatermark(["event_id"])
         .select("event_id", "user_id", "event_type")
     )
-    name = _run_append(out, "s06_sink")
+    name = _run_append(out, "s06_sink", stage=stage)
     return spark.table(name).orderBy("event_id")
 
 
@@ -367,7 +436,9 @@ def s07_stateful_running_totals_e2e(spark: SparkSession, sf_dir: str) -> DataFra
         .option("maxFilesPerTrigger", "1")
         .parquet(stage)
     )
-    name = _run_append(streaming_user_running_totals(src), "s07_sink", mode="update")
+    name = _run_append(
+        streaming_user_running_totals(src), "s07_sink", mode="update", stage=stage
+    )
     w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
     return (
         spark.table(name)
@@ -436,7 +507,7 @@ def s08_stream_stream_join_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("value", 2).alias("purchase_value"),
         )
     )
-    name = _run_append(out, "s08_sink")
+    name = _run_append(out, "s08_sink", stage=stage)
     return spark.table(name).orderBy("view_id", "purchase_id")
 
 
@@ -472,7 +543,7 @@ def s09_sliding_window_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
         .select(F.col("w.start").alias("ws"), "event_type", "n", "total_value")
     )
-    name = _run_append(out, "s09_sink")
+    name = _run_append(out, "s09_sink", stage=stage)
     return (
         spark.table(name)
         .select(F.unix_timestamp("ws").alias("window_start"), "event_type", "n", "total_value")
@@ -624,7 +695,7 @@ def s11_late_data_drop_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(stage)
     )
     out = streaming_event_counts(src, window="1 hour", watermark="2 hours")
-    name, q = _run_append(out, "s11_sink", want_query=True)
+    name, q = _run_append(out, "s11_sink", want_query=True, stage=stage)
     # The deterministic drop above relies on the empirically-verified
     # one-batch watermark lag (see docstring).  Guard the assumption
     # loudly: after the final batch the reported watermark must be exactly
