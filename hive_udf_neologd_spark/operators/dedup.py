@@ -142,21 +142,33 @@ def _minhash_bands(docs: DataFrame) -> DataFrame:
         )
     )
     # 8 minhash functions from TWO salted digests (4 non-overlapping 32-bit
-    # slices each): 4x fewer md5 evaluations per shingle, and the min()
-    # aggregates compare BIGINTs instead of 32-char strings.  Digests are
+    # slices each): 4x fewer md5 evaluations per shingle.  Digests are
     # hoisted to their own projection so each md5 runs once per shingle.
+    # The min() aggregates run over the RAW 8-char hex substrings and the
+    # base-16 parse happens once per GROUP, not once per shingle row
+    # (round 12, guide §1.2 per-task work): fixed-width lowercase hex
+    # orders lexicographically exactly as its numeric value
+    # ('0'<…<'9'<'a'<…<'f' in ASCII), so min(conv(s)) == conv(min(s)) and
+    # the signatures are bit-identical — measured 1.64 -> 1.27 s for the
+    # signature stage at sf0.1 with a zero-mismatch equality join.
     digests = sh_rows.select(
         "doc_id",
         F.md5(F.concat(F.lit("a|"), F.col("s"))).alias("da"),
         F.md5(F.concat(F.lit("b|"), F.col("s"))).alias("db"),
     )
-    def _slice(col: str, k: int) -> F.Column:
-        return F.expr(f"CAST(conv(substr({col}, {1 + 8 * k}, 8), 16, 10) AS BIGINT)")
     sigs = digests.groupBy("doc_id").agg(
         *[
-            F.min(_slice("da" if j < 4 else "db", j % 4)).alias(f"h{j}")
+            F.min(
+                F.expr(f"substr({'da' if j < 4 else 'db'}, {1 + 8 * (j % 4)}, 8)")
+            ).alias(f"m{j}")
             for j in range(_N_HASHES)
         ]
+    ).select(
+        "doc_id",
+        *[
+            F.expr(f"CAST(conv(m{j}, 16, 10) AS BIGINT)").alias(f"h{j}")
+            for j in range(_N_HASHES)
+        ],
     )
     return sigs.select(
         "doc_id",
@@ -667,6 +679,23 @@ def _cc_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v")).unionByName(
         pairs.select(F.col("id_b").alias("u"), F.col("id_a").alias("v"))
     )
+    # One-time edge SQUARING (round 12, guide §1.2 — fix the algorithm
+    # before the per-round work): adding every 2-hop edge halves the
+    # effective diameter, so the label loop converges in about half the
+    # rounds — each round being a full label-table shuffle, the scarce
+    # resource at 100 TB.  The extra join is bounded: 2-hop fan-out is
+    # capped by dup-cluster size, the same occupancy bound d02's band
+    # join already enforces (a hot LSH bucket is a clique in `pairs`
+    # before squaring, and squaring a clique is a no-op).  Same
+    # components, same min-label fixpoint — the added edges stay inside
+    # components.  Measured 4.12 -> 3.34 s for the full d07 at sf0.1.
+    two_hop = (
+        edges.alias("x")
+        .join(edges.alias("y"), F.col("x.v") == F.col("y.u"))
+        .select(F.col("x.u").alias("u"), F.col("y.v").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+    )
+    edges = edges.unionByName(two_hop).distinct()
     edges = edges.localCheckpoint()  # d02 runs once, not once per iteration
     # Init fused with the first neighbor-min round (round 7): label(u) =
     # min(u, min(neighbors)) in ONE groupBy over edges — the previous
