@@ -247,8 +247,13 @@ UD_PARITY_CORPUS: tuple[
 )
 
 
-@lru_cache(maxsize=16)
+@lru_cache(maxsize=64)
 def _analyzer(mode: str, ud_rows: tuple[str, ...]):
+    # maxsize covers the full corpus's distinct (mode, user-dict) configs
+    # (31 registers as of round 12 — a 16-entry LRU thrashed on the
+    # sequential sweep); since round 12 each analyzer shares the cached
+    # builtin Dictionary, so a cached entry is just a Lattice + the tiny
+    # user-dict index.
     from hive_udf_neologd_spark.tokenizer.analyzer import JapaneseAnalyzer
 
     return JapaneseAnalyzer(
