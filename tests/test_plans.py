@@ -16,11 +16,14 @@ from hive_udf_neologd_spark.catalog import QUERIES
 SF_DIR = "/root/testdata/sf0.001"
 
 
-def _plan(spark, name: str) -> str:
-    df = QUERIES[name](spark, SF_DIR)
+def _plan_of(spark, df) -> str:
     return spark._jvm.PythonSQLUtils.explainString(
         df._jdf.queryExecution(), "formatted"
     )
+
+
+def _plan(spark, name: str) -> str:
+    return _plan_of(spark, QUERIES[name](spark, SF_DIR))
 
 
 def test_q01_filter_pushed_to_scan(spark):
@@ -105,7 +108,12 @@ def test_d05_candidate_join_keys_include_prefix_token(spark):
     # high-cardinality token, never just the low-cardinality (lang,
     # source) bucket — the thing that made the old all-pairs plan
     # quadratic at scale.
-    plan = _plan(spark, "d05_bucket_jaccard_pairs")
+    # The public query checkpoints the scored pairs before its sort
+    # (round 12), which truncates the top-level explain — assert on the
+    # pre-checkpoint subtree builder instead.
+    from hive_udf_neologd_spark.operators.dedup import _d05_scored
+
+    plan = _plan_of(spark, _d05_scored(spark, SF_DIR))
     assert "tok" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
@@ -114,7 +122,9 @@ def test_d05_candidate_join_keys_include_prefix_token(spark):
 def test_d06_candidate_join_keys_include_lsh_bucket(spark):
     # Banded hyperplane LSH: candidates join on (label, band, bucket),
     # not all-pairs within label.
-    plan = _plan(spark, "d06_embedding_dup_pairs")
+    from hive_udf_neologd_spark.operators.dedup import _d06_scored
+
+    plan = _plan_of(spark, _d06_scored(spark, SF_DIR))
     assert "bucket" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
@@ -125,7 +135,9 @@ def test_d03_no_bit_row_inflation(spark):
     # branch has exactly ONE hashpartitioning (the per-doc agg) — the old
     # bit-row plan needed a second (doc_id, bit) shuffle carrying 32× the
     # token count.
-    plan = _plan(spark, "d03_simhash")
+    from hive_udf_neologd_spark.operators.dedup import _d03_joined
+
+    plan = _plan_of(spark, _d03_joined(spark, SF_DIR))
     assert plan.count("hashpartitioning") == 2  # one per disjoint branch
 
 
@@ -170,7 +182,15 @@ def test_whole_stage_codegen_present(spark, name):
     # AQE hides codegen spans until execution, so plan this one query with
     # AQE off (the builders' prepare() re-enables it; planning happens at
     # explain time, after we flip the conf back off).
-    df = QUERIES[name](spark, SF_DIR)
+    if name == "t05_fingerprint_winnow":
+        # The public t05 checkpoints before its sort (round 12) which
+        # truncates the plan; the codegen'd scan/project lives in the
+        # pre-checkpoint subtree.
+        from hive_udf_neologd_spark.operators.textops import _t05_fingerprints
+
+        df = _t05_fingerprints(spark, SF_DIR)
+    else:
+        df = QUERIES[name](spark, SF_DIR)
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try:
         codegen = spark._jvm.PythonSQLUtils.explainString(
