@@ -300,6 +300,9 @@ def m04_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     # across an integer boundary and diverge from the oracle's `//`.
     out_w = F.expr(f"CAST(width * {_FIT} DIV greatest(width, height) AS BIGINT)")
     out_h = F.expr(f"CAST(height * {_FIT} DIV greatest(width, height) AS BIGINT)")
+    # Materialize-before-sort (round 12, same rationale as t05/d05): the
+    # sort's sampling pass re-ran the mapInPandas decode per action
+    # (measured 1.1-1.2 -> ~0.9 s at sf0.1).
     return (
         decoded.select(
             "asset_id",
@@ -308,6 +311,7 @@ def m04_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             out_w.alias("out_w"),
             out_h.alias("out_h"),
         )
+        .localCheckpoint(eager=False)
         .orderBy("asset_id")
     )
 

@@ -153,6 +153,8 @@ def test_t05_no_window_exchange(spark):
         "d05_bucket_jaccard_pairs",
         "d06_embedding_dup_pairs",
         "t17_tokenize_rich",
+        "t04_quality_score",
+        "m04_resize_plan",
     ],
 )
 def test_sort_samples_checkpoint_not_pipeline(spark, name):
