@@ -97,7 +97,11 @@ def test_d02_band_join_reuses_minhash_exchange(spark):
     # pipeline (scan → shingle → md5 → min-agg) must run ONCE, with the
     # second side a ReusedExchange — otherwise the build side recomputes
     # the pipeline, which doubles the dominant cost at 100 TB.
-    df = QUERIES["d02_minhash_lsh_pairs"](spark, SF_DIR)
+    # The public query checkpoints the distinct pairs before its sort
+    # (round 12), so execute the pre-checkpoint subtree builder.
+    from hive_udf_neologd_spark.operators.dedup import _d02_pairs
+
+    df = _d02_pairs(spark, SF_DIR)
     df.collect()
     executed = df._jdf.queryExecution().executedPlan().toString()
     assert "ReusedExchange" in executed

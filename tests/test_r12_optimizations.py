@@ -155,6 +155,7 @@ def test_t05_no_window_exchange(spark):
         "t17_tokenize_rich",
         "t04_quality_score",
         "m04_resize_plan",
+        "d02_minhash_lsh_pairs",
     ],
 )
 def test_sort_samples_checkpoint_not_pipeline(spark, name):
