@@ -177,3 +177,39 @@ def test_sort_samples_checkpoint_not_pipeline(spark, name):
     # The expensive work is below the checkpoint, not re-planned above it.
     for marker in ("MapInPandas", "ArrowEvalPython", "array_intersect", "Join"):
         assert marker not in plan
+
+
+def test_io_input_fixture_staged_once(spark):
+    """io03-io05 stage their PURE input fixtures once per process (the
+    round-11 s04 staging protocol extended to the io tier): a second
+    builder invocation must reuse the staged layout byte-for-byte (no
+    rewrite — parquet part files keep their mtimes) and return identical
+    rows, and a fingerprint change must force a restage."""
+    import glob
+    import os
+
+    from hive_udf_neologd_spark.operators import io as io_ops
+
+    io_ops._STAGED_INPUTS.clear()
+    df1 = io_ops.io04_small_file_compaction(spark, SF_DIR)
+    rows1 = sorted(map(tuple, df1.collect()))
+    sprayed = (
+        f"{io_ops._STAGE_ROOT}/{os.path.basename(SF_DIR)}/"
+        f"events_sprayed_{os.getpid()}"
+    )
+    parts = sorted(glob.glob(f"{sprayed}/*.parquet"))
+    assert parts, "sprayed fixture missing after first build"
+    mtimes = [os.path.getmtime(p) for p in parts]
+
+    df2 = io_ops.io04_small_file_compaction(spark, SF_DIR)
+    rows2 = sorted(map(tuple, df2.collect()))
+    assert rows1 == rows2
+    parts2 = sorted(glob.glob(f"{sprayed}/*.parquet"))
+    assert parts2 == parts
+    assert [os.path.getmtime(p) for p in parts2] == mtimes  # no rewrite
+
+    # A fingerprint mismatch (regenerated sf_dir) must restage.
+    io_ops._STAGED_INPUTS[sprayed] = ("stale",)
+    io_ops.io04_small_file_compaction(spark, SF_DIR)
+    parts3 = sorted(glob.glob(f"{sprayed}/*.parquet"))
+    assert [os.path.getmtime(p) for p in parts3] != mtimes  # rewritten
