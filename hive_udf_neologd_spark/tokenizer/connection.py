@@ -358,7 +358,10 @@ N_CLASSES = 53
 # surface-scoped left class) shifts every tuple id by 1.
 # v17: round-12 audit 166 — TARA_R (たら's dedicated right class)
 # shifts every tuple id by 1.
-CLASS_SCHEMA_VERSION = 17
+# v18: round-13 audit 170 — the 五段・カ行促音便 paradigm (行く/いく/
+# 逝く/往く) adds five (動詞-自立, 五段・カ行促音便, *) tuples mid-table,
+# shifting every tuple id after them by 5.
+CLASS_SCHEMA_VERSION = 18
 
 # 連用 (continuative) forms — the state auxiliaries attach to (聴い+た,
 # でき+ます, 高かっ+た).  Deliberately NOT including 未然形: rewarding

@@ -288,10 +288,11 @@ if __name__ == "__main__":
 
 
 # CI floor (tests/test_parity.py): exact-match accuracy over the held-out
-# lemma corpus — same contract as T25_ACC_FLOOR.  TEMPORARILY at the
-# honest round-12 tranche-16 pre-fix value (75/85); restored to 1.0 by
-# the audit-170 fix wave.
-T27_ACC_FLOOR = 0.882352
+# lemma corpus — same contract as T25_ACC_FLOOR.  Restored to 1.0 by the
+# round-13 audit-170 fix wave (the カ行促音便 paradigm + いい adjective
+# pricing + the かっこ/いっしょ/いったい rows); the tranche-16 pre-fix
+# floor was the honest 0.882352.
+T27_ACC_FLOOR = 1.0
 
 # RECORDED aggregates — the t27 oracle constants; recapture with
 # ``python -m hive_udf_neologd_spark.tokenizer.lemma_parity`` after any
@@ -308,15 +309,16 @@ T27_ACC_FLOOR = 0.882352
 # 1200) and one sentence reworded out of the purposive-に discipline
 # (BASELINE.md).
 T27_EXPECTED: dict[str, tuple[int, int, int, int]] = {
-    "__total__": (85, 75, 215, 208),
+    "__total__": (85, 85, 215, 215),
     "ll3_orphan": (6, 6, 19, 19),
-    # round-12 tranche 16 (audit 170) HONEST PRE-FIX aggregates — the
-    # カ行促音便/いい class, committed before the fix wave: いい loses to
-    # the verb row (→いう→stop-dropped), 逝っ/いっしょ/いったい shred,
-    # いっ(いく) rows missing.
-    "ll4_ii": (7, 2, 16, 11),
-    "ll4_iku": (5, 2, 13, 12),
-    "ll4_kana_adv": (2, 0, 4, 3),
+    # round-13 audit-170 fix wave: the カ行促音便 paradigm (行っ/いっ/
+    # 逝っ/往っ replace the spurious イ音便 rows), the いい 形容詞 vs
+    # 言う-連用形 pricing split, and the かっこ/いっしょ/いったい rows —
+    # all three ll4 registers recaptured at exact match (pre-fix honest
+    # floors: 2/7, 2/5, 0/2).
+    "ll4_ii": (7, 7, 16, 16),
+    "ll4_iku": (5, 5, 13, 13),
+    "ll4_kana_adv": (2, 2, 4, 4),
     "ll2_causative": (3, 3, 9, 9),
     "ll2_compound_verb": (3, 3, 8, 8),
     "ll2_desiderative": (3, 3, 8, 8),

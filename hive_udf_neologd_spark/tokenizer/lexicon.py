@@ -310,7 +310,15 @@ _VERBS = [
     # same as 行こ/しよ/来よ.
     ("あろ", "ある"),
     ("なる", "なる"), ("なっ", "なる"), ("なり", "なる"), ("なれ", "なる"),
-    ("いう", "いう"), ("いっ", "いう"), ("いい", "いう"),
+    ("いう", "いう"),
+    # いっ/いい (言う's 音便/連用形 in kana) moved to the costed 1500 tier
+    # in _build() (audit 170): at the flat 1200 they tied — and, as the
+    # earlier-registered rows, beat — いっ(いく)'s 促音便 row and the いい
+    # 形容詞, which is IPADIC's preference inverted (ipadic-2.7.0 prices
+    # 行く's いっ below 言う's, and いい adjectival contexts below the
+    # 連用形).  At 1500 the 言う rows still win exactly where ます/まし
+    # must follow a 連用形 (と+いい+ます keeps its -800 連用形→助動詞
+    # reward; the 形容詞 cannot take ます), which is the IPADIC split.
     ("使う", "使う"), ("使っ", "使う"), ("使い", "使う"), ("使え", "使う"),
     ("見る", "見る"), ("見", "見る"), ("見れ", "見る"),
     ("みる", "みる"), ("み", "みる"),
@@ -940,6 +948,14 @@ def _build() -> list[tuple]:
         entries.append((surface, "動詞-自立", 1200, base, None))
     for surface, base in _ADJECTIVES:
         entries.append((surface, "形容詞-自立", 1200, base, None))
+    # 言う's kana 音便/連用形 rows at 1500, AFTER the adjective tier
+    # (audit 170 — see the _VERBS note): いっ must lose plain ties to
+    # いく's 促音便 row (うまく|いっ|た lemmatizes to いく, IPADIC's
+    # pricing) and いい must lose adjectival contexts to the 形容詞 row
+    # (天気が|いい), while と+いい+ます keeps the verb via the 連用形→
+    # 助動詞 -800 reward the adjective's 基本形 class cannot collect.
+    entries.append(("いっ", "動詞-自立", 1500, "いう", None))
+    entries.append(("いい", "動詞-自立", 1500, "いう", None))
     for surface in _ADJ_NOUN_STEMS:
         entries.append((surface, "名詞-形容動詞語幹", 1500, None, None))
     for surface in _CONJ:
