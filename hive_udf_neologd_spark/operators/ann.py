@@ -547,6 +547,88 @@ _KM_SEED_MOD = 29  # same deterministic seed set as a03's centroids
 _KM_ITERS = 2
 
 
+def _round_half_up_4(x: float) -> float:
+    """Spark's ``round(x, 4)`` over a DOUBLE, replicated exactly:
+    ``BigDecimal.valueOf(x)`` parses ``Double.toString(x)`` (the shortest
+    round-trip decimal — what Python's ``repr`` also produces) and
+    ``setScale(4, HALF_UP)`` rounds half away from zero, which is
+    ``decimal.ROUND_HALF_UP``.  Used by the driver-side Lloyd average so
+    the trained centroids are bit-identical to the Spark-side
+    ``round(avg(x), 4)`` they replace."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(Decimal(repr(x)).quantize(Decimal("0.0001"), rounding=ROUND_HALF_UP))
+
+
+def _lloyd_partial_rows(df: DataFrame, cent_rows):
+    """One Lloyd refinement step as a SINGLE-STAGE job: the numpy
+    assignment kernel (same dim-order fold as ``_assign_np``) also
+    accumulates per-batch partial (count, per-dim sum) for each centroid
+    and the driver finishes the K-sized average.
+
+    Round 13 (guide §1.2): the r12 shape per iteration was assignment →
+    posexplode (64× row inflation) → groupBy(c_id, dim) partial-avg →
+    exchange → final-avg → collect.  Profiled at sf0.1, the per-
+    iteration cost was PLAN work, not data work (first collect 0.46 s,
+    re-collect of the same frame 0.09 s) — each iteration builds and
+    analyzes a fresh two-stage aggregate plan.  The fused kernel emits
+    ≤K proxy rows per batch (c_id, cnt, 64 sums), the job is one stage
+    with no exchange, and the plan is scan → mapInPandas — at 100 TB
+    this also removes a corpus-scale 64×-inflated explode feeding the
+    partial agg (§2.3 aggregate-before-shuffle, one level earlier).
+
+    Sum-order note: within a batch ``np.add.at`` accumulates rows in
+    order (the same row-order partials Spark's hash aggregate computes
+    per partition); the driver merges batch partials in collect order.
+    The merge association differs from Spark's (already
+    non-deterministic) reduce-side arrival order — the 4-dp rounding
+    between iterations is the designed stability boundary, and the
+    trained centroids are verified bit-equal to the r12 path at
+    sf0.001/0.01/0.1 (tests/test_r13_optimizations.py)."""
+    import numpy as np
+    from pyspark.sql.types import (
+        ArrayType,
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    c_ids = np.array([r[0] for r in cent_rows], dtype=np.int64)
+    C = np.array([list(r[1]) for r in cent_rows], dtype=np.float64)  # (K, dim)
+    schema = StructType(
+        [
+            StructField("c_id", LongType()),
+            StructField("cnt", LongType()),
+            StructField("s", ArrayType(DoubleType())),
+        ]
+    )
+
+    def _batches(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            E = np.array(pdf["e"].tolist(), dtype=np.float64)  # (B, dim)
+            d2 = np.zeros((E.shape[0], C.shape[0]), dtype=np.float64)
+            for d in range(E.shape[1]):  # dim-order fold, HOF parity
+                diff = E[:, d, None] - C[None, :, d]
+                d2 += diff * diff
+            am = np.argmin(d2, axis=1)
+            sums = np.zeros((len(c_ids), E.shape[1]), dtype=np.float64)
+            np.add.at(sums, am, E)  # row-order accumulation per cluster
+            cnt = np.bincount(am, minlength=len(c_ids))
+            present = np.flatnonzero(cnt)
+            yield pd.DataFrame(
+                {
+                    "c_id": c_ids[present],
+                    "cnt": cnt[present],
+                    "s": [sums[i].tolist() for i in present],
+                }
+            )
+
+    return df.select("e").mapInPandas(_batches, schema).collect()
+
+
 def _trained_centroid_rows(emb: DataFrame, train: DataFrame | None = None):
     """Two rounded Lloyd iterations from the deterministic seed sample —
     shared by a06 (reports cluster stats) and a08/a09/a12 (use the
@@ -558,15 +640,14 @@ def _trained_centroid_rows(emb: DataFrame, train: DataFrame | None = None):
     seeds still come from ``emb`` so K matches a08's index; only the
     per-iteration assignment cost shrinks with the sample.
 
-    Round 12: each Lloyd assignment runs as the narrow numpy kernel
-    (``_assign_np``) over driver-held centroids instead of a crossJoin +
-    interpreted-HOF d2 fold + min_by shuffle, and the (cluster, dim)
-    partial-avg recompute collects its K×dim result (driver-small, the
-    coarse quantizer itself) instead of re-assembling arrays through a
-    second groupBy.  Values are bit-identical (dim-order fold + the same
-    avg/round expressions over the same assignment); per iteration the
-    corpus now pays ONE narrow pass + one (cluster, dim) partial-agg
-    shuffle — the crossJoin that inflated the corpus K× is gone.
+    Round 12 replaced the crossJoin + interpreted-HOF assignment with
+    the narrow numpy kernel; round 13 fuses the (cluster, dim)
+    partial-sum into the SAME kernel (``_lloyd_partial_rows``), so each
+    iteration is one single-stage job with no exchange and the driver
+    finishes the K-sized average (bit-equal to the replaced
+    ``round(avg(x), 4)`` — verified at three SFs, pinned by
+    tests/test_r13_optimizations.py).  Per iteration the corpus pays
+    ONE narrow pass, full stop — no posexplode inflation, no shuffle.
 
     Returns the trained centroids as driver rows
     ``[(c_id, (ce_0, …, ce_63)), …]`` sorted by c_id."""
@@ -578,19 +659,25 @@ def _trained_centroid_rows(emb: DataFrame, train: DataFrame | None = None):
         )
     )
     for _ in range(_KM_ITERS):
-        assigned = _assign_np(train, cent_rows)
-        cell_rows = (
-            assigned.select("c_id", F.posexplode("e").alias("dim", "x"))
-            .groupBy("c_id", "dim")
-            .agg(F.round(F.avg("x"), 4).alias("cx"))
-            .collect()
-        )
-        by_cid: dict = {}
-        for r in cell_rows:
-            by_cid.setdefault(r["c_id"], {})[r["dim"]] = r["cx"]
+        # Round 13: single-stage fused assign+partial-sum kernel — see
+        # _lloyd_partial_rows (was: _assign_np → posexplode → groupBy
+        # (c_id, dim) → round(avg) → collect, a two-stage plan analyzed
+        # fresh per iteration).
+        sums: dict = {}
+        cnts: dict = {}
+        for r in _lloyd_partial_rows(train, cent_rows):
+            c = r["c_id"]
+            if c in sums:
+                s = sums[c]
+                for i, v in enumerate(r["s"]):
+                    s[i] += v
+                cnts[c] += r["cnt"]
+            else:
+                sums[c] = list(r["s"])
+                cnts[c] = r["cnt"]
         cent_rows = sorted(
-            (cid, tuple(dims[i] for i in range(len(dims))))
-            for cid, dims in by_cid.items()
+            (c, tuple(_round_half_up_4(v / cnts[c]) for v in s))
+            for c, s in sums.items()
         )
     return cent_rows
 

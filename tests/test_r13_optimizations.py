@@ -30,6 +30,76 @@ def _reference_counts(rows):
     return out
 
 
+def test_lloyd_fused_partials_match_spark_agg(spark):
+    """Round-13 Lloyd fusion (ann._lloyd_partial_rows): the single-stage
+    fused assign+partial-sum kernel with the driver-side rounded average
+    must produce BIT-identical trained centroids to the r12 shape it
+    replaced (assignment kernel → posexplode → groupBy(c_id, dim) →
+    round(avg(x), 4) → collect)."""
+    from pyspark.sql import functions as F
+
+    from hive_udf_neologd_spark.operators import ann
+
+    emb = ann._emb(spark, SF_DIR).select("vec_id", "e")
+    cent_rows = ann._collect_rows(
+        emb.filter(F.col("vec_id") % ann._KM_SEED_MOD == 1).select(
+            F.col("vec_id").alias("c_id"), F.col("e").alias("ce")
+        )
+    )
+    for _ in range(ann._KM_ITERS):
+        # r12 reference path, inline:
+        assigned = ann._assign_np(emb, cent_rows)
+        cell_rows = (
+            assigned.select("c_id", F.posexplode("e").alias("dim", "x"))
+            .groupBy("c_id", "dim")
+            .agg(F.round(F.avg("x"), 4).alias("cx"))
+            .collect()
+        )
+        by_cid = {}
+        for r in cell_rows:
+            by_cid.setdefault(r["c_id"], {})[r["dim"]] = r["cx"]
+        ref = sorted(
+            (cid, tuple(dims[i] for i in range(len(dims))))
+            for cid, dims in by_cid.items()
+        )
+        # fused path:
+        sums, cnts = {}, {}
+        for r in ann._lloyd_partial_rows(emb, cent_rows):
+            c = r["c_id"]
+            if c in sums:
+                s = sums[c]
+                for i, v in enumerate(r["s"]):
+                    s[i] += v
+                cnts[c] += r["cnt"]
+            else:
+                sums[c] = list(r["s"])
+                cnts[c] = r["cnt"]
+        got = sorted(
+            (c, tuple(ann._round_half_up_4(v / cnts[c]) for v in s))
+            for c, s in sums.items()
+        )
+        assert got == ref
+        cent_rows = got
+
+
+def test_round_half_up_4_matches_spark_round(spark):
+    """The driver-side rounding helper must agree with Spark's round()
+    on HALF_UP boundaries (incl. negatives) and shortest-repr parsing."""
+    from pyspark.sql import functions as F
+
+    from hive_udf_neologd_spark.operators.ann import _round_half_up_4
+
+    vals = [
+        0.00005, -0.00005, 0.00015, -0.00015, 1.23455, -1.23455,
+        0.1 + 0.2, 1e-9, -1e-9, 123.456789, 0.0, 2.5e-4, -2.5e-4,
+    ]
+    df = spark.createDataFrame([(v,) for v in vals], "x double").select(
+        F.round("x", 4).alias("r")
+    )
+    spark_rounded = [r["r"] for r in df.collect()]
+    assert [_round_half_up_4(v) for v in vals] == spark_rounded
+
+
 def test_t05_jvm_winnow_matches_reference(spark):
     from hive_udf_neologd_spark.operators.textops import _t05_fingerprints
     from hive_udf_neologd_spark.sources import read_table
