@@ -23,7 +23,7 @@ from pyspark.sql.functions import pandas_udf
 
 from hive_udf_neologd_spark.operators.dedup import _cosine_expr
 from hive_udf_neologd_spark.session import prepare
-from hive_udf_neologd_spark.sources import read_table
+from hive_udf_neologd_spark.sources import local_frame, read_table
 
 _QUERY_MOD = 100  # vec_id % 100 == 0 → query set
 _TOP_K = 5
@@ -350,7 +350,8 @@ def _ivf_sampled_parts(spark: SparkSession, sf_dir: str):
         ),
         cols=("c_id", "ce", "cn"),
     )
-    cents = spark.createDataFrame(
+    cents = local_frame(
+        spark,
         [(int(c), list(ce), float(n)) for c, ce, n in cent_rows],
         "c_id long, ce array<double>, cn double",
     )
@@ -685,8 +686,8 @@ def _trained_centroid_rows(emb: DataFrame, train: DataFrame | None = None):
 def _cents_df(spark: SparkSession, cent_rows) -> DataFrame:
     """K-row centroid frame rebuilt from driver rows (for the broadcast
     probe joins — same shape the HOF pipeline produced)."""
-    return spark.createDataFrame(
-        [(int(c), list(ce)) for c, ce in cent_rows], "c_id long, ce array<double>"
+    return local_frame(
+        spark, [(int(c), list(ce)) for c, ce in cent_rows], "c_id long, ce array<double>"
     )
 
 

@@ -28,7 +28,7 @@ from pyspark.sql import functions as F
 
 from hive_udf_neologd_spark.functions.tokenize import tokenize_ja
 from hive_udf_neologd_spark.session import prepare
-from hive_udf_neologd_spark.sources import read_table
+from hive_udf_neologd_spark.sources import local_frame, read_table
 
 
 def ensure_parallelism(spark: SparkSession, df: DataFrame) -> DataFrame:
@@ -571,8 +571,8 @@ def t08_tokenize_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
     3-row frame — no shuffle at any scale.  Oracle: T08_SQL replays the
     pinned-lexicon golden constants as a VALUES table (full hash check)."""
     prepare(spark)
-    df = spark.createDataFrame(
-        list(_MODE_SENTENCES), "sentence_id long, text string"
+    df = local_frame(
+        spark, list(_MODE_SENTENCES), "sentence_id long, text string"
     )
     configs = {
         "normal": tokenize_ja(mode="normal"),
@@ -813,7 +813,7 @@ def t17_tokenize_rich(spark: SparkSession, sf_dir: str) -> DataFrame:
     prepare(spark)
     from hive_udf_neologd_spark.functions.tokenize import tokenize_ja_rich
 
-    df = spark.createDataFrame(list(_RICH_SENTENCES), "sentence_id long, text string")
+    df = local_frame(spark, list(_RICH_SENTENCES), "sentence_id long, text string")
     rich = tokenize_ja_rich()
     return (
         df.select("sentence_id", F.posexplode(rich("text")).alias("pos_idx", "tok"))
@@ -1319,8 +1319,8 @@ def t21_connection_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     prepare(spark)
     from hive_udf_neologd_spark.tokenizer.goldens import T21_SENTENCES
 
-    df = spark.createDataFrame(
-        list(T21_SENTENCES), "sentence_id long, text string"
+    df = local_frame(
+        spark, list(T21_SENTENCES), "sentence_id long, text string"
     )
     tok = tokenize_ja()
     return (
@@ -1364,8 +1364,8 @@ def t22_segmentation_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         (sid, register, text, expected_spans(text, surfaces))
         for sid, register, text, surfaces in PARITY_CORPUS
     ]
-    df = spark.createDataFrame(
-        rows, "sid long, register string, text string, exp_spans array<long>"
+    df = local_frame(
+        spark, rows, "sid long, register string, text string, exp_spans array<long>"
     )
 
     @pandas_udf(ArrayType(LongType()))
@@ -1539,7 +1539,8 @@ def t25_mode_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         (sid, register, mode, text, list(surfaces))
         for sid, register, mode, text, surfaces in MODE_PARITY_CORPUS
     ]
-    df = spark.createDataFrame(
+    df = local_frame(
+        spark,
         rows,
         "sid long, register string, mode string, text string, exp array<string>",
     )
@@ -1690,8 +1691,8 @@ def t27_lemma_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         (sid, register, text, list(terms))
         for sid, register, text, terms in LEMMA_PARITY_CORPUS
     ]
-    df = spark.createDataFrame(
-        rows, "sid long, register string, text string, exp array<string>"
+    df = local_frame(
+        spark, rows, "sid long, register string, text string, exp array<string>"
     )
 
     @pandas_udf("matched boolean, n_pred long")
@@ -1771,8 +1772,8 @@ def t28_reading_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         (sid, register, text, [encode_pair(s, r) for s, r in pairs])
         for sid, register, text, pairs in READING_PARITY_CORPUS
     ]
-    df = spark.createDataFrame(
-        rows, "sid long, register string, text string, exp array<string>"
+    df = local_frame(
+        spark, rows, "sid long, register string, text string, exp array<string>"
     )
 
     @pandas_udf("matched boolean, n_pred long")
@@ -1854,7 +1855,8 @@ def t29_userdict_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
          [encode_pair(s, r) for s, r in pairs], text)
         for sid, register, mode, ud_rows, text, pairs in UD_PARITY_CORPUS
     ]
-    df = spark.createDataFrame(
+    df = local_frame(
+        spark,
         rows,
         "sid long, register string, mode string, ud array<string>, "
         "exp array<string>, text string",
@@ -1941,8 +1943,8 @@ def t30_pos_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
         (sid, register, text, [encode_pair(s, p) for s, p in pairs])
         for sid, register, text, pairs in POS_PARITY_CORPUS
     ]
-    df = spark.createDataFrame(
-        rows, "sid long, register string, text string, exp array<string>"
+    df = local_frame(
+        spark, rows, "sid long, register string, text string, exp array<string>"
     )
 
     @pandas_udf("matched boolean, n_pred long")

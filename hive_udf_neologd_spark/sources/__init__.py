@@ -78,6 +78,30 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def local_frame(spark: SparkSession, rows, schema: str) -> DataFrame:
+    """Constant driver-side frame as a true LocalRelation (round 13).
+
+    ``createDataFrame(list_of_tuples, schema)`` parallelizes the rows as a
+    pickled Python RDD: the plan scans ``ExistingRDD
+    (applySchemaToPythonRDD)`` across defaultParallelism partitions, and
+    EVERY task pays a JVM→Python-worker round trip just to unpickle its
+    slice — before any UDF in the query runs (measured: t21's 6-row frame
+    spent ~1.2 s/run on a 32-way fan-out of this).  Routing the same rows
+    through a pandas DataFrame (Arrow) yields a ``LocalTableScan`` — plan-
+    embedded rows, zero scan tasks, zero Python boundary — with an
+    identical schema and identical values (pinned by the oracle hashes of
+    every caller).  Guide §4: eliminate the Python boundary.  Only for
+    CONSTANT corpora/centroid frames (bounded size at any scale factor);
+    real inputs keep going through read_table.
+    """
+    import pandas as pd
+    from pyspark.sql.types import StructType
+
+    struct = StructType.fromDDL(schema)
+    pdf = pd.DataFrame([tuple(r) for r in rows], columns=struct.fieldNames())
+    return spark.createDataFrame(pdf, schema=struct)
+
+
 def read_csv(spark: SparkSession, path: str, schema=None) -> DataFrame:
     reader = spark.read.option("header", "true")
     if schema is not None:

@@ -139,3 +139,49 @@ def test_t05_jvm_winnow_edge_shapes(spark, tmp_path):
         for r in _t05_fingerprints(spark, path).collect()
     }
     assert got == _reference_counts(rows)
+
+
+def test_local_frame_is_local_relation_and_value_identical(spark):
+    """sources.local_frame (round 13): constant frames must plan as a
+    LocalTableScan (plan-embedded rows, zero scan tasks) instead of the
+    pickled-Python-RDD ExistingRDD scan, with schema and values identical
+    to the legacy createDataFrame(list, ddl) path."""
+    from hive_udf_neologd_spark.sources import local_frame
+
+    rows = [
+        (1, "reg", "normal", "テキスト", ["a", "b"]),
+        (2, "reg2", "search", "x y", []),
+    ]
+    ddl = "sid long, register string, mode string, text string, exp array<string>"
+    new = local_frame(spark, rows, ddl)
+    old = spark.createDataFrame(rows, ddl)
+    assert new.schema == old.schema
+    assert new.collect() == old.collect()
+    plan = new._sc._jvm.PythonSQLUtils.explainString(
+        new._jdf.queryExecution(), "formatted"
+    )
+    assert "LocalTableScan" in plan
+    assert "ExistingRDD" not in plan
+
+
+def test_parity_frames_scan_locally(spark):
+    """Every constant-corpus catalog entry plans its frame as a
+    LocalTableScan — no applySchemaToPythonRDD deserialization tasks."""
+    from hive_udf_neologd_spark.catalog import QUERIES
+
+    for name in (
+        "t08_tokenize_modes",
+        "t21_connection_matrix",
+        "t22_segmentation_parity",
+        "t25_mode_parity",
+        "t27_lemma_parity",
+        "t28_reading_parity",
+        "t29_userdict_parity",
+        "t30_pos_parity",
+    ):
+        df = QUERIES[name](spark, SF_DIR)
+        plan = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+        assert "applySchemaToPythonRDD" not in plan, name
+        assert "LocalTableScan" in plan, name
