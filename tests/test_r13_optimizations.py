@@ -185,3 +185,43 @@ def test_parity_frames_scan_locally(spark):
         )
         assert "applySchemaToPythonRDD" not in plan, name
         assert "LocalTableScan" in plan, name
+
+
+def _uf_components(pairs):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+def test_cc_fixpoint_hub_and_chain_with_binding_cap(spark, monkeypatch):
+    """Round-13 skew guard: the window cap on the squaring y-side must not
+    change the fixpoint even when it BINDS (hub degree > cap), and the
+    delayed pointer jump must still converge long chains within
+    _MAX_CC_ITERS."""
+    from pyspark.sql import functions as F
+
+    from hive_udf_neologd_spark.operators import dedup as D
+
+    monkeypatch.setattr(D, "_CC_SQUARE_CAP", 4)  # far below the hub degree
+    # hub 0 with 30 leaves; disjoint chain 100..140; disjoint pair.
+    pairs = (
+        [(0, i) for i in range(1, 31)]
+        + [(i, i + 1) for i in range(100, 140)]
+        + [(500, 501)]
+    )
+    edges = spark.createDataFrame(pairs, "u long, v long").unionByName(
+        spark.createDataFrame([(b, a) for a, b in pairs], "u long, v long")
+    )
+    got = {r["n"]: r["lbl"] for r in D._cc_fixpoint(edges).collect()}
+    assert got == _uf_components(pairs)
