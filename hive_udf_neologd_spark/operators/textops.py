@@ -289,9 +289,11 @@ def _t05_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.size("ts") >= 3)
         .select(
             "doc_id",
+            # Direct indexing, not slice (round 13, same trade as
+            # dedup._minhash_bands): no per-shingle array allocation.
             F.expr(
-                "transform(sequence(1, size(ts) - 2),"
-                " i -> md5(concat_ws(' ', slice(ts, i, 3))))"
+                "transform(sequence(0, size(ts) - 3),"
+                " i -> md5(concat(ts[i], ' ', ts[i+1], ' ', ts[i+2])))"
             ).alias("hs"),
         )
         .select(
@@ -383,7 +385,7 @@ def t07_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     prepare(spark)
     docs = read_table(spark, sf_dir, "documents")
     bigrams = F.expr(
-        "transform(sequence(1, size(ts) - 1), i -> concat_ws(' ', slice(ts, i, 2)))"
+        "transform(sequence(0, size(ts) - 2), i -> concat(ts[i], ' ', ts[i+1]))"
     )
     return (
         docs.select(F.split("text", " ").alias("ts"))
