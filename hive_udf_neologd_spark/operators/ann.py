@@ -1094,14 +1094,16 @@ def a11_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregates unioned together.  Oracle: DuckDB rebuilds the identical
     index per nprobe — fully computed, no pinned constants."""
     prepare(spark)
-    exact = (
-        a01_ann_bruteforce(spark, sf_dir)
-        .select("q_id", "neighbor_id")
-        .localCheckpoint()
-    )
+    # Round 13: the exact ground truth is consumed exactly once (the final
+    # left join), so the eager checkpoint + the separate distinct-count
+    # job bought nothing — the n_q recall denominator folds into the
+    # final aggregate as countDistinct(q_id) (every exact row survives a
+    # left join, so the per-nprobe distinct q_id set IS the query set).
+    # Two driver actions fewer per invocation; results bit-identical
+    # (measured, and the oracle recomputes the same denominator).
+    exact = a01_ann_bruteforce(spark, sf_dir).select("q_id", "neighbor_id")
     cents, assigned, q = _ivf_sampled_parts(spark, sf_dir)
     assigned = assigned.localCheckpoint()
-    n_q = exact.select("q_id").distinct().count()
     # Round 12 (guide §2.4): ONE candidate/rescore pass at max(nprobe)
     # replaces the four per-nprobe branch subtrees (4× probe windows,
     # 4× candidate joins, 4× rescores, 4 joins against ground truth).
@@ -1157,7 +1159,9 @@ def a11_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("nprobe")
         .agg(
             F.count("inb").alias("n_matched"),
-            F.round(F.count("inb") / float(n_q * _TOP_K), 4).alias("mean_recall"),
+            F.round(
+                F.count("inb") / (F.countDistinct("q_id") * float(_TOP_K)), 4
+            ).alias("mean_recall"),
         )
         .orderBy("nprobe")
     )
