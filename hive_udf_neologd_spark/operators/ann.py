@@ -1103,7 +1103,10 @@ def a11_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (measured, and the oracle recomputes the same denominator).
     exact = a01_ann_bruteforce(spark, sf_dir).select("q_id", "neighbor_id")
     cents, assigned, q = _ivf_sampled_parts(spark, sf_dir)
-    assigned = assigned.localCheckpoint()
+    # No eager checkpoint of the assignment (round 13): the r12 fused
+    # sweep left it exactly ONE consumer (the candidate join), so the
+    # materialize-once trade no longer applies — inlining drops one
+    # driver action per invocation (identical results, measured).
     # Round 12 (guide §2.4): ONE candidate/rescore pass at max(nprobe)
     # replaces the four per-nprobe branch subtrees (4× probe windows,
     # 4× candidate joins, 4× rescores, 4 joins against ground truth).
