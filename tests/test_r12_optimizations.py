@@ -194,7 +194,7 @@ def test_io_input_fixture_staged_once(spark):
     df1 = io_ops.io04_small_file_compaction(spark, SF_DIR)
     rows1 = sorted(map(tuple, df1.collect()))
     sprayed = (
-        f"{io_ops._STAGE_ROOT}/{os.path.basename(SF_DIR)}/"
+        f"{io_ops._stage_root()}/{os.path.basename(SF_DIR)}/"
         f"events_sprayed_{os.getpid()}"
     )
     parts = sorted(glob.glob(f"{sprayed}/*.parquet"))
